@@ -1,0 +1,108 @@
+"""Sessionization operator: packet events -> per-flow feature vectors.
+
+Spark plan shape (one shuffle total):
+
+    scan (parquet/Iceberg, pruned columns)
+      -> canonical biflow key columns               [Catalyst exprs, codegen]
+      -> groupBy(key).applyInPandas(kernel)         [hash shuffle on key,
+                                                     Arrow batches, NumPy]
+      -> feature superset DataFrame                 [downstream selects are
+                                                     pure column pruning]
+
+The canonical key makes both directions of a biflow land in one group —
+the analog of the reference's canonical-hash shard routing (pcap.rs:243-249,
+flow_key.rs:45-52). Any deterministic orientation works for grouping;
+direction semantics are defined by each session's first packet, exactly like
+the reference's directed-key + reverse-lookup flow map (flow_table.rs:61-73).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from rustiflow_spark.config import EngineConfig
+from rustiflow_spark.kernel.flow_kernel import process_group
+from rustiflow_spark.schema import FLOW_SUPERSET_COLUMNS, FLOW_SUPERSET_SCHEMA
+from rustiflow_spark.timeline import compute_timeline
+
+_KEY_COLS = ["key_ip_a", "key_port_a", "key_ip_b", "key_port_b", "protocol"]
+
+_INT_COLS = [
+    "ts_us",
+    "fin_flag",
+    "syn_flag",
+    "rst_flag",
+    "psh_flag",
+    "ack_flag",
+    "urg_flag",
+    "cwr_flag",
+    "ece_flag",
+    "flags",
+    "data_length",
+    "header_length",
+    "length",
+    "window_size",
+    "sequence_number",
+    "sequence_number_ack",
+    "protocol",
+    "event_seq",
+]
+
+
+def with_canonical_key(df: DataFrame) -> DataFrame:
+    """Add canonical (order-independent) biflow key columns + orientation.
+
+    dir_a is True when the packet's directed key matches the canonical
+    orientation (src endpoint sorts <= dst endpoint)."""
+    a_first = (F.col("src_ip") < F.col("dst_ip")) | (
+        (F.col("src_ip") == F.col("dst_ip")) & (F.col("src_port") <= F.col("dst_port"))
+    )
+    return (
+        df.withColumn("dir_a", a_first)
+        .withColumn("key_ip_a", F.when(a_first, F.col("src_ip")).otherwise(F.col("dst_ip")))
+        .withColumn("key_port_a", F.when(a_first, F.col("src_port")).otherwise(F.col("dst_port")))
+        .withColumn("key_ip_b", F.when(a_first, F.col("dst_ip")).otherwise(F.col("src_ip")))
+        .withColumn("key_port_b", F.when(a_first, F.col("dst_port")).otherwise(F.col("src_port")))
+    )
+
+
+def _group_arrays(pdf: pd.DataFrame) -> dict[str, np.ndarray]:
+    pdf = pdf.sort_values(["ts_us", "event_seq"], kind="mergesort")
+    g: dict[str, np.ndarray] = {}
+    for col in _INT_COLS:
+        g[col] = pdf[col].to_numpy(dtype=np.int64, na_value=0)
+    for col in ("icmp_type", "icmp_code"):
+        g[col] = pdf[col].to_numpy(dtype=np.float64, na_value=-1).astype(np.int64)
+    g["dir_a"] = pdf["dir_a"].to_numpy(dtype=bool)
+    return g
+
+
+def sessionize_packets(
+    df: DataFrame,
+    cfg: EngineConfig | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Full sessionization: returns one row per exported flow with the
+    feature superset columns (schema.FLOW_SUPERSET_SCHEMA)."""
+    cfg = cfg or EngineConfig()
+    scan_times, flush_ts = compute_timeline(df, "ts_us", cfg)
+
+    keyed = with_canonical_key(df)
+    if num_partitions:
+        keyed = keyed.repartition(num_partitions, *_KEY_COLS)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = _group_arrays(pdf)
+        meta = {
+            "src_ip_a": pdf["key_ip_a"].iloc[0],
+            "src_port_a": int(pdf["key_port_a"].iloc[0]),
+            "dst_ip_a": pdf["key_ip_b"].iloc[0],
+            "dst_port_a": int(pdf["key_port_b"].iloc[0]),
+        }
+        rows = process_group(g, meta, cfg, scan_times, flush_ts)
+        out = pd.DataFrame(rows)
+        return out.reindex(columns=FLOW_SUPERSET_COLUMNS)
+
+    return keyed.groupBy(*_KEY_COLS).applyInPandas(run, schema=FLOW_SUPERSET_SCHEMA)
