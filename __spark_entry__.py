@@ -1,38 +1,443 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship sessionized-feature pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` — DuckDB-equivalent SQL for each (same column names; floats
+rounded identically on both sides).
+
+Engine mapping for the driver ``events`` table (TESTDATA.md):
+key=user_id, event time=unix microseconds of ts, value as the n_tok/length
+analog, direction = event_id % 2, terminator = event_type == 'purchase'
+(the TCP-termination analog). All mappings are deterministic and expressed
+identically in Spark and DuckDB SQL.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+IDLE_S = 1800  # 30 min gap sessionization for the events table
+BIG_ACTIVE_S = 10_000_000  # effectively disables the active timeout (SQL-oracle queries)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # TIMESTAMP_NTZ -> epoch µs, independent of the session time zone
+    # (matches DuckDB's epoch_us on naive timestamps)
+    ts_us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    return df.select(
+        "user_id",
+        ts_us.alias("ts_us"),
+        "value",
+        (F.col("event_id") % 2).cast("int").alias("direction"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("int").alias("terminator"),
+        F.col("event_id").alias("event_seq"),
+        "event_type",
+    )
+
+
+def _engine_cfg():
+    from rustiflow_spark.config import EngineConfig
+
+    return EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+
+
+# --------------------------------------------------------------------------
+# Queries
+# --------------------------------------------------------------------------
+
+
+def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core operator: gap+terminator sessionization -> per-session feature
+    vector (idle-timeout sessions; SURVEY.md §2.3 T1/T3-analog + §2.4 A1,
+    A3, A5, A13)."""
+    from rustiflow_spark.operators.event_features import sessionize_events
+
+    feats = sessionize_events(
+        _events(spark, sf_dir), ["user_id"], _engine_cfg(), value_col="value"
+    )
+    return feats.select(
+        "user_id",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        F.col("event_count").cast("long").alias("event_count"),
+        F.col("fwd_event_count").cast("long").alias("fwd_event_count"),
+        F.col("bwd_event_count").cast("long").alias("bwd_event_count"),
+        F.round("n_tok_total", 6).alias("value_total"),
+        F.round("n_tok_mean", 6).alias("value_mean"),
+        F.round("n_tok_max", 6).alias("value_max"),
+        F.round("n_tok_min", 6).alias("value_min"),
+        F.round("iat_total", 4).alias("iat_total_ms"),
+        F.round("iat_max", 4).alias("iat_max_ms"),
+        F.round("iat_min", 4).alias("iat_min_ms"),
+        F.col("subflow_count").cast("long").alias("subflow_count"),
+    )
+
+
+_Q_SESSION_SQL = f"""
+WITH ev AS (
+    SELECT user_id,
+           epoch_us(ts) AS ts_us,
+           value,
+           event_id % 2 AS direction,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS terminator,
+           event_id AS event_seq
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= ({IDLE_S} + 1) * 1000000 THEN 1
+                WHEN lag(terminator) OVER w = 1 THEN 1
+                ELSE 0 END AS new_session,
+           ts_us - lag(ts_us) OVER w AS gap_us
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS session_id,
+           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS intra_gap_us
+    FROM flagged
+), agg AS (
+    SELECT user_id, session_id,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           count(*) AS event_count,
+           sum(CASE WHEN direction = 0 THEN 1 ELSE 0 END) AS fwd_event_count,
+           sum(CASE WHEN direction = 1 THEN 1 ELSE 0 END) AS bwd_event_count,
+           round(sum(value), 6) AS value_total,
+           round(avg(value), 6) AS value_mean,
+           round(max(value), 6) AS value_max,
+           round(min(value), 6) AS value_min,
+           round(coalesce(sum(intra_gap_us / 1000.0), 0.0), 4) AS iat_total_ms,
+           round(coalesce(max(intra_gap_us / 1000.0), 0.0), 4) AS iat_max_ms,
+           round(coalesce(min(intra_gap_us / 1000.0), 0.0), 4) AS iat_min_ms,
+           1 + sum(CASE WHEN intra_gap_us > 1000000 THEN 1 ELSE 0 END) AS subflow_count,
+           max(CASE WHEN terminator = 1 THEN 1 ELSE 0 END) AS has_term
+    FROM sess
+    GROUP BY user_id, session_id
+)
+SELECT user_id, first_ts_us, last_ts_us, duration_us,
+       CASE WHEN has_term = 1 THEN 'TCP Normal Termination'
+            WHEN last_ts_us < max(last_ts_us) OVER (PARTITION BY user_id)
+                 THEN 'Idle Timeout'
+            ELSE 'Exporter Shutdown' END AS cause,
+       event_count, fwd_event_count, bwd_event_count,
+       value_total, value_mean, value_max, value_min,
+       iat_total_ms, iat_max_ms, iat_min_ms,
+       subflow_count
+FROM agg
+"""
+
+
+def q_welford_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant Welford feature block (A5/A6/A7 analog) as pure
+    Catalyst aggregation — whole-stage codegen, no Python."""
+    df = _events(spark, sf_dir)
+    return df.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_total"),
+        F.round(F.avg("value"), 6).alias("value_mean"),
+        F.round(F.stddev_pop("value"), 4).alias("value_std"),
+        F.round(F.var_pop("value"), 3).alias("value_var"),
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias(
+            "big_value_events"
+        ),
+    )
+
+
+_Q_WELFORD_SQL = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS value_total,
+       round(avg(value), 6) AS value_mean,
+       round(stddev_pop(value), 4) AS value_std,
+       round(var_pop(value), 3) AS value_var,
+       round(min(value), 6) AS value_min,
+       round(max(value), 6) AS value_max,
+       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big_value_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_iat_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IAT stats via JVM-side window lag (A1 analog without sessions)."""
+    from pyspark.sql import Window
+
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_seq")
+    iat = df.withColumn("iat_ms", (F.col("ts_us") - F.lag("ts_us").over(w)) / 1000.0)
+    return iat.groupBy("user_id").agg(
+        F.round(F.avg("iat_ms"), 4).alias("iat_mean_ms"),
+        F.round(F.max("iat_ms"), 4).alias("iat_max_ms"),
+        F.round(F.min("iat_ms"), 4).alias("iat_min_ms"),
+        F.round(F.sum("iat_ms"), 4).alias("iat_total_ms"),
+        F.count("iat_ms").cast("long").alias("iat_count"),
+    )
+
+
+_Q_IAT_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id AS event_seq FROM events
+), iat AS (
+    SELECT user_id,
+           (ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq)) / 1000.0
+               AS iat_ms
+    FROM ev
+)
+SELECT user_id,
+       round(avg(iat_ms), 4) AS iat_mean_ms,
+       round(max(iat_ms), 4) AS iat_max_ms,
+       round(min(iat_ms), 4) AS iat_min_ms,
+       round(sum(iat_ms), 4) AS iat_total_ms,
+       count(iat_ms) AS iat_count
+FROM iat
+GROUP BY user_id
+"""
+
+
+def q_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count aggregation + presence-mask string (A8 analog:
+    tcp_flag_stats.rs:49-106)."""
+    df = _events(spark, sf_dir)
+    aggs = []
+    for et in ("click", "view", "purchase", "signup", "error"):
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == et, 1).otherwise(0))
+            .cast("long")
+            .alias(f"{et}_count")
+        )
+    out = df.groupBy("user_id").agg(*aggs)
+    mask = F.concat(
+        *[
+            F.when(F.col(f"{et}_count") > 0, F.lit(ch)).otherwise(F.lit("."))
+            for ch, et in (
+                ("C", "click"), ("V", "view"), ("P", "purchase"), ("S", "signup"), ("E", "error"),
+            )
+        ]
+    )
+    return out.withColumn("type_mask", mask)
+
+
+_Q_FLAGS_SQL = """
+WITH c AS (
+    SELECT user_id,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
+           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_count,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_count,
+           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup_count,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count
+    FROM events GROUP BY user_id
+)
+SELECT *,
+       concat(CASE WHEN click_count > 0 THEN 'C' ELSE '.' END,
+              CASE WHEN view_count > 0 THEN 'V' ELSE '.' END,
+              CASE WHEN purchase_count > 0 THEN 'P' ELSE '.' END,
+              CASE WHEN signup_count > 0 THEN 'S' ELSE '.' END,
+              CASE WHEN error_count > 0 THEN 'E' ELSE '.' END) AS type_mask
+FROM c
+"""
+
+
+def q_session_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level session assignment (assign_sessions operator): every event
+    annotated with its session ordinal — payload columns pass through."""
+    from rustiflow_spark.operators.event_features import assign_sessions
+
+    ann = assign_sessions(_events(spark, sf_dir), ["user_id"], _engine_cfg())
+    return ann.select(
+        "user_id",
+        F.col("event_seq").alias("event_id"),
+        "ts_us",
+        F.col("session_index").cast("long").alias("session_index"),
+        "session_cause",
+    )
+
+
+_Q_ANNOTATION_SQL = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS terminator,
+           event_id AS event_seq
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= ({IDLE_S} + 1) * 1000000 THEN 1
+                WHEN lag(terminator) OVER w = 1 THEN 1
+                ELSE 0 END AS new_session
+    FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) - 1 AS session_index
+    FROM flagged
+), last_sess AS (
+    SELECT user_id, max(session_index) AS max_si FROM sess GROUP BY user_id
+), term_sess AS (
+    SELECT user_id, session_index, max(terminator) AS has_term
+    FROM sess GROUP BY user_id, session_index
+)
+SELECT s.user_id, s.event_seq AS event_id, s.ts_us,
+       s.session_index AS session_index,
+       CASE WHEN t.has_term = 1 THEN 'TCP Normal Termination'
+            WHEN s.session_index < l.max_si THEN 'Idle Timeout'
+            ELSE 'Exporter Shutdown' END AS session_cause
+FROM sess s
+JOIN last_sess l ON s.user_id = l.user_id
+JOIN term_sess t ON s.user_id = t.user_id AND s.session_index = t.session_index
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication on content hash (training-data op): keeper =
+    min doc_id per md5(text)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        df.withColumn("content_hash", F.md5(F.col("text")))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("copies"),
+        )
+    )
+
+
+_Q_DEDUP_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*) AS copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis block: token counting + simple quality ratios."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.size(F.split(F.col("text"), " "))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        words.cast("long").alias("word_count"),
+        F.round(F.col("n_chars") / words, 6).alias("chars_per_word"),
+        F.length("text").cast("long").alias("text_len"),
+    )
+
+
+_Q_TEXT_SQL = """
+SELECT doc_id, lang, source, n_chars,
+       len(string_split(text, ' ')) AS word_count,
+       round(n_chars / len(string_split(text, ' ')), 6) AS chars_per_word,
+       length(text) AS text_len
+FROM documents
+"""
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search over the embedding column
+    (training-data op; JVM-side F.aggregate/zip_with dot products)."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = df.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    joined = queries.crossJoin(df.select("vec_id", "embedding")).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sims = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot / (norm(F.col("q_emb")) * norm(F.col("embedding")))).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("neighbor_id").cast("long").alias("neighbor_id"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+_Q_SIM_SQL = """
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8
+), pairs AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.q_emb, e.embedding) AS cos
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id != q.query_id
+), ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos
+FROM ranked WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# Contract surface
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sessionized feature extraction on sf0.001."""
+    return q_session_features(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "session_features": q_session_features,
+        "welford_stats": q_welford_stats,
+        "iat_window": q_iat_window,
+        "flag_counts": q_flag_counts,
+        "session_annotation": q_session_annotation,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "similarity_topk": q_similarity_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "session_features": _Q_SESSION_SQL,
+        "welford_stats": _Q_WELFORD_SQL,
+        "iat_window": _Q_IAT_SQL,
+        "flag_counts": _Q_FLAGS_SQL,
+        "session_annotation": _Q_ANNOTATION_SQL,
+        "dedup_exact": _Q_DEDUP_SQL,
+        "text_stats": _Q_TEXT_SQL,
+        "similarity_topk": _Q_SIM_SQL,
+    }

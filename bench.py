@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the no-op sink so every column is computed
+but nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from rustiflow_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "session_features",
+    "session_annotation",
+    "welford_stats",
+    "iat_window",
+    "flag_counts",
+    "dedup_exact",
+    "text_stats",
+    "similarity_topk",
+]
+
+
+def materialize(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("rustiflow-bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = entrymod.queries()
+    timings: dict[str, float] = {}
+    # warmup: JVM + Arrow path
+    materialize(qmap["welford_stats"](spark, sf_dir).limit(10))
+
+    total = 0.0
+    for name in BENCH_QUERIES:
+        fn = qmap[name]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cores": cores,
+        "events": n_events,
+        "events_per_sec_sessionize": round(n_events / timings["session_features"], 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
