@@ -407,6 +407,116 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (north-rule operator; operators/asof.py):
+    each event gets its user's most recent signup event at or before it —
+    leakage-free backward match."""
+    from rustiflow_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.select("user_id", "ts_us", F.col("event_seq").alias("event_id"), "value")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts_us")
+        .agg(F.round(F.max("value"), 6).alias("signup_value"))
+    )
+    out = asof_join(left, right, by="user_id", suffix="_sig")
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.col("ts_us_sig").alias("signup_ts_us"),
+        F.round("signup_value_sig", 6).alias("signup_value"),
+        F.when(
+            F.col("ts_us_sig").isNotNull(),
+            ((F.col("ts_us") - F.col("ts_us_sig")) / F.lit(1000000.0)),
+        ).alias("secs_since_signup"),
+    ).withColumn("secs_since_signup", F.round("secs_since_signup", 4))
+
+
+_Q_ASOF_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, value, event_type FROM events
+), sig AS (
+    SELECT user_id, ts_us, round(max(value), 6) AS signup_value
+    FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts_us
+)
+SELECT ev.user_id, ev.event_id, ev.ts_us,
+       sig.ts_us AS signup_ts_us,
+       round(sig.signup_value, 6) AS signup_value,
+       round((ev.ts_us - sig.ts_us) / 1000000.0, 4) AS secs_since_signup
+FROM ev ASOF LEFT JOIN sig
+  ON ev.user_id = sig.user_id AND ev.ts_us >= sig.ts_us
+"""
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free lag/lead features (operators/windows.py)."""
+    from rustiflow_spark.operators.windows import add_lag_lead_features
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_us", F.col("event_seq").alias("event_id"), "value"
+    )
+    out = add_lag_lead_features(
+        ev, ["user_id"], "ts_us", ["value"], lags=[1, 2], leads=[1], order_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round("value_lag1", 6).alias("value_lag1"),
+        F.round("value_lag2", 6).alias("value_lag2"),
+        F.round("value_lead1", 6).alias("value_lead1"),
+    )
+
+
+_Q_LAG_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+)
+SELECT user_id, event_id, ts_us,
+       round(lag(value, 1) OVER w, 6) AS value_lag1,
+       round(lag(value, 2) OVER w, 6) AS value_lag2,
+       round(lead(value, 1) OVER w, 6) AS value_lead1
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+"""
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing event-time range aggregates (RANGE frame, operators/windows.py)."""
+    from rustiflow_spark.operators.windows import rolling_time_features
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "ts_us", F.col("event_seq").alias("event_id"), "value"
+    )
+    out = rolling_time_features(
+        ev, ["user_id"], "ts_us", "value", {"6h": 6 * 3600 * 1_000_000}
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.col("value_cnt_6h").cast("long").alias("cnt_6h"),
+        F.round("value_sum_6h", 6).alias("sum_6h"),
+        F.round("value_mean_6h", 6).alias("mean_6h"),
+    )
+
+
+_Q_ROLLING_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events
+)
+SELECT user_id, event_id, ts_us,
+       count(value) OVER w AS cnt_6h,
+       round(sum(value) OVER w, 6) AS sum_6h,
+       round(avg(value) OVER w, 6) AS mean_6h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -427,6 +537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
+        "asof_join": q_asof_join,
+        "lag_features": q_lag_features,
+        "rolling_features": q_rolling_features,
     }
 
 
@@ -440,4 +553,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_SQL,
         "text_stats": _Q_TEXT_SQL,
         "similarity_topk": _Q_SIM_SQL,
+        "asof_join": _Q_ASOF_SQL,
+        "lag_features": _Q_LAG_SQL,
+        "rolling_features": _Q_ROLLING_SQL,
     }
