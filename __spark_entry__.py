@@ -517,6 +517,55 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 """
 
 
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup clustering on documents (operators/dedup.py).
+    Not SQL-expressible (xxhash64 signature family) — rows-only check."""
+    from rustiflow_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.6).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "is_keeper",
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures + near-dup pairs (rows-only check)."""
+    from rustiflow_spark.operators.dedup import simhash_neardup_pairs, simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = simhash_signatures(docs, "doc_id", "text")
+    return sigs.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID over documents (rows-only check)."""
+    from rustiflow_spark.operators.textstats import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs, "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang_pred",
+        F.col("lang_pred_hits").cast("long").alias("lang_pred_hits"),
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (rows-only check; the
+    exact-top-k variant `similarity_topk` carries the SQL oracle)."""
+    from rustiflow_spark.operators.similarity import ann_topk_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_topk_lsh(emb, queries, k=5, n_planes=6, n_tables=6).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cos"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -540,6 +589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "lag_features": q_lag_features,
         "rolling_features": q_rolling_features,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "langid": q_langid,
+        "ann_topk": q_ann_topk,
     }
 
 

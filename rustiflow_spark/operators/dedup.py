@@ -1,0 +1,339 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All candidate generation is JVM-side (Catalyst higher-order functions over
+shingle arrays, xxhash64) so the quadratic part — pairing — only ever runs
+inside small LSH buckets. Verification (exact Jaccard / cosine) runs on the
+candidate pairs only.
+
+Operators:
+  exact_dedup           hash-groupBy on content
+  minhash_signatures    k-shingles -> 64-perm MinHash (JVM, no Python)
+  minhash_lsh_dedup     band-bucket join -> candidate pairs -> Jaccard
+                        verify -> greedy min-id clustering
+  simhash_dedup         64-bit SimHash (Arrow-vectorized NumPy) + Hamming
+                        band buckets
+  embedding_neardup     random-hyperplane LSH buckets -> cosine verify
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("copies"),
+            F.collect_list(id_col).alias("member_ids"),
+        )
+    )
+
+
+def _shingles(text_col: str, k: int):
+    """Array of k-character shingles — pure Catalyst (transform+sequence)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)),"
+        f" i -> substring({text_col}, i, {k}))"
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, num_perm: int = 64, shingle_k: int = 5
+) -> DataFrame:
+    """Adds `minhash` array<long> of length num_perm.
+
+    MinHash permutation j is approximated by min over shingles of
+    xxhash64(shingle, j) — the standard one-hash-family construction; all
+    JVM-side whole-stage codegen."""
+    sig = F.expr(
+        f"transform(sequence(0, {num_perm - 1}),"
+        f" j -> array_min(transform(__shingles, s -> xxhash64(s, j))))"
+    )
+    return (
+        df.withColumn("__shingles", F.array_distinct(_shingles(text_col, shingle_k)))
+        .withColumn("minhash", sig)
+        .drop("__shingles")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH over `minhash`.
+
+    rows = num_perm / bands hashes per band; docs sharing any band bucket
+    become one candidate pair (id_a < id_b). Pair estimation column
+    `est_jaccard` = fraction of equal minhash components."""
+    rows_per_band = num_perm // bands
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        "minhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> named_struct('band', b, 'bh',"
+                f" xxhash64(array_join(slice(minhash, b * {rows_per_band} + 1,"
+                f" {rows_per_band}), ','))))"
+            )
+        ).alias("bb"),
+    ).select("__id", "minhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.minhash").alias("mh_a"),
+            F.col("b.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # fraction of equal minhash components estimates the Jaccard similarity
+    eq_count = F.expr(
+        "size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), b -> b))"
+    )
+    return pairs.withColumn(
+        "est_jaccard", eq_count / F.size("mh_a")
+    ).drop("mh_a", "mh_b")
+
+
+def ngram_jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs (verification step)."""
+    sh = df.select(
+        F.col(id_col).alias("__vid"),
+        F.array_distinct(_shingles(text_col, shingle_k)).alias("__sh"),
+    )
+    joined = (
+        pairs.join(sh.withColumnRenamed("__vid", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__vid", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .drop("sh_a", "sh_b")
+    )
+
+
+def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: int = 10) -> DataFrame:
+    """Connected components by iterative min-id label propagation over the
+    duplicate-pair graph. Each iteration is one join+groupBy; converges in
+    O(diameter) rounds (near-dup clusters are tiny, so 2-3 in practice).
+
+    Returns (id, cluster_id) where cluster_id = min id in the component."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = all_ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        if not changed:
+            break
+    return labels.select(F.col("src").alias(id_col), "cluster_id")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact Jaccard
+    verify -> min-id clusters. Returns (id, cluster_id, is_keeper)."""
+    sigs = minhash_signatures(df, text_col, num_perm, shingle_k)
+    cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
+    verified = ngram_jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
+    clusters = cluster_min_id(verified, df.select(id_col), id_col)
+    return clusters.withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+
+
+# --- SimHash ----------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.StructType(
+    [T.StructField("__id", T.LongType()), T.StructField("simhash", T.LongType())]
+)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 4
+) -> DataFrame:
+    """64-bit SimHash per document — Arrow-vectorized NumPy bit voting over
+    rolling k-byte shingle hashes (each distinct shingle votes once)."""
+    return _simhash_impl(df, id_col, text_col, shingle_k)
+
+
+def _simhash_impl(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> DataFrame:
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), T.StructField("simhash", T.LongType())]
+    )
+
+    def batch(iterator):
+        for pdf in iterator:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            out = np.empty(len(pdf), dtype=np.uint64)
+            powers = np.uint64(1099511628211) ** np.arange(shingle_k, dtype=np.uint64)
+            for i, text in enumerate(pdf[text_col].astype(str)):
+                arr = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+                if arr.size < shingle_k:
+                    arr = np.pad(arr, (0, shingle_k - arr.size))
+                win = np.lib.stride_tricks.sliding_window_view(arr, shingle_k)
+                h = win.astype(np.uint64) @ powers
+                h = np.unique(h * np.uint64(0x9E3779B97F4A7C15) + np.uint64(0xDEADBEEF))
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                votes = 2 * bits.sum(axis=0) - h.size
+                sig = np.uint64(0)
+                sig_bits = votes > 0
+                sig = np.packbits(sig_bits.astype(np.uint8), bitorder="little").view(np.uint64)[0]
+                out[i] = sig
+            yield pd.DataFrame({id_col: ids, "simhash": out.view(np.int64)})
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
+
+
+def simhash_neardup_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming via banded
+    16-bit chunks (pigeonhole: <=3 differing bits means >=1 of 4 bands
+    identical). Verify with bit_count on the XOR."""
+    width = 64 // bands
+    banded = sigs.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> named_struct('band', b,"
+                f" 'chunk', (simhash >> (b * {width})) & {(1 << width) - 1}))"
+            )
+        ).alias("bb"),
+    ).select("__id", "simhash", "bb.band", "bb.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .drop("sh_a", "sh_b")
+    )
+
+
+# --- embedding near-dup -----------------------------------------------------
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 7,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicate pairs: random-hyperplane LSH buckets (sign
+    pattern of n_planes projections) then exact cosine verify inside
+    buckets. Deterministic planes from the seed."""
+    first = df.select(F.size(emb_col).alias("d")).first()
+    d = dim or (first["d"] if first else 0)
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, d)
+    planes_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    )
+    emb = F.col(emb_col).cast("array<double>")
+    sig = F.expr(
+        "aggregate(transform(__planes,"
+        " p -> IF(aggregate(zip_with(__e, p, (x, y) -> x * y), 0D,"
+        " (acc, v) -> acc + v) >= 0, 1L, 0L)),"
+        " 0L, (acc, b) -> acc * 2 + b)"
+    )
+    prepared = (
+        df.select(F.col(id_col).alias("__id"), emb.alias("__e"))
+        .withColumn("__planes", planes_lit)
+        .withColumn("bucket", sig)
+        .drop("__planes")
+    )
+    a, b = prepared.alias("a"), prepared.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.__id") < F.col("b.__id")),
+    ).select(
+        F.col("a.__id").alias("id_a"),
+        F.col("b.__id").alias("id_b"),
+        F.col("a.__e").alias("ea"),
+        F.col("b.__e").alias("eb"),
+    )
+    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (a, v) -> a + v)")
+    na = F.sqrt(F.expr("aggregate(transform(ea, x -> x * x), 0D, (a, v) -> a + v)"))
+    nb = F.sqrt(F.expr("aggregate(transform(eb, x -> x * x), 0D, (a, v) -> a + v)"))
+    return (
+        pairs.withColumn("cosine", dot / (na * nb))
+        .filter(F.col("cosine") >= threshold)
+        .drop("ea", "eb")
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data curation: language ID
+(stopword-hit heuristic), quality scoring, token counting, and rolling-hash
+document fingerprinting. Everything except the fingerprint is pure Catalyst
+column expressions; the fingerprint is an Arrow-vectorized NumPy pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+# Minimal function-word lists for the heuristic language scorer. These are
+# common closed-class words; ties resolve alphabetically ('unknown' when no
+# hits at all).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"],
+    "es": ["el", "la", "los", "y", "es", "una", "para", "en", "que", "por"],
+    "it": ["il", "la", "che", "e", "per", "una", "con", "del", "non", "sono"],
+}
+
+
+def token_count_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy count
+    (word-initial chunks of <=4 chars via regexp)."""
+    ws_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    subword = F.size(
+        F.expr(rf"regexp_extract_all({text_col}, '[A-Za-z0-9]{{1,4}}|[^A-Za-z0-9\\s]', 0)")
+    )
+    return df.withColumn("ws_token_count", ws_tokens).withColumn(
+        "subword_count_proxy", subword
+    )
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic quality signals: length, word stats, punctuation / digit /
+    uppercase ratios, mean word length, repetition proxy."""
+    txt = F.col(text_col)
+    length = F.length(txt)
+    words = F.split(F.trim(txt), r"\s+")
+    n_words = F.size(words)
+    n_punct = length - F.length(F.regexp_replace(txt, r"[\.,;:!\?\"'`]", ""))
+    n_digit = length - F.length(F.regexp_replace(txt, r"[0-9]", ""))
+    n_upper = length - F.length(F.regexp_replace(txt, r"[A-Z]", ""))
+    distinct_words = F.size(F.array_distinct(words))
+    return (
+        df.withColumn("q_chars", length)
+        .withColumn("q_words", n_words)
+        .withColumn(
+            "q_mean_word_len",
+            F.when(n_words > 0, (length - n_words + 1) / n_words).otherwise(F.lit(0.0)),
+        )
+        .withColumn("q_punct_ratio", F.when(length > 0, n_punct / length).otherwise(0.0))
+        .withColumn("q_digit_ratio", F.when(length > 0, n_digit / length).otherwise(0.0))
+        .withColumn("q_upper_ratio", F.when(length > 0, n_upper / length).otherwise(0.0))
+        .withColumn(
+            "q_distinct_word_ratio",
+            F.when(n_words > 0, distinct_words / n_words).otherwise(0.0),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language heuristic — pure Catalyst: per language, count
+    marker-word hits in the lowercased token set; argmax wins."""
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.array_intersect(words, marker_arr)).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (hits, reverse-alphabetical tiebreak via array_max on struct)
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unknown")),
+    ).withColumn(f"{out_col}_hits", best["hits"])
+
+
+def document_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, window: int = 16
+) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprint (Arrow/NumPy): min rolling
+    polynomial hash per window, then a 64-bit mix of the selected hashes.
+    Deterministic; robust to small local edits away from the minima."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fingerprint", T.LongType()),
+            T.StructField("n_selected", T.IntegerType()),
+        ]
+    )
+    K = 8  # rolling hash width
+
+    def batch(iterator):
+        powers = np.uint64(257) ** np.arange(K, dtype=np.uint64)
+        for pdf in iterator:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            fps = np.empty(len(pdf), dtype=np.uint64)
+            nsel = np.empty(len(pdf), dtype=np.int32)
+            for i, text in enumerate(pdf[text_col].astype(str)):
+                arr = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+                if arr.size < K:
+                    arr = np.pad(arr, (0, K - arr.size), constant_values=32)
+                wins = np.lib.stride_tricks.sliding_window_view(arr, K)
+                h = wins.astype(np.uint64) @ powers
+                if h.size >= window:
+                    mins = np.min(
+                        np.lib.stride_tricks.sliding_window_view(h, window), axis=1
+                    )
+                    sel = np.unique(mins)
+                else:
+                    sel = np.unique(h)
+                mixed = sel * np.uint64(0x9E3779B97F4A7C15)
+                fps[i] = np.bitwise_xor.reduce(mixed) if mixed.size else np.uint64(0)
+                nsel[i] = sel.size
+            yield pd.DataFrame(
+                {id_col: ids, "fingerprint": fps.view(np.int64), "n_selected": nsel}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
