@@ -538,6 +538,13 @@ def compute_session_features(
     out["src_ip"], out["src_port"] = src_ip, src_port
     out["dst_ip"], out["dst_port"] = dst_ip, dst_port
     out["protocol"] = protocol
+    # A15 IP metadata (flows/util.rs:64-145) — lru-cached per address
+    from rustiflow_spark.flows import ipmeta
+
+    out["ip_version"] = ipmeta.ip_version(src_ip)
+    out["src_ip_scope"] = ipmeta.ip_scope(src_ip)
+    out["dst_ip_scope"] = ipmeta.ip_scope(dst_ip)
+    out["path_locality"] = ipmeta.path_locality(src_ip, dst_ip)
     out["first_ts_us"] = first_ts
     out["last_ts_us"] = last_ts
     out["duration_us"] = last_ts - first_ts

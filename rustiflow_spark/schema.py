@@ -110,6 +110,10 @@ def flow_superset_schema() -> T.StructType:
         T.StructField("dst_ip", T.StringType()),
         T.StructField("dst_port", T.IntegerType()),
         T.StructField("protocol", T.IntegerType()),
+        T.StructField("ip_version", T.IntegerType()),
+        T.StructField("src_ip_scope", T.StringType()),
+        T.StructField("dst_ip_scope", T.StringType()),
+        T.StructField("path_locality", T.StringType()),
         T.StructField("first_ts_us", T.LongType()),
         T.StructField("last_ts_us", T.LongType()),
         T.StructField("duration_us", T.LongType()),
