@@ -1,0 +1,132 @@
+"""spark-submit entry point — the analog of the reference CLI
+(rustiflow/src/args.rs:6-210, main.rs:47-105).
+
+    spark-submit --py-files rustiflow_spark.zip -m rustiflow_spark.cli ...
+or locally:
+    python -m rustiflow_spark.cli extract \
+        --input /data/events.parquet --schema cic \
+        --output /data/flows --active-timeout 3600 --idle-timeout 120
+
+Subcommands:
+  extract   packet events -> flow feature vectors (any of the 5 schemas)
+  tokens    token-sequence events -> session feature vectors (north rule)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rustiflow_spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True, help="input parquet path/glob")
+        sp.add_argument("--output", required=True, help="output parquet path")
+        sp.add_argument("--active-timeout", type=int, default=3600)
+        sp.add_argument("--idle-timeout", type=int, default=120)
+        sp.add_argument("--early-export", type=int, default=None)
+        sp.add_argument("--expiration-check-interval", type=int, default=60)
+        sp.add_argument("--scan-mode", default="exact", choices=["exact", "bucket", "none"])
+        sp.add_argument("--cores", type=int, default=None, help="local[N]; omit on a cluster")
+        sp.add_argument("--shuffle-partitions", type=int, default=None)
+        sp.add_argument("--checkpoint-dir", default=None,
+                        help="enable bucketed checkpoint/resume manifests")
+        sp.add_argument("--n-buckets", type=int, default=16)
+
+    e = sub.add_parser("extract", help="packet events -> flow features")
+    common(e)
+    e.add_argument(
+        "--schema",
+        default="cic",
+        choices=["superset", "basic", "cic", "cic-clean", "cidds", "nf", "rustiflow"],
+    )
+
+    t = sub.add_parser("tokens", help="token/event stream -> session features")
+    common(t)
+    t.add_argument("--key-cols", default="source,doc_id")
+    t.add_argument("--ts-col", default="ts_us")
+    t.add_argument("--value-col", default="n_tok")
+    t.add_argument("--direction-col", default="direction")
+    t.add_argument("--terminator-col", default="terminator")
+    return p
+
+
+def _engine_config(args):
+    from rustiflow_spark.config import EngineConfig
+
+    return EngineConfig(
+        active_timeout=args.active_timeout,
+        idle_timeout=args.idle_timeout,
+        early_export=args.early_export,
+        expiration_check_interval=args.expiration_check_interval,
+        scan_mode=args.scan_mode,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from rustiflow_spark.session import get_spark
+
+    spark = get_spark(
+        f"rustiflow-{args.command}",
+        cores=args.cores,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    cfg = _engine_config(args)
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+
+    if args.command == "extract":
+        from rustiflow_spark.flows.schemas import SCHEMAS, cic_schema
+        from rustiflow_spark.operators.sessionize import sessionize_packets
+
+        def process(part):
+            flows = sessionize_packets(part, cfg)
+            if args.schema == "superset":
+                return flows
+            if args.schema == "cic-clean":
+                return cic_schema(flows, without_contamination=True)
+            return SCHEMAS[args.schema](flows)
+
+        key_cols = ["src_ip", "dst_ip", "src_port", "dst_port", "protocol"]
+    else:
+        from rustiflow_spark.operators.event_features import sessionize_events
+
+        key_cols = args.key_cols.split(",")
+
+        def process(part):
+            return sessionize_events(
+                part,
+                key_cols,
+                cfg,
+                ts_col=args.ts_col,
+                value_col=args.value_col,
+                direction_col=args.direction_col,
+                terminator_col=args.terminator_col,
+            )
+
+    if args.checkpoint_dir:
+        from rustiflow_spark.checkpoint import run_with_checkpoints
+
+        summary = run_with_checkpoints(
+            df, key_cols, args.output, process, n_buckets=args.n_buckets,
+            input_fingerprint=args.input,
+        )
+    else:
+        result = process(df)
+        result.write.mode("overwrite").parquet(args.output)
+        summary = {"rows": spark.read.parquet(args.output).count()}
+
+    summary["seconds"] = round(time.time() - t0, 2)
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -231,7 +231,7 @@ def segment_biflow(
     )
     active_us = (cfg.active_timeout + 1) * US_PER_S
     idle_us = (cfg.idle_timeout + 1) * US_PER_S
-    early_us = None if cfg.early_export is None else cfg.early_export
+    early_us = cfg.early_export  # threshold in whole seconds (compared via //)
 
     if not has_ctl:
         # Fast path: pure timeout segmentation, no TCP control flags.
@@ -273,6 +273,7 @@ def segment_biflow(
     ack_seq = tcp_ctl["ack_seq"]
     data_len = tcp_ctl["data_len"]
 
+    snapshots: list[Session] = []
     s = 0
     while s < n:
         first = int(ts[s])
@@ -305,6 +306,13 @@ def segment_biflow(
                 term_cause = CAUSE_TCP_RESET
                 i += 1
                 break
+            if early_us is not None and (t - first) // US_PER_S > early_us:
+                # post-update snapshot of the live flow (flow_table.rs:155-177)
+                # — exported without close_flow; close style is still 'none'
+                # and handshake/reset flags are the running values
+                snap = Session(s, i + 1, "None", t, closed=False, snapshot_of=i)
+                snap.handshake_completed = st.handshake
+                snapshots.append(snap)
             i += 1
         if terminated:
             sess = Session(s, i, term_cause, int(ts[i - 1]), closed=False)
@@ -320,7 +328,7 @@ def segment_biflow(
         sess.close_style = st.close_style(sess.cause)
         sessions.append(sess)
         s = i
-    _maybe_add_early_exports(sessions, ts, cfg)
+    sessions.extend(snapshots)
     return sessions
 
 
@@ -331,32 +339,24 @@ def _attach_nontcp_style(sessions: list[Session], protocol: int) -> None:
 
 
 def _maybe_add_early_exports(sessions: list[Session], ts: np.ndarray, cfg: EngineConfig) -> None:
-    """Early export (flow_table.rs:155-177): per packet past the threshold,
-    a post-update snapshot of the running flow is exported; the terminating
-    packet itself exports the final flow instead."""
+    """Early export for timeout-segmented sessions (flow_table.rs:155-177):
+    every packet past the threshold exports a post-update snapshot of the
+    running flow (the flow stays live). Only used on the fast path, where
+    sessions never terminate mid-stream, so every packet of a session is a
+    snapshot candidate."""
     if cfg.early_export is None:
         return
-    thresh_us = cfg.early_export * US_PER_S
     snapshots: list[Session] = []
     for sess in sessions:
+        if sess.snapshot_of >= 0:
+            continue
         first = int(ts[sess.start])
         for i in range(sess.start, sess.end):
             t = int(ts[i])
-            if (t - first) // US_PER_S * US_PER_S >= 0 and (t - first) // US_PER_S > cfg.early_export:
-                is_final_packet = i == sess.end - 1
-                if is_final_packet and not sess.closed:
-                    continue  # terminated packet exports the real flow
-                snap = Session(
-                    sess.start,
-                    i + 1,
-                    "None",
-                    t,
-                    closed=False,
-                    snapshot_of=i,
+            if (t - first) // US_PER_S > cfg.early_export:
+                snapshots.append(
+                    Session(sess.start, i + 1, "None", t, closed=False, snapshot_of=i)
                 )
-                snap.handshake_completed = sess.handshake_completed
-                snap.close_style = CLOSE_NONE
-                snapshots.append(snap)
     sessions.extend(snapshots)
 
 

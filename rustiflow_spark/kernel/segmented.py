@@ -145,10 +145,13 @@ def close_sessions(
     return cause, close_ts, closed
 
 
-def _seg_starts_for(subset_seg_ids: np.ndarray, nsess: int) -> np.ndarray:
-    """reduceat boundaries: first position of each segment id in a sorted
-    subset (segments possibly empty)."""
-    return np.searchsorted(subset_seg_ids, np.arange(nsess))
+def _seg_bounds(counts: np.ndarray) -> np.ndarray:
+    """Segment start offsets from per-segment counts (sorted seg_ids)."""
+    bounds = np.empty(counts.size, dtype=np.int64)
+    if counts.size:
+        bounds[0] = 0
+        np.cumsum(counts[:-1], out=bounds[1:])
+    return bounds
 
 
 def _seg_stats(
@@ -157,27 +160,36 @@ def _seg_stats(
     """Population stats per segment for values tagged with sorted seg_ids.
 
     Emits {prefix}_{total,mean,std,max,min} with the reference's empty
-    semantics (features/util.rs:49-79: empty -> 0.0)."""
-    counts = np.bincount(seg_ids, minlength=nsess).astype(np.int64) if values.size else np.zeros(nsess, np.int64)
+    semantics (features/util.rs:49-79: empty -> 0.0). All reductions are
+    reduceat over cumsum-derived bounds — O(n + nsess), minimal passes
+    (this kernel is memory-bandwidth-bound at high parallelism)."""
     if values.size:
-        totals = np.bincount(seg_ids, weights=values, minlength=nsess)
-        bounds = _seg_starts_for(seg_ids, nsess)
+        counts = np.bincount(seg_ids, minlength=nsess).astype(np.int64)
+        bounds = _seg_bounds(counts)
         nonempty = counts > 0
         # reduceat only over non-empty segments: their bounds are strictly
         # increasing and < len(values), and consecutive non-empty bounds
         # delimit exactly one segment (empty segments share the next bound).
         ne_idx = np.flatnonzero(nonempty)
+        totals = np.zeros(nsess)
         maxs = np.zeros(nsess)
         mins = np.zeros(nsess)
+        stds = np.zeros(nsess)
+        means = np.zeros(nsess)
         if ne_idx.size:
             nb = bounds[ne_idx]
+            totals[ne_idx] = np.add.reduceat(values, nb)
             maxs[ne_idx] = np.maximum.reduceat(values, nb)
             mins[ne_idx] = np.minimum.reduceat(values, nb)
-        means = np.divide(totals, counts, out=np.zeros(nsess), where=nonempty)
-        dev = values - means[seg_ids]
-        m2 = np.bincount(seg_ids, weights=dev * dev, minlength=nsess)
-        stds = np.sqrt(np.divide(m2, counts, out=np.zeros(nsess), where=nonempty))
+            np.divide(totals, counts, out=means, where=nonempty)
+            dev = values - np.repeat(means, counts)
+            np.multiply(dev, dev, out=dev)
+            m2 = np.zeros(nsess)
+            m2[ne_idx] = np.add.reduceat(dev, nb)
+            np.divide(m2, counts, out=stds, where=nonempty)
+            np.sqrt(stds, out=stds)
     else:
+        counts = np.zeros(nsess, np.int64)
         totals = np.zeros(nsess)
         means = np.zeros(nsess)
         stds = np.zeros(nsess)
@@ -191,6 +203,9 @@ def _seg_stats(
     out[f"{prefix}_count"] = counts
 
 
+FEATURE_BLOCKS = ("value", "iat", "active_idle", "subflow", "rates", "direction")
+
+
 def featurize_block(
     key_ids: np.ndarray,
     ts: np.ndarray,
@@ -200,9 +215,16 @@ def featurize_block(
     cfg: EngineConfig,
     scan_times: np.ndarray,
     flush_ts: int,
+    blocks: frozenset | None = None,
 ) -> dict[str, np.ndarray]:
     """All session features for a sorted block. Returns column arrays plus
-    'session_row' (index of each session's first row, for key extraction)."""
+    'session_row' (index of each session's first row, for key extraction).
+
+    blocks: optional subset of FEATURE_BLOCKS — column pruning pushed
+    through the kernel: unrequested feature families are neither computed
+    nor shipped back through Arrow (the session output can be 10x the
+    input for sparse keys, so this is the dominant knob at scale)."""
+    want = frozenset(FEATURE_BLOCKS) if blocks is None else frozenset(blocks)
     n = ts.size
     out: dict[str, np.ndarray] = {}
     if n == 0:
@@ -230,92 +252,121 @@ def featurize_block(
     out["event_count"] = counts.astype(np.int64)
 
     value = value.astype(np.float64)
-    fwd = direction == 0
-    fwd_rows = np.flatnonzero(fwd)
-    bwd_rows = np.flatnonzero(~fwd)
-    out["fwd_event_count"] = np.bincount(sess_of_row[fwd_rows], minlength=nsess).astype(np.int64)
-    out["bwd_event_count"] = np.bincount(sess_of_row[bwd_rows], minlength=nsess).astype(np.int64)
+    need_dir = "direction" in want or "rates" in want
+    if need_dir:
+        fwd = direction == 0
+        fwd_rows = np.flatnonzero(fwd)
+        bwd_rows = np.flatnonzero(~fwd)
+        out["fwd_event_count"] = np.bincount(
+            sess_of_row[fwd_rows], minlength=nsess
+        ).astype(np.int64)
+        out["bwd_event_count"] = np.bincount(
+            sess_of_row[bwd_rows], minlength=nsess
+        ).astype(np.int64)
 
-    _seg_stats(value, sess_of_row, nsess, "n_tok", out)
-    _seg_stats(value[fwd_rows], sess_of_row[fwd_rows], nsess, "fwd_n_tok", out)
-    _seg_stats(value[bwd_rows], sess_of_row[bwd_rows], nsess, "bwd_n_tok", out)
+    if "value" in want:
+        _seg_stats(value, sess_of_row, nsess, "n_tok", out)
+        if need_dir:
+            _seg_stats(value[fwd_rows], sess_of_row[fwd_rows], nsess, "fwd_n_tok", out)
+            _seg_stats(value[bwd_rows], sess_of_row[bwd_rows], nsess, "bwd_n_tok", out)
 
-    # IAT: gaps between consecutive rows of the same session
     gaps = np.empty(n, dtype=np.int64)
     gaps[0] = -1
     gaps[1:] = ts[1:] - ts[:-1]
     gaps[starts] = -1  # first row of a session has no predecessor gap
     intra = np.flatnonzero(gaps >= 0)
-    _seg_stats(gaps[intra] / 1000.0, sess_of_row[intra], nsess, "iat", out)
 
-    # per-direction IAT: gaps between consecutive same-direction rows in session
-    for rows, name in ((fwd_rows, "fwd_iat"), (bwd_rows, "bwd_iat")):
-        if rows.size > 1:
-            same_sess = sess_of_row[rows[1:]] == sess_of_row[rows[:-1]]
-            dgaps = (ts[rows[1:]] - ts[rows[:-1]])[same_sess] / 1000.0
-            dsess = sess_of_row[rows[1:]][same_sess]
-            _seg_stats(dgaps, dsess, nsess, name, out)
+    if "iat" in want:
+        # IAT: gaps between consecutive rows of the same session
+        _seg_stats(gaps[intra] / 1000.0, sess_of_row[intra], nsess, "iat", out)
+        if need_dir:
+            # per-direction IAT: consecutive same-direction rows in session
+            for rows, name in ((fwd_rows, "fwd_iat"), (bwd_rows, "bwd_iat")):
+                if rows.size > 1:
+                    same_sess = sess_of_row[rows[1:]] == sess_of_row[rows[:-1]]
+                    dgaps = (ts[rows[1:]] - ts[rows[:-1]])[same_sess] / 1000.0
+                    dsess = sess_of_row[rows[1:]][same_sess]
+                    _seg_stats(dgaps, dsess, nsess, name, out)
+                else:
+                    _seg_stats(np.empty(0), np.empty(0, np.int64), nsess, name, out)
+
+    if "subflow" in want:
+        # subflow: 1 + strict >1s gaps within session (subflow_stats.rs:23-34)
+        sub_rows = intra[gaps[intra] > SUBFLOW_TIMEOUT_US]
+        out["subflow_count"] = (
+            1 + np.bincount(sess_of_row[sub_rows], minlength=nsess)
+        ).astype(np.int64)
+
+    if "active_idle" in want:
+        # active/idle spans (active_idle_stats.rs): big gaps strictly > 5s
+        big_rows = intra[gaps[intra] > ACTIVE_IDLE_TIMEOUT_US]
+        idle_vals = gaps[big_rows] / 1000.0
+        idle_sess = sess_of_row[big_rows]
+        # trailing idle gap for closed Idle-Timeout sessions
+        idle_trail = np.flatnonzero(closed & (cause == IDLE))
+        idle_all = np.concatenate(
+            (idle_vals, (close_ts[idle_trail] - last_ts[idle_trail]) / 1000.0)
+        )
+        idle_all_sess = np.concatenate((idle_sess, idle_trail))
+        order = np.argsort(idle_all_sess, kind="stable")
+        _seg_stats(idle_all[order], idle_all_sess[order], nsess, "idle", out)
+
+        # active spans: boundaries at session starts and at big-gap rows
+        span_starts = np.unique(np.concatenate((starts, big_rows)))
+        span_sess = sess_of_row[span_starts]
+        span_ends_rows = np.append(span_starts[1:] - 1, n - 1)
+        # a span's end row must stay within its session
+        sess_last_row = (ends - 1)[span_sess]
+        span_end = np.minimum(span_ends_rows, sess_last_row)
+        span_dur = (ts[span_end] - ts[span_starts]).astype(np.float64)
+        # trailing span (the last span of each session) only counts when closed
+        is_trailing = span_end == sess_last_row
+        keep = (span_dur > 0) & (~is_trailing | closed[span_sess])
+        _seg_stats(span_dur[keep] / 1000.0, span_sess[keep], nsess, "active", out)
+
+    if "rates" in want:
+        dur_s = out["duration_us"] / 1_000_000.0
+        nonzero = out["duration_us"] > 0
+        if "n_tok_total" in out and "fwd_n_tok_total" in out:
+            tok_total = out["n_tok_total"]
+            fwd_tok_total = out["fwd_n_tok_total"]
+            bwd_tok_total = out["bwd_n_tok_total"]
         else:
-            _seg_stats(np.empty(0), np.empty(0, np.int64), nsess, name, out)
+            tok_total = np.bincount(sess_of_row, weights=value, minlength=nsess)
+            fwd_tok_total = np.bincount(
+                sess_of_row[fwd_rows], weights=value[fwd_rows], minlength=nsess
+            )
+            bwd_tok_total = np.bincount(
+                sess_of_row[bwd_rows], weights=value[bwd_rows], minlength=nsess
+            )
+        out["tok_per_s"] = np.divide(tok_total, dur_s, out=np.zeros(nsess), where=nonzero)
+        out["events_per_s"] = np.divide(counts, dur_s, out=np.zeros(nsess), where=nonzero)
+        out["fwd_tok_per_s"] = np.divide(
+            fwd_tok_total, dur_s, out=np.zeros(nsess), where=nonzero
+        )
+        out["bwd_tok_per_s"] = np.divide(
+            bwd_tok_total, dur_s, out=np.zeros(nsess), where=nonzero
+        )
+        nf = out["fwd_event_count"].astype(np.float64)
+        out["down_up_ratio"] = np.divide(
+            out["bwd_event_count"], nf, out=np.zeros(nsess), where=nf > 0
+        )
 
-    # subflow: 1 + strict >1s gaps within session (subflow_stats.rs:23-34)
-    sub_rows = intra[gaps[intra] > SUBFLOW_TIMEOUT_US]
-    out["subflow_count"] = (
-        1 + np.bincount(sess_of_row[sub_rows], minlength=nsess)
-    ).astype(np.int64)
-
-    # active/idle spans (active_idle_stats.rs): big gaps strictly > 5s
-    big_rows = intra[gaps[intra] > ACTIVE_IDLE_TIMEOUT_US]
-    idle_vals = gaps[big_rows] / 1000.0
-    idle_sess = sess_of_row[big_rows]
-    # trailing idle gap for closed Idle-Timeout sessions
-    idle_trail = np.flatnonzero(closed & (cause == IDLE))
-    idle_all = np.concatenate((idle_vals, (close_ts[idle_trail] - last_ts[idle_trail]) / 1000.0))
-    idle_all_sess = np.concatenate((idle_sess, idle_trail))
-    order = np.argsort(idle_all_sess, kind="stable")
-    _seg_stats(idle_all[order], idle_all_sess[order], nsess, "idle", out)
-
-    # active spans: boundaries at session starts and at big-gap rows
-    span_starts = np.unique(np.concatenate((starts, big_rows)))
-    span_sess = sess_of_row[span_starts]
-    span_ends_rows = np.append(span_starts[1:] - 1, n - 1)
-    # a span's end row must stay within its session
-    sess_last_row = (ends - 1)[span_sess]
-    span_end = np.minimum(span_ends_rows, sess_last_row)
-    span_dur = (ts[span_end] - ts[span_starts]).astype(np.float64)
-    # trailing span (the last span of each session) only counts when closed
-    is_trailing = span_end == sess_last_row
-    keep = (span_dur > 0) & (~is_trailing | closed[span_sess])
-    _seg_stats(span_dur[keep] / 1000.0, span_sess[keep], nsess, "active", out)
-
-    # rates + ratio + directional timing
-    dur_s = out["duration_us"] / 1_000_000.0
-    nonzero = out["duration_us"] > 0
-    out["tok_per_s"] = np.divide(out["n_tok_total"], dur_s, out=np.zeros(nsess), where=nonzero)
-    out["events_per_s"] = np.divide(counts, dur_s, out=np.zeros(nsess), where=nonzero)
-    out["fwd_tok_per_s"] = np.divide(
-        out["fwd_n_tok_total"], dur_s, out=np.zeros(nsess), where=nonzero
-    )
-    out["bwd_tok_per_s"] = np.divide(
-        out["bwd_n_tok_total"], dur_s, out=np.zeros(nsess), where=nonzero
-    )
-    nf = out["fwd_event_count"].astype(np.float64)
-    out["down_up_ratio"] = np.divide(
-        out["bwd_event_count"], nf, out=np.zeros(nsess), where=nf > 0
-    )
-    for rows, name in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
-        dur = np.zeros(nsess)
-        if rows.size:
-            srows = sess_of_row[rows]
-            bounds = _seg_starts_for(srows, nsess)
-            cnt = np.bincount(srows, minlength=nsess)
-            ne_idx = np.flatnonzero(cnt > 0)
-            if ne_idx.size:
-                nb = bounds[ne_idx]
-                firsts = ts[rows][nb]
-                lasts = ts[rows][np.append(nb[1:], rows.size) - 1]
-                dur[ne_idx] = (lasts - firsts) / 1000.0
-        out[f"{name}_duration_ms"] = dur
+    if "direction" in want:
+        for rows, name in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
+            dur = np.zeros(nsess)
+            if rows.size:
+                srows = sess_of_row[rows]
+                cnt = np.bincount(srows, minlength=nsess)
+                bounds = _seg_bounds(cnt)
+                ne_idx = np.flatnonzero(cnt > 0)
+                if ne_idx.size:
+                    nb = bounds[ne_idx]
+                    trows = ts[rows]
+                    firsts = trows[nb]
+                    lasts = trows[np.append(nb[1:], rows.size) - 1]
+                    dur[ne_idx] = (lasts - firsts) / 1000.0
+            out[f"{name}_duration_ms"] = dur
 
     return out
 

@@ -31,9 +31,37 @@ from rustiflow_spark.kernel.event_kernel import (
 from rustiflow_spark.timeline import compute_timeline
 
 
-def _feature_schema(df: DataFrame, key_cols: list[str]) -> T.StructType:
+_BLOCK_OF_COLUMN = {}
+
+
+def _column_block(name: str) -> str | None:
+    """Feature block owning a column (None = always-on core column)."""
+    if name.startswith(("n_tok", "fwd_n_tok", "bwd_n_tok")):
+        return "value"
+    if "iat" in name:
+        return "iat"
+    if name.startswith(("active_", "idle_")):
+        return "active_idle"
+    if name == "subflow_count":
+        return "subflow"
+    if name.endswith("_per_s") or name == "down_up_ratio":
+        return "rates"
+    if name in ("fwd_event_count", "bwd_event_count", "fwd_duration_ms", "bwd_duration_ms"):
+        return "direction"
+    return None
+
+
+def _feature_schema(
+    df: DataFrame, key_cols: list[str], blocks: frozenset | None = None
+) -> T.StructType:
+    from rustiflow_spark.kernel.segmented import FEATURE_BLOCKS
+
+    want = frozenset(FEATURE_BLOCKS) if blocks is None else frozenset(blocks)
     fields = [f for f in df.schema.fields if f.name in key_cols]
     for name in EVENT_FEATURE_COLUMNS:
+        blk = _column_block(name)
+        if blk is not None and blk not in want:
+            continue
         if name in ("session_index", "event_count", "fwd_event_count", "bwd_event_count",
                     "subflow_count"):
             fields.append(T.StructField(name, T.IntegerType()))
@@ -56,6 +84,7 @@ def sessionize_events(
     terminator_col: str | None = "terminator",
     order_col: str | None = "event_seq",
     num_partitions: int | None = None,
+    features: list[str] | None = None,
 ) -> DataFrame:
     """One row per session with the event feature vector (EVENT_FEATURE_COLUMNS).
 
@@ -65,12 +94,18 @@ def sessionize_events(
     split a key are stitched by buffering the trailing (possibly incomplete)
     key of each batch — so the plan is exactly one shuffle and the Python
     stage does no per-session work.
+
+    features: optional subset of kernel.segmented.FEATURE_BLOCKS — prunes
+    both computation and the Arrow-returned columns (the session output can
+    exceed the input volume for sparse keys; see the module docstring of
+    kernel/segmented.py).
     """
     from rustiflow_spark.kernel.segmented import featurize_block
 
     cfg = cfg or EngineConfig()
+    blocks = None if features is None else frozenset(features)
     scan_times, flush_ts = compute_timeline(df, ts_col, cfg)
-    schema = _feature_schema(df, key_cols)
+    schema = _feature_schema(df, key_cols, blocks)
     out_cols = [f.name for f in schema.fields]
     sort_cols = key_cols + [ts_col] + ([order_col] if order_col else [])
     needed = list(
@@ -100,7 +135,8 @@ def sessionize_events(
         key_frame = pdf[key_cols]
         key_ids = pd.factorize(pd.MultiIndex.from_frame(key_frame))[0] if len(key_cols) > 1 else pd.factorize(key_frame[key_cols[0]])[0]
         res = featurize_block(
-            key_ids.astype(np.int64), ts, value, direction, terminator, cfg, scan_times, flush_ts
+            key_ids.astype(np.int64), ts, value, direction, terminator, cfg,
+            scan_times, flush_ts, blocks=blocks,
         )
         rows = res.pop("session_row")
         out = pd.DataFrame(res)

@@ -1,0 +1,164 @@
+"""Structured Streaming sessionization — the realtime-path analog of the
+reference's eBPF pipeline (SURVEY.md §2.1 S6/S7; rustiflow/src/realtime.rs).
+
+The reference drains kernel ring buffers into sharded in-memory flow tables;
+the Spark-native re-expression is ``readStream -> groupBy(key) ->
+applyInPandasWithState`` with event-time timeouts:
+
+  * per-key state = the open (not yet exported) session's event buffer
+  * every micro-batch merges buffered + new events, runs the SAME
+    segmentation kernel as the batch path (kernel/event_kernel.py), emits
+    all sessions that are provably closed (a successor event observed their
+    expiry, or a terminator event ended them)
+  * the trailing open session stays in state; an event-time timeout set at
+    its idle-expiry instant flushes it with cause Idle Timeout when the
+    watermark passes
+
+Differences vs batch (documented, not hidden): close timestamps for
+timeout-flushed sessions are the idle-expiry instant rather than the
+reference's scan-time (the periodic scan is a single-process construct);
+segmentation and all feature values are identical — asserted by the
+equivalence test in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from rustiflow_spark.config import CAUSE_IDLE, EngineConfig, US_PER_S
+from rustiflow_spark.kernel.event_kernel import featurize_key_events, segment_events
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.ArrayType(T.LongType())),
+        T.StructField("value", T.ArrayType(T.DoubleType())),
+        T.StructField("direction", T.ArrayType(T.LongType())),
+        T.StructField("terminator", T.ArrayType(T.LongType())),
+        T.StructField("session_base", T.LongType()),
+    ]
+)
+
+
+def output_schema(key_fields: list[T.StructField]) -> T.StructType:
+    from rustiflow_spark.kernel.event_kernel import EVENT_FEATURE_COLUMNS
+
+    fields = list(key_fields)
+    for name in EVENT_FEATURE_COLUMNS:
+        if name in ("session_index", "event_count", "fwd_event_count", "bwd_event_count",
+                    "subflow_count"):
+            fields.append(T.StructField(name, T.IntegerType()))
+        elif name in ("first_ts_us", "last_ts_us", "duration_us"):
+            fields.append(T.StructField(name, T.LongType()))
+        elif name == "cause":
+            fields.append(T.StructField(name, T.StringType()))
+        else:
+            fields.append(T.StructField(name, T.DoubleType()))
+    return T.StructType(fields)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    cfg: EngineConfig | None = None,
+    ts_col: str = "ts_us",
+    value_col: str = "n_tok",
+    direction_col: str = "direction",
+    terminator_col: str = "terminator",
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming session features. `events` must be a streaming DataFrame.
+
+    Late data beyond `watermark_delay` is dropped by the watermark — the
+    batch path has no such loss (it sorts globally), which is the standard
+    streaming-vs-batch tradeoff.
+    """
+    cfg = cfg or EngineConfig()
+    key_fields = [f for f in events.schema.fields if f.name in key_cols]
+    out_schema = output_schema(key_fields)
+    out_cols = [f.name for f in out_schema.fields]
+    no_scans = np.empty(0, dtype=np.int64)
+
+    def func(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            ts_b, val_b, dir_b, term_b, base = state.get
+        else:
+            ts_b, val_b, dir_b, term_b, base = [], [], [], [], 0
+
+        new = [pd.DataFrame({
+            "ts": pdf[ts_col].to_numpy(np.int64),
+            "v": pdf[value_col].to_numpy(np.float64),
+            "d": pdf[direction_col].to_numpy(np.int64),
+            "t": pdf[terminator_col].to_numpy(np.int64),
+        }) for pdf in pdfs]
+
+        buf = pd.DataFrame({
+            "ts": np.asarray(ts_b, dtype=np.int64),
+            "v": np.asarray(val_b, dtype=np.float64),
+            "d": np.asarray(dir_b, dtype=np.int64),
+            "t": np.asarray(term_b, dtype=np.int64),
+        })
+        allev = pd.concat([buf] + new, ignore_index=True) if new else buf
+        if not len(allev):
+            if state.hasTimedOut:
+                state.remove()
+            return
+        allev = allev.sort_values("ts", kind="mergesort")
+        ts = allev["ts"].to_numpy(np.int64)
+        val = allev["v"].to_numpy(np.float64)
+        dr = allev["d"].to_numpy(np.int64)
+        tm = allev["t"].to_numpy(np.int64)
+
+        flush_all = state.hasTimedOut
+        # closed sessions = every session except the trailing open one,
+        # unless we are flushing on timeout
+        sessions = segment_events(ts, tm, cfg, no_scans, int(ts[-1]))
+        n_emit = len(sessions) if flush_all else len(sessions) - 1
+        # a trailing session ended by a terminator is closed too
+        if not flush_all and sessions and sessions[-1][2] == "TCP Normal Termination":
+            n_emit = len(sessions)
+
+        rows = []
+        if n_emit > 0:
+            feats = featurize_key_events(ts, val, dr, tm, cfg, no_scans, int(ts[-1]))
+            for i in range(n_emit):
+                r = feats[i]
+                if flush_all and i == len(sessions) - 1 and r["cause"] == "Exporter Shutdown":
+                    # timeout flush: idle expiry observed by the watermark
+                    r = dict(r)
+                    r["cause"] = CAUSE_IDLE
+                rows.append(r)
+
+        if n_emit >= len(sessions):
+            state.remove()
+        else:
+            s, e = sessions[-1][0], sessions[-1][1]
+            state.update((
+                [int(x) for x in ts[s:e]],
+                [float(x) for x in val[s:e]],
+                [int(x) for x in dr[s:e]],
+                [int(x) for x in tm[s:e]],
+                base + n_emit,
+            ))
+            state.setTimeoutTimestamp(int(cfg.idle_expiry_us(int(ts[-1]))) // 1000)
+
+        if rows:
+            out = pd.DataFrame(rows)
+            out["session_index"] = out["session_index"] + base
+            for col, v in zip(key_cols, key):
+                out[col] = v
+            yield out.reindex(columns=out_cols)
+
+    with_watermark = events.withColumn(
+        "__event_time", F.timestamp_micros(F.col(ts_col))
+    ).withWatermark("__event_time", watermark_delay)
+
+    return with_watermark.groupBy(*key_cols).applyInPandasWithState(
+        func,
+        outputStructType=out_schema,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -113,8 +113,16 @@ def run_kernel_all_groups(df: pd.DataFrame, cfg: EngineConfig) -> list[dict]:
 
 
 def compare_flow_sets(oracle_rows: list[dict], kernel_rows: list[dict], rtol=1e-9, atol=1e-6):
-    okey = {(r["flow_key"], r["first_ts_us"], r["last_ts_us"]): r for r in oracle_rows}
-    kkey = {(r["flow_key"], r["first_ts_us"], r["last_ts_us"]): r for r in kernel_rows}
+    # cause disambiguates an early-export snapshot from the closed session
+    # ending at the same packet
+    okey = {
+        (r["flow_key"], r["first_ts_us"], r["last_ts_us"], r["cause"]): r
+        for r in oracle_rows
+    }
+    kkey = {
+        (r["flow_key"], r["first_ts_us"], r["last_ts_us"], r["cause"]): r
+        for r in kernel_rows
+    }
     assert set(okey) == set(kkey), (
         f"flow set mismatch: only-oracle={sorted(set(okey) - set(kkey))[:5]} "
         f"only-kernel={sorted(set(kkey) - set(okey))[:5]} "
@@ -143,6 +151,19 @@ def test_kernel_matches_oracle(seed):
     )
     oracle_rows = oracle.run(df_to_packets(df))
     kernel_rows = run_kernel_all_groups(df, cfg)
+    compare_flow_sets(oracle_rows, kernel_rows)
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_kernel_matches_oracle_early_export(seed):
+    """T7 early export: per-packet post-update snapshots past the threshold
+    (flow_table.rs:155-177), exported without close semantics."""
+    df = generate_packet_events(n_flows=40, seed=seed, long_flow_packets=200)
+    cfg = EngineConfig(early_export=5)
+    oracle = OracleFlowTable(3600, 120, 5, 60)
+    oracle_rows = oracle.run(df_to_packets(df))
+    kernel_rows = run_kernel_all_groups(df, cfg)
+    assert any(r["cause"] == "None" for r in oracle_rows), "no snapshots generated"
     compare_flow_sets(oracle_rows, kernel_rows)
 
 

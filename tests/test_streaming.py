@@ -1,0 +1,65 @@
+"""Streaming sessionization: batch-equivalence of closed sessions."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rustiflow_spark.config import EngineConfig
+from rustiflow_spark.operators.event_features import sessionize_events
+from rustiflow_spark.sources.synth import generate_token_sequences
+from rustiflow_spark.streaming.sessionize_stream import sessionize_stream
+
+
+@pytest.mark.parametrize("n_docs", [40])
+def test_stream_matches_batch_closed_sessions(spark, tmp_path, n_docs):
+    pdf = generate_token_sequences(n_docs=n_docs, seed=13)
+    src_dir = str(tmp_path / "stream_src")
+    out_dir = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["doc_id", "n_tok", "source", "ts_us", "direction", "terminator", "event_seq"]
+    sdf_all = spark.createDataFrame(pdf[cols + ["tokens"]].drop(columns=["tokens"], errors="ignore") if False else pdf[cols])
+    sdf_all.write.mode("overwrite").parquet(src_dir)
+
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=120, scan_mode="none")
+    stream = spark.readStream.schema(sdf_all.schema).parquet(src_dir)
+    features = sessionize_stream(stream, ["source", "doc_id"], cfg)
+    q = (
+        features.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    batch = sessionize_events(sdf_all, ["source", "doc_id"], cfg, value_col="n_tok").toPandas()
+
+    # the stream emits only sessions provably closed within the data
+    # (terminator- or successor-closed); those must match batch exactly
+    closed_batch = batch[
+        (batch["cause"] == "TCP Normal Termination")
+        | (
+            batch.groupby(["source", "doc_id"])["session_index"].transform("max")
+            > batch["session_index"]
+        )
+    ]
+    key = ["source", "doc_id", "session_index"]
+    got_k = got.set_index(key).sort_index()
+    for _, row in closed_batch.iterrows():
+        k = (row["source"], row["doc_id"], row["session_index"])
+        assert k in got_k.index, f"closed session missing from stream output: {k}"
+        srow = got_k.loc[k]
+        for col in ("event_count", "first_ts_us", "last_ts_us", "duration_us", "cause"):
+            assert srow[col] == row[col], (k, col, srow[col], row[col])
+        for col in ("n_tok_total", "iat_mean", "active_total", "subflow_count"):
+            assert np.isclose(float(srow[col]), float(row[col])), (k, col)
+    # and nothing extra beyond batch's session set
+    batch_keys = set(map(tuple, batch[key].itertuples(index=False)))
+    got_keys = set(map(tuple, got[key].itertuples(index=False)))
+    assert got_keys <= batch_keys
