@@ -85,6 +85,7 @@ def sessionize_events(
     order_col: str | None = "event_seq",
     num_partitions: int | None = None,
     features: list[str] | None = None,
+    next_ts_col: str | None = None,
 ) -> DataFrame:
     """One row per session with the event feature vector (EVENT_FEATURE_COLUMNS).
 
@@ -115,6 +116,7 @@ def sessionize_events(
             + ([direction_col] if direction_col else [])
             + ([terminator_col] if terminator_col else [])
             + ([order_col] if order_col else [])
+            + ([next_ts_col] if next_ts_col else [])
         )
     )
 
@@ -134,9 +136,12 @@ def sessionize_events(
         # dense key ids from the (already grouped) key columns
         key_frame = pdf[key_cols]
         key_ids = pd.factorize(pd.MultiIndex.from_frame(key_frame))[0] if len(key_cols) > 1 else pd.factorize(key_frame[key_cols[0]])[0]
+        next_after = (
+            pdf[next_ts_col].to_numpy(dtype=np.int64) if next_ts_col else None
+        )
         res = featurize_block(
             key_ids.astype(np.int64), ts, value, direction, terminator, cfg,
-            scan_times, flush_ts, blocks=blocks,
+            scan_times, flush_ts, blocks=blocks, next_after=next_after,
         )
         rows = res.pop("session_row")
         out = pd.DataFrame(res)
