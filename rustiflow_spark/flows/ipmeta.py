@@ -17,7 +17,12 @@ LOCALISH = {"loopback", "link_local", "private", "shared"}
 
 @lru_cache(maxsize=65536)
 def ip_scope(ip_str: str) -> str:
-    addr = ipaddress.ip_address(ip_str)
+    try:
+        addr = ipaddress.ip_address(ip_str)
+    except ValueError:
+        # malformed address in the input table must not kill a 100 TB job;
+        # 'unspecified' marks it without claiming a real scope
+        return "unspecified"
     if addr.version == 4:
         if addr == ipaddress.IPv4Address("255.255.255.255"):
             return "broadcast"

@@ -446,11 +446,13 @@ def compute_bulk(ts_us: np.ndarray, length: np.ndarray, fwd: np.ndarray, closed:
         res[f"{name}_sizes"] = sizes
         res[f"{name}_packets"] = packets
         res[f"{name}_durations"] = durations
-        # rate quirk: ms totals / 1e6 (bulk_stats.rs:65-78)
+        # rate quirk: ms totals / 1e6 (bulk_stats.rs:65-78); zero total
+        # duration -> +inf (Rust f64 division semantics)
         if durations.size == 0:
             res[f"{name}_rate"] = 0.0
         else:
-            res[f"{name}_rate"] = float(sizes.sum() / (durations.sum() / 1_000_000.0))
+            denom = float(durations.sum()) / 1_000_000.0
+            res[f"{name}_rate"] = float(sizes.sum()) / denom if denom else float("inf")
     return res
 
 

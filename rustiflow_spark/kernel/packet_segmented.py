@@ -1,0 +1,527 @@
+"""Segment-vectorized packet-flow featurization: many biflows per Arrow
+block, all order-invariant statistics via segmented NumPy reductions, with
+per-session Python only for the genuinely order-dependent sparse parts
+(TCP lifecycle segmentation, bulk transfers, retransmission intervals —
+and those only for sessions that can possibly produce nonzero results).
+
+Semantics identical to kernel/flow_kernel.py (the simple per-group
+reference implementation, kept for differential testing); both reproduce
+the reference engine (see flow_kernel.py docstring for citations).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rustiflow_spark.config import (
+    ACK_FLAG,
+    ACTIVE_IDLE_TIMEOUT_US,
+    BULK_IDLE_MS,
+    CAUSE_IDLE,
+    CLOSE_NOT_APPLICABLE,
+    FIN_FLAG,
+    MIN_BULK_PACKETS,
+    PROTO_ICMP,
+    PROTO_ICMPV6,
+    PROTO_TCP,
+    SUBFLOW_TIMEOUT_US,
+    SYN_FLAG,
+    EngineConfig,
+)
+from rustiflow_spark.kernel.flow_kernel import Session, segment_biflow
+from rustiflow_spark.kernel.segmented import _seg_bounds, _seg_stats
+
+U32_MAX = 0xFFFFFFFF
+
+# 6-bit flags-string lookup (U A P R S F presence), tcp_flag_stats.rs:49-82
+_FLAGS_LUT = np.array(
+    [
+        "".join(
+            ch if (m >> b) & 1 else "."
+            for ch, b in (("U", 5), ("A", 4), ("P", 3), ("R", 2), ("S", 1), ("F", 0))
+        )
+        for m in range(64)
+    ],
+    dtype=object,
+)
+
+
+def _first_last_per_segment(ts: np.ndarray, rows: np.ndarray, seg_of_row: np.ndarray,
+                            nsess: int):
+    """(first_ts, last_ts, count) per segment for a sorted row subset."""
+    firsts = np.zeros(nsess, dtype=np.int64)
+    lasts = np.zeros(nsess, dtype=np.int64)
+    cnt = np.bincount(seg_of_row[rows], minlength=nsess) if rows.size else np.zeros(nsess, np.int64)
+    ne = np.flatnonzero(cnt > 0)
+    if rows.size and ne.size:
+        bounds = _seg_bounds(cnt)
+        nb = bounds[ne]
+        t = ts[rows]
+        firsts[ne] = t[nb]
+        lasts[ne] = t[np.append(nb[1:], rows.size) - 1]
+    return firsts, lasts, cnt.astype(np.int64), ne
+
+
+def segment_groups(
+    g: dict[str, np.ndarray], cfg: EngineConfig, scan_times: np.ndarray, flush_ts: int
+) -> tuple[np.ndarray, list[Session]]:
+    """Per-biflow segmentation over a sorted block. Returns (group start
+    indices, flat session list with absolute start/end)."""
+    key_ids = g["key_id"]
+    n = key_ids.size
+    grp_start = np.flatnonzero(np.concatenate(([True], key_ids[1:] != key_ids[:-1])))
+    grp_end = np.append(grp_start[1:], n)
+    ts = g["ts_us"]
+    dir_a = g["dir_a"]
+    proto = g["protocol"]
+    sessions: list[Session] = []
+    for s, e in zip(grp_start, grp_end):
+        protocol = int(proto[s])
+        tcp_ctl = None
+        if protocol == PROTO_TCP:
+            tcp_ctl = {
+                "fin": g["fin_flag"][s:e],
+                "rst": g["rst_flag"][s:e],
+                "syn": g["syn_flag"][s:e],
+                "ack": g["ack_flag"][s:e],
+                "seq": g["sequence_number"][s:e],
+                "ack_seq": g["sequence_number_ack"][s:e],
+                "data_len": g["data_length"][s:e],
+            }
+        for sess in segment_biflow(
+            ts[s:e], dir_a[s:e], protocol, tcp_ctl, cfg, scan_times, flush_ts
+        ):
+            sess.start += s
+            sess.end += s
+            sessions.append(sess)
+    return grp_start, sessions
+
+
+def featurize_packet_block(
+    g: dict[str, np.ndarray],
+    keys: dict[str, np.ndarray],
+    cfg: EngineConfig,
+    scan_times: np.ndarray,
+    flush_ts: int,
+) -> dict[str, np.ndarray]:
+    """Full feature superset for a sorted packet block.
+
+    g: int64 column arrays sorted by (key_id, ts_us, event_seq), plus
+    bool dir_a and int64 key_id. keys: per-ROW canonical endpoint arrays
+    (object dtype): key_ip_a, key_port_a, key_ip_b, key_port_b.
+    Returns superset column arrays (schema.FLOW_SUPERSET_COLUMNS).
+    """
+    _, sessions = segment_groups(g, cfg, scan_times, flush_ts)
+    nsess = len(sessions)
+    out: dict[str, np.ndarray] = {}
+    if nsess == 0:
+        return {"__empty": np.empty(0)}
+
+    ts = g["ts_us"]
+    n = ts.size
+    starts = np.fromiter((s.start for s in sessions), dtype=np.int64, count=nsess)
+    ends = np.fromiter((s.end for s in sessions), dtype=np.int64, count=nsess)
+    closed = np.fromiter((s.closed for s in sessions), dtype=bool, count=nsess)
+    close_ts = np.fromiter((s.close_ts for s in sessions), dtype=np.int64, count=nsess)
+    cause = np.array([s.cause for s in sessions], dtype=object)
+
+    # snapshots (early export) may overlap their parent session; build a
+    # row->session map only when sessions tile the block contiguously
+    has_snapshots = any(s.snapshot_of >= 0 for s in sessions)
+    if has_snapshots:
+        raise NotImplementedError(
+            "early-export snapshots use the per-group kernel path"
+        )
+    order = np.argsort(starts, kind="stable")
+    inv = np.empty(nsess, dtype=np.int64)
+    inv[order] = np.arange(nsess)
+    seg_of_row = np.zeros(n, dtype=np.int64)
+    seg_of_row[starts[order][1:]] = 1
+    seg_of_row = np.cumsum(seg_of_row)
+    # map contiguous ordinal back to session list order
+    sess_of_row = order[seg_of_row]
+    # For segmented reductions we need seg ids sorted -> use the ordinal
+    # (contiguous) numbering, then permute outputs back via `order`.
+
+    counts = ends - starts
+    first_ts = ts[starts]
+    last_ts = ts[ends - 1]
+
+    # direction: forward = same orientation as session's first packet
+    dir_a = g["dir_a"]
+    sess_first_dir = dir_a[starts]  # per session (list order)
+    rep_first_dir = np.repeat(sess_first_dir[order], counts[order])
+    fwd_row = dir_a == rep_first_dir  # rows are in contiguous session order
+
+    # --- identity / key columns -------------------------------------------
+    ip_a = keys["key_ip_a"][starts]
+    port_a = keys["key_port_a"][starts].astype(np.int64)
+    ip_b = keys["key_ip_b"][starts]
+    port_b = keys["key_port_b"][starts].astype(np.int64)
+    first_is_a = sess_first_dir
+    src_ip = np.where(first_is_a, ip_a, ip_b)
+    src_port = np.where(first_is_a, port_a, port_b)
+    dst_ip = np.where(first_is_a, ip_b, ip_a)
+    dst_port = np.where(first_is_a, port_b, port_a)
+    protocol = g["protocol"][starts]
+    out["src_ip"], out["src_port"] = src_ip, src_port.astype(np.int64)
+    out["dst_ip"], out["dst_port"] = dst_ip, dst_port.astype(np.int64)
+    out["protocol"] = protocol
+    out["flow_key"] = np.array(
+        [
+            f"{a}:{b}-{c}:{d}-{p}"
+            for a, b, c, d, p in zip(src_ip, src_port, dst_ip, dst_port, protocol)
+        ],
+        dtype=object,
+    )
+    # IP metadata via cache over unique addresses
+    from rustiflow_spark.flows import ipmeta
+
+    out["ip_version"] = np.fromiter(
+        (ipmeta.ip_version(x) for x in src_ip), dtype=np.int64, count=nsess
+    )
+    out["src_ip_scope"] = np.array([ipmeta.ip_scope(x) for x in src_ip], dtype=object)
+    out["dst_ip_scope"] = np.array([ipmeta.ip_scope(x) for x in dst_ip], dtype=object)
+    out["path_locality"] = np.array(
+        [ipmeta.path_locality(a, b) for a, b in zip(src_ip, dst_ip)], dtype=object
+    )
+
+    out["first_ts_us"] = first_ts
+    out["last_ts_us"] = last_ts
+    out["duration_us"] = last_ts - first_ts
+    out["cause"] = cause
+    out["close_style"] = np.where(
+        protocol != PROTO_TCP,
+        CLOSE_NOT_APPLICABLE,
+        np.array([s.close_style for s in sessions], dtype=object),
+    )
+    out["handshake_completed"] = np.fromiter(
+        (int(s.handshake_completed) for s in sessions), dtype=np.int64, count=nsess
+    )
+    out["reset_before_handshake"] = np.fromiter(
+        (int(s.reset_before_handshake) for s in sessions), dtype=np.int64, count=nsess
+    )
+    out["reset_after_handshake"] = np.fromiter(
+        (int(s.reset_after_handshake) for s in sessions), dtype=np.int64, count=nsess
+    )
+
+    # --- contiguous-order scaffolding --------------------------------------
+    fwd_rows = np.flatnonzero(fwd_row)
+    bwd_rows = np.flatnonzero(~fwd_row)
+
+    def seg(name: str, values: np.ndarray, rows: np.ndarray) -> None:
+        tmp: dict[str, np.ndarray] = {}
+        _seg_stats(values, seg_of_row[rows], nsess, name, tmp)
+        for k, v in tmp.items():
+            out[k] = v[inv]
+
+    # IAT (ms) — flow + per direction
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = -1
+    gaps[1:] = ts[1:] - ts[:-1]
+    gaps[starts] = -1
+    intra = np.flatnonzero(gaps >= 0)
+    seg("iat", gaps[intra] / 1000.0, intra)
+    for rows, name in ((fwd_rows, "fwd_iat"), (bwd_rows, "bwd_iat")):
+        if rows.size > 1:
+            same = seg_of_row[rows[1:]] == seg_of_row[rows[:-1]]
+            vals = (ts[rows[1:]] - ts[rows[:-1]])[same] / 1000.0
+            sub = rows[1:][same]
+            seg(name, vals, sub)
+        else:
+            seg(name, np.empty(0), np.empty(0, np.int64))
+
+    # subflow (strict > 1s)
+    sub_rows = intra[gaps[intra] > SUBFLOW_TIMEOUT_US]
+    subflow_contig = 1 + np.bincount(seg_of_row[sub_rows], minlength=nsess)
+    out["subflow_count"] = subflow_contig[inv].astype(np.int64)
+
+    # active/idle (strict > 5s) with close semantics
+    big_rows = intra[gaps[intra] > ACTIVE_IDLE_TIMEOUT_US]
+    idle_vals = gaps[big_rows] / 1000.0
+    idle_seg = seg_of_row[big_rows]
+    closed_c = closed[order]  # contiguous order
+    cause_c = cause[order]
+    close_ts_c = close_ts[order]
+    last_ts_c = ts[ends[order] - 1]
+    trail = np.flatnonzero(closed_c & (cause_c == CAUSE_IDLE))
+    idle_all = np.concatenate((idle_vals, (close_ts_c[trail] - last_ts_c[trail]) / 1000.0))
+    idle_all_seg = np.concatenate((idle_seg, trail))
+    o2 = np.argsort(idle_all_seg, kind="stable")
+    tmp: dict[str, np.ndarray] = {}
+    _seg_stats(idle_all[o2], idle_all_seg[o2], nsess, "idle", tmp)
+    for k, v in tmp.items():
+        out[k] = v[inv]
+
+    starts_c = starts[order]
+    ends_c = ends[order]
+    span_starts = np.unique(np.concatenate((starts_c, big_rows)))
+    span_seg = seg_of_row[span_starts]
+    span_ends_rows = np.append(span_starts[1:] - 1, n - 1)
+    sess_last_row = (ends_c - 1)[span_seg]
+    span_end = np.minimum(span_ends_rows, sess_last_row)
+    span_dur = (ts[span_end] - ts[span_starts]).astype(np.float64)
+    is_trailing = span_end == sess_last_row
+    keep = (span_dur > 0) & (~is_trailing | closed_c[span_seg])
+    tmp = {}
+    kept_seg = span_seg[keep]
+    o3 = np.argsort(kept_seg, kind="stable")
+    _seg_stats((span_dur[keep] / 1000.0)[o3], kept_seg[o3], nsess, "active", tmp)
+    for k, v in tmp.items():
+        out[k] = v[inv]
+
+    # payload / header / packet-length / window stats
+    data_len = g["data_length"].astype(np.float64)
+    hdr = g["header_length"].astype(np.float64)
+    length = g["length"].astype(np.float64)
+    win = g["window_size"].astype(np.float64)
+    allrows = np.arange(n)
+    seg("payload_len", data_len, allrows)
+    seg("fwd_payload_len", data_len[fwd_rows], fwd_rows)
+    seg("bwd_payload_len", data_len[bwd_rows], bwd_rows)
+    nz_f = fwd_rows[data_len[fwd_rows] > 0]
+    nz_b = bwd_rows[data_len[bwd_rows] > 0]
+    out["fwd_non_zero_payload_packets"] = np.bincount(
+        seg_of_row[nz_f], minlength=nsess
+    )[inv].astype(np.int64)
+    out["bwd_non_zero_payload_packets"] = np.bincount(
+        seg_of_row[nz_b], minlength=nsess
+    )[inv].astype(np.int64)
+    seg("header_len", hdr, allrows)
+    seg("fwd_header_len", hdr[fwd_rows], fwd_rows)
+    seg("bwd_header_len", hdr[bwd_rows], bwd_rows)
+    seg("fwd_packet_len", length[fwd_rows], fwd_rows)
+    seg("bwd_packet_len", length[bwd_rows], bwd_rows)
+    seg("window_size", win, allrows)
+    seg("fwd_window_size", win[fwd_rows], fwd_rows)
+    seg("bwd_window_size", win[bwd_rows], bwd_rows)
+
+    # init window sizes: first packet per direction per session
+    for rows, name in ((fwd_rows, "fwd_init_window_size"), (bwd_rows, "bwd_init_window_size")):
+        firsts, _, cnt, ne = _first_last_per_segment(
+            g["window_size"], rows, seg_of_row, nsess
+        )
+        init = np.zeros(nsess, dtype=np.int64)
+        if rows.size and ne.size:
+            bounds = _seg_bounds(cnt)
+            init[ne] = g["window_size"][rows][bounds[ne]]
+        out[name] = init[inv]
+
+    # timing (ms floats, 0.0 when absent)
+    for rows, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
+        firsts, lasts, cnt, ne = _first_last_per_segment(ts, rows, seg_of_row, nsess)
+        has = cnt > 0
+        out[f"first_ts_{pre}_ms"] = np.where(has, firsts / 1000.0, 0.0)[inv]
+        out[f"last_ts_{pre}_ms"] = np.where(has, lasts / 1000.0, 0.0)[inv]
+        out[f"{pre}_duration_ms"] = np.where(has, (lasts - firsts) / 1000.0, 0.0)[inv]
+
+    # TCP flag counters + flags string
+    flagbits = np.zeros(nsess, dtype=np.int64)  # contiguous order
+    for name, bit in (
+        ("urg", 5), ("ack", 4), ("psh", 3), ("rst", 2), ("syn", 1), ("fin", 0),
+    ):
+        col = g[name + "_flag"]
+        fc = np.bincount(seg_of_row[fwd_rows], weights=col[fwd_rows], minlength=nsess)
+        bc = np.bincount(seg_of_row[bwd_rows], weights=col[bwd_rows], minlength=nsess)
+        out[f"fwd_{name}_flag_count"] = fc[inv].astype(np.int64)
+        out[f"bwd_{name}_flag_count"] = bc[inv].astype(np.int64)
+        flagbits |= ((fc + bc) > 0).astype(np.int64) << bit
+    for name in ("cwr", "ece"):
+        col = g[name + "_flag"]
+        out[f"fwd_{name}_flag_count"] = np.bincount(
+            seg_of_row[fwd_rows], weights=col[fwd_rows], minlength=nsess
+        )[inv].astype(np.int64)
+        out[f"bwd_{name}_flag_count"] = np.bincount(
+            seg_of_row[bwd_rows], weights=col[bwd_rows], minlength=nsess
+        )[inv].astype(np.int64)
+    out["flags"] = _FLAGS_LUT[flagbits[inv]]
+
+    # ICMP
+    proto_row = g["protocol"]
+    icmp_rows = np.flatnonzero((proto_row == PROTO_ICMP) | (proto_row == PROTO_ICMPV6))
+    itype = g["icmp_type"]
+    icode = g["icmp_code"]
+    first_t = np.full(nsess, -1, dtype=np.int64)
+    first_c = np.full(nsess, -1, dtype=np.int64)
+    if icmp_rows.size:
+        cnt = np.bincount(seg_of_row[icmp_rows], minlength=nsess)
+        ne = np.flatnonzero(cnt > 0)
+        bounds = _seg_bounds(cnt)
+        first_t[ne] = itype[icmp_rows][bounds[ne]]
+        first_c[ne] = icode[icmp_rows][bounds[ne]]
+        v4 = proto_row[icmp_rows] == PROTO_ICMP
+        t_vals = itype[icmp_rows]
+        req = np.where(v4, t_vals == 8, t_vals == 128)
+        rep = np.where(v4, t_vals == 0, t_vals == 129)
+        dunr = np.where(v4, t_vals == 3, t_vals == 1)
+        err_x = np.where(v4, np.isin(t_vals, (4, 5, 11, 12)), np.isin(t_vals, (2, 3, 4)))
+        sor = seg_of_row[icmp_rows]
+        out["icmp_echo_request_count"] = np.bincount(sor, weights=req, minlength=nsess)[inv].astype(np.int64)
+        out["icmp_echo_reply_count"] = np.bincount(sor, weights=rep, minlength=nsess)[inv].astype(np.int64)
+        out["icmp_error_count"] = np.bincount(sor, weights=(dunr | err_x), minlength=nsess)[inv].astype(np.int64)
+        out["icmp_destination_unreachable_count"] = np.bincount(sor, weights=dunr, minlength=nsess)[inv].astype(np.int64)
+    else:
+        z = np.zeros(nsess, dtype=np.int64)
+        out["icmp_echo_request_count"] = z
+        out["icmp_echo_reply_count"] = z.copy()
+        out["icmp_error_count"] = z.copy()
+        out["icmp_destination_unreachable_count"] = z.copy()
+    out["icmp_type"] = first_t[inv]
+    out["icmp_code"] = first_c[inv]
+
+    # duplicate ACK (vectorized across sessions) + zero window
+    flags_bm = g["flags"]
+    dl = g["data_length"]
+    ack_no = g["sequence_number_ack"]
+    win_i = g["window_size"]
+    is_tcp_row = proto_row == PROTO_TCP
+    for rows_dir, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
+        rows = rows_dir[is_tcp_row[rows_dir]]
+        out[f"{pre}_zero_window_count"] = (
+            np.bincount(seg_of_row[rows[win_i[rows] == 0]], minlength=nsess)[inv]
+            .astype(np.int64)
+        )
+        if rows.size > 1:
+            cand = (flags_bm[rows] == ACK_FLAG) & (dl[rows] == 0)
+            same_sess = seg_of_row[rows[1:]] == seg_of_row[rows[:-1]]
+            dup = (
+                cand[1:]
+                & cand[:-1]
+                & same_sess
+                & (ack_no[rows[1:]] == ack_no[rows[:-1]])
+                & (win_i[rows[1:]] == win_i[rows[:-1]])
+            )
+            out[f"{pre}_duplicate_ack_count"] = np.bincount(
+                seg_of_row[rows[1:][dup]], minlength=nsess
+            )[inv].astype(np.int64)
+        else:
+            out[f"{pre}_duplicate_ack_count"] = np.zeros(nsess, dtype=np.int64)
+
+    # retransmissions: loop only over sessions with >= 2 eligible segments
+    # in a direction (otherwise no overlap is possible)
+    ctl = ((flags_bm & SYN_FLAG) != 0).astype(np.int64) + ((flags_bm & FIN_FLAG) != 0).astype(np.int64)
+    seg_len = dl + ctl
+    eligible = is_tcp_row & ~((flags_bm == ACK_FLAG) & (dl == 0)) & (seg_len > 0)
+    seq = g["sequence_number"]
+    for rows_dir, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
+        rows = rows_dir[eligible[rows_dir]]
+        res = np.zeros(nsess, dtype=np.int64)
+        if rows.size:
+            cnt = np.bincount(seg_of_row[rows], minlength=nsess)
+            multi = np.flatnonzero(cnt >= 2)
+            bounds = _seg_bounds(cnt)
+            for si in multi:
+                rr = rows[bounds[si] : bounds[si] + cnt[si]]
+                count = 0
+                ranges: list[tuple[int, int]] = []
+                for r in rr:
+                    start_ = int(seq[r])
+                    end_ = min(start_ + int(seg_len[r]), U32_MAX)
+                    if any(s_ < end_ and start_ < e_ for s_, e_ in ranges):
+                        count += 1
+                    ns_, ne_ = start_, end_
+                    j = 0
+                    while j < len(ranges):
+                        cs, ce = ranges[j]
+                        if ce < ns_:
+                            j += 1
+                            continue
+                        if ne_ < cs:
+                            break
+                        ns_ = min(ns_, cs)
+                        ne_ = max(ne_, ce)
+                        ranges.pop(j)
+                    ranges.insert(j, (ns_, ne_))
+                res[si] = count
+        out[f"{pre}_retransmission_count"] = res[inv]
+
+    # bulk: loop only over sessions with >= MIN_BULK_PACKETS nonzero-length
+    # packets in at least one direction (others cannot produce a bulk)
+    ts_ms = ts // 1000
+    length_i = g["length"]
+    nzrows = np.flatnonzero(length_i > 0)
+    bulk_out = {
+        f"{d}_bulk_{m}_{s}": np.zeros(nsess)
+        for d in ("fwd", "bwd")
+        for m in ("packets", "bytes", "duration")
+        for s in ("total", "mean", "std", "max", "min")
+    }
+    for d in ("fwd", "bwd"):
+        for m in ("packets", "bytes", "duration"):
+            bulk_out[f"{d}_bulk_{m}_count"] = np.zeros(nsess, dtype=np.int64)
+    bulk_rate = {"fwd": np.zeros(nsess), "bwd": np.zeros(nsess)}
+    if nzrows.size:
+        nz_fwd_cnt = np.bincount(seg_of_row[nzrows[fwd_row[nzrows]]], minlength=nsess)
+        nz_bwd_cnt = np.bincount(seg_of_row[nzrows[~fwd_row[nzrows]]], minlength=nsess)
+        candidates = np.flatnonzero(
+            (nz_fwd_cnt >= MIN_BULK_PACKETS) | (nz_bwd_cnt >= MIN_BULK_PACKETS)
+        )
+        if candidates.size:
+            cnt_all = np.bincount(seg_of_row[nzrows], minlength=nsess)
+            bounds_all = _seg_bounds(cnt_all)
+            fwd_nz = fwd_row[nzrows]
+            for si in candidates:
+                rr = slice(bounds_all[si], bounds_all[si] + cnt_all[si])
+                rows = nzrows[rr]
+                fw = fwd_nz[rr]
+                res = _bulk_session(ts_ms[rows], length_i[rows], fw, bool(closed_c[si]))
+                for d in ("fwd", "bwd"):
+                    sizes, packets, durs = res[d]
+                    if packets:
+                        ps = np.asarray(packets, dtype=np.float64)
+                        ss = np.asarray(sizes, dtype=np.float64)
+                        ds = np.asarray(durs, dtype=np.float64)
+                        for name, arr in (("packets", ps), ("bytes", ss), ("duration", ds)):
+                            bulk_out[f"{d}_bulk_{name}_total"][si] = arr.sum()
+                            bulk_out[f"{d}_bulk_{name}_mean"][si] = arr.mean()
+                            bulk_out[f"{d}_bulk_{name}_std"][si] = arr.std()
+                            bulk_out[f"{d}_bulk_{name}_max"][si] = arr.max()
+                            bulk_out[f"{d}_bulk_{name}_min"][si] = arr.min()
+                            bulk_out[f"{d}_bulk_{name}_count"][si] = arr.size
+                        # rate quirk (bulk_stats.rs:65-78): ms totals / 1e6;
+                        # zero total duration -> +inf like Rust f64 division
+                        denom = ds.sum() / 1_000_000.0
+                        bulk_rate[d][si] = ss.sum() / denom if denom else np.inf
+    for k, v in bulk_out.items():
+        out[k] = v[inv] if v.dtype != np.int64 else v[inv].astype(np.int64)
+    out["fwd_bulk_rate"] = bulk_rate["fwd"][inv]
+    out["bwd_bulk_rate"] = bulk_rate["bwd"][inv]
+
+    return out
+
+
+def _bulk_session(ts_ms: np.ndarray, length: np.ndarray, fwd: np.ndarray, closed: bool):
+    """Bulk scan for one session's nonzero-length packets
+    (bulk_stats.rs:115-167 semantics; see flow_kernel.compute_bulk)."""
+    out = {"fwd": ([], [], []), "bwd": ([], [], [])}
+    state = {"fwd": None, "bwd": None}
+
+    def finalize(d):
+        b = state[d]
+        if b is not None and b[2] >= MIN_BULK_PACKETS:
+            sizes, packets, durs = out[d]
+            packets.append(float(b[2]))
+            sizes.append(float(b[3]))
+            durs.append(float(b[1] - b[0]))
+        state[d] = None
+
+    for i in range(ts_ms.size):
+        d = "fwd" if fwd[i] else "bwd"
+        t = int(ts_ms[i])
+        ln = int(length[i])
+        b = state[d]
+        if b is not None:
+            if t - b[1] > BULK_IDLE_MS:
+                finalize(d)
+                state[d] = [t, t, 1, ln]
+            else:
+                b[2] += 1
+                b[3] += ln
+                b[1] = t
+        else:
+            state[d] = [t, t, 1, ln]
+            finalize("bwd" if d == "fwd" else "fwd")
+    if closed:
+        finalize("fwd")
+        finalize("bwd")
+    return out

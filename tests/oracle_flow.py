@@ -394,15 +394,18 @@ class OracleFlow:
             self._bwd_bulk = None
 
     def fwd_bulk_rate(self) -> float:
-        # bulk_stats.rs:65-70 — ms totals divided by 1e6 (CICFlowMeter quirk)
+        # bulk_stats.rs:65-70 — ms totals divided by 1e6 (CICFlowMeter quirk);
+        # zero total duration divides by 0.0 -> +inf, as Rust f64 does
         if self.fwd_bulk_duration.count == 0:
             return 0.0
-        return self.fwd_bulk_size.total / (self.fwd_bulk_duration.total / 1_000_000.0)
+        denom = self.fwd_bulk_duration.total / 1_000_000.0
+        return self.fwd_bulk_size.total / denom if denom else math.inf
 
     def bwd_bulk_rate(self) -> float:
         if self.bwd_bulk_duration.count == 0:
             return 0.0
-        return self.bwd_bulk_size.total / (self.bwd_bulk_duration.total / 1_000_000.0)
+        denom = self.bwd_bulk_duration.total / 1_000_000.0
+        return self.bwd_bulk_size.total / denom if denom else math.inf
 
     def _update_retransmission(self, pkt: Packet, fwd: bool) -> None:
         # retransmission_stats.rs:66-146
