@@ -110,8 +110,17 @@ def _flag_total(name: str) -> Column:
     return F.col(f"fwd_{name}_flag_count") + F.col(f"bwd_{name}_flag_count")
 
 
-def basic_schema(flows: DataFrame) -> DataFrame:
-    """BasicFlow 10-column layout (basic_flow.rs:316-333)."""
+def basic_schema(flows: DataFrame, without_contamination: bool = False) -> DataFrame:
+    """BasicFlow 10-column layout (basic_flow.rs:316-333); clean variant =
+    5 columns with IANA port classes (basic_flow.rs:335-345)."""
+    if without_contamination:
+        return flows.select(
+            _iana(F.col("src_port")).alias("src_port_iana"),
+            _iana(F.col("dst_port")).alias("dst_port_iana"),
+            "protocol",
+            F.col("duration_us").alias("duration"),
+            F.col("cause").alias("flow_expire_cause"),
+        )
     return flows.select(
         F.col("flow_key").alias("flow_id"),
         F.col("src_ip").alias("source_ip"),
@@ -298,14 +307,25 @@ def cic_schema(flows: DataFrame, without_contamination: bool = False) -> DataFra
     return flows.select(*[c.alias(n) for c, n in zip(cols, names)])
 
 
-def cidds_schema(flows: DataFrame) -> DataFrame:
-    """CiddsFlow 10-column layout (cidds_flow.rs:79-109)."""
+def cidds_schema(flows: DataFrame, without_contamination: bool = False) -> DataFrame:
+    """CiddsFlow 10-column layout (cidds_flow.rs:79-109); clean variant =
+    7 columns (cidds_flow.rs:111-135)."""
     proto_str = (
         F.when(F.col("protocol") == 6, "TCP")
         .when(F.col("protocol") == 17, "UDP")
         .when(F.col("protocol").isin(1, 58), "ICMP")
         .otherwise("OTHER")
     )
+    if without_contamination:
+        return flows.select(
+            _iana(F.col("src_port")).alias("Src Port (IANA)"),
+            _iana(F.col("dst_port")).alias("Dst Port (IANA)"),
+            proto_str.alias("Proto"),
+            (F.col("duration_us") / 1000).cast("long").alias("Duration"),
+            _flow_pkt_total().alias("Bytes"),
+            _flow_pkt_count().alias("Packets"),
+            F.col("flags").alias("Flags"),
+        )
     return flows.select(
         F.col("src_ip").alias("Src IP"),
         F.col("src_port").alias("Src Port"),
@@ -345,37 +365,67 @@ NF_COLUMNS = [
 ]
 
 
-def nf_schema(flows: DataFrame) -> DataFrame:
-    """NfFlow 71-column layout (nf_flow.rs:129-290)."""
+NF_CLEAN_COLUMNS = [
+    "src_port_iana", "dst_port_iana", "protocol", "ip_version",
+    "bidirectional_duration_ms", "bidirectional_packets", "bidirectional_bytes",
+    "src2dst_duration_ms", "src2dst_packets", "src2dst_bytes",
+    "dst2src_duration_ms", "dst2src_packets", "dst2src_bytes",
+] + NF_COLUMNS[23:]
+
+
+def nf_schema(flows: DataFrame, without_contamination: bool = False) -> DataFrame:
+    """NfFlow 71-column layout (nf_flow.rs:129-290); clean variant = 61
+    columns (nf_flow.rs:292-431)."""
     expiration_id = (
         F.when(F.col("cause") == "Active Timeout", 1)
         .when(F.col("cause").isin("Idle Timeout", "TCP Normal Termination"), 0)
         .otherwise(-1)
     )
-    cols = [
-        F.col("flow_key"),
-        expiration_id,
-        F.col("src_ip"),
-        F.col("src_port"),
-        F.col("dst_ip"),
-        F.col("dst_port"),
-        F.col("protocol"),
-        F.col("ip_version"),
-        (F.col("first_ts_us") / 1000).cast("long"),
-        (F.col("last_ts_us") / 1000).cast("long"),
-        (F.col("duration_us") / 1000).cast("long"),
-        _flow_pkt_count(),
-        _flow_pkt_total(),
-        F.col("first_ts_fwd_ms"),
-        F.col("last_ts_fwd_ms"),
-        F.col("fwd_duration_ms"),
-        F.col("fwd_packet_len_count"),
-        F.col("fwd_packet_len_total"),
-        F.col("first_ts_bwd_ms"),
-        F.col("last_ts_bwd_ms"),
-        F.col("bwd_duration_ms"),
-        F.col("bwd_packet_len_count"),
-        F.col("bwd_packet_len_total"),
+    if without_contamination:
+        cols = [
+            _iana(F.col("src_port")),
+            _iana(F.col("dst_port")),
+            F.col("protocol"),
+            F.col("ip_version"),
+            (F.col("duration_us") / 1000).cast("long"),
+            _flow_pkt_count(),
+            _flow_pkt_total(),
+            F.col("fwd_duration_ms"),
+            F.col("fwd_packet_len_count"),
+            F.col("fwd_packet_len_total"),
+            F.col("bwd_duration_ms"),
+            F.col("bwd_packet_len_count"),
+            F.col("bwd_packet_len_total"),
+        ]
+        names = NF_CLEAN_COLUMNS
+    else:
+        cols = [
+            F.col("flow_key"),
+            expiration_id,
+            F.col("src_ip"),
+            F.col("src_port"),
+            F.col("dst_ip"),
+            F.col("dst_port"),
+            F.col("protocol"),
+            F.col("ip_version"),
+            (F.col("first_ts_us") / 1000).cast("long"),
+            (F.col("last_ts_us") / 1000).cast("long"),
+            (F.col("duration_us") / 1000).cast("long"),
+            _flow_pkt_count(),
+            _flow_pkt_total(),
+            F.col("first_ts_fwd_ms"),
+            F.col("last_ts_fwd_ms"),
+            F.col("fwd_duration_ms"),
+            F.col("fwd_packet_len_count"),
+            F.col("fwd_packet_len_total"),
+            F.col("first_ts_bwd_ms"),
+            F.col("last_ts_bwd_ms"),
+            F.col("bwd_duration_ms"),
+            F.col("bwd_packet_len_count"),
+            F.col("bwd_packet_len_total"),
+        ]
+        names = NF_COLUMNS
+    cols += [
         _flow_pkt_min(),
         _flow_pkt_mean(),
         _flow_pkt_std(),
@@ -406,7 +456,8 @@ def nf_schema(flows: DataFrame) -> DataFrame:
     for d in ("fwd", "bwd"):
         for n in ("syn", "cwr", "ece", "urg", "ack", "psh", "rst", "fin"):
             cols.append(F.col(f"{d}_{n}_flag_count"))
-    return flows.select(*[c.alias(n) for c, n in zip(cols, NF_COLUMNS)])
+    assert len(cols) == len(names), (len(cols), len(names))
+    return flows.select(*[c.alias(n) for c, n in zip(cols, names)])
 
 
 RUSTIFLOW_COLUMNS = (
@@ -478,35 +529,69 @@ RUSTIFLOW_COLUMNS = (
 )
 
 
-def rustiflow_schema(flows: DataFrame) -> DataFrame:
-    """RustiFlow 203-column layout (rusti_flow.rs:139-303)."""
-    dur = F.col("duration_us").cast("double")
-    cols: list[Column] = [
-        F.col("flow_key"),
-        F.col("src_ip"),
-        F.col("src_port"),
-        F.col("dst_ip"),
-        F.col("dst_port"),
-        F.col("protocol"),
-        F.col("ip_version"),
-        F.col("src_ip_scope"),
-        F.col("dst_ip_scope"),
-        F.col("path_locality"),
-        F.col("first_ts_us"),
-        F.col("last_ts_us"),
-        F.col("duration_us"),
-        F.col("cause"),
-        F.col("handshake_completed"),
-        F.col("reset_before_handshake"),
-        F.col("reset_after_handshake"),
-        F.col("close_style"),
-        F.col("first_ts_fwd_ms"),
-        F.col("first_ts_bwd_ms"),
-        F.col("last_ts_fwd_ms"),
-        F.col("last_ts_bwd_ms"),
-        F.col("fwd_duration_ms"),
-        F.col("bwd_duration_ms"),
+RUSTIFLOW_CLEAN_COLUMNS = (
+    [
+        "source_port_iana", "destination_port_iana", "protocol", "ip_version",
+        "source_ip_scope", "destination_ip_scope", "path_locality",
+        "flow_duration_us", "flow_expire_cause", "tcp_handshake_completed",
+        "tcp_reset_before_handshake", "tcp_reset_after_handshake",
+        "tcp_close_style", "fwd_duration_ms", "bwd_duration_ms",
     ]
+    + RUSTIFLOW_COLUMNS[24:]
+)
+
+
+def rustiflow_schema(flows: DataFrame, without_contamination: bool = False) -> DataFrame:
+    """RustiFlow 203-column layout (rusti_flow.rs:139-303); clean variant =
+    194 columns (rusti_flow.rs:300-460)."""
+    dur = F.col("duration_us").cast("double")
+    if without_contamination:
+        cols: list[Column] = [
+            _iana(F.col("src_port")),
+            _iana(F.col("dst_port")),
+            F.col("protocol"),
+            F.col("ip_version"),
+            F.col("src_ip_scope"),
+            F.col("dst_ip_scope"),
+            F.col("path_locality"),
+            F.col("duration_us"),
+            F.col("cause"),
+            F.col("handshake_completed"),
+            F.col("reset_before_handshake"),
+            F.col("reset_after_handshake"),
+            F.col("close_style"),
+            F.col("fwd_duration_ms"),
+            F.col("bwd_duration_ms"),
+        ]
+        names = RUSTIFLOW_CLEAN_COLUMNS
+    else:
+        cols = [
+            F.col("flow_key"),
+            F.col("src_ip"),
+            F.col("src_port"),
+            F.col("dst_ip"),
+            F.col("dst_port"),
+            F.col("protocol"),
+            F.col("ip_version"),
+            F.col("src_ip_scope"),
+            F.col("dst_ip_scope"),
+            F.col("path_locality"),
+            F.col("first_ts_us"),
+            F.col("last_ts_us"),
+            F.col("duration_us"),
+            F.col("cause"),
+            F.col("handshake_completed"),
+            F.col("reset_before_handshake"),
+            F.col("reset_after_handshake"),
+            F.col("close_style"),
+            F.col("first_ts_fwd_ms"),
+            F.col("first_ts_bwd_ms"),
+            F.col("last_ts_fwd_ms"),
+            F.col("last_ts_bwd_ms"),
+            F.col("fwd_duration_ms"),
+            F.col("bwd_duration_ms"),
+        ]
+        names = RUSTIFLOW_COLUMNS
     cols += _stats5("iat") + _stats5("fwd_iat") + _stats5("bwd_iat")
     cols += [
         _flow_pkt_count(),
@@ -583,8 +668,8 @@ def rustiflow_schema(flows: DataFrame) -> DataFrame:
             F.col("fwd_payload_len_count").cast("double"),
         ),
     ]
-    assert len(cols) == len(RUSTIFLOW_COLUMNS), (len(cols), len(RUSTIFLOW_COLUMNS))
-    return flows.select(*[c.alias(n) for c, n in zip(cols, RUSTIFLOW_COLUMNS)])
+    assert len(cols) == len(names), (len(cols), len(names))
+    return flows.select(*[c.alias(n) for c, n in zip(cols, names)])
 
 
 SCHEMAS = {

@@ -44,9 +44,23 @@ def test_all_schemas_materialize(spark, flows):
         assert len(out.columns) == expected, (name, len(out.columns))
 
 
-def test_cic_clean_variant(flows):
-    out = cic_schema(flows, without_contamination=True)
-    assert len(out.columns) == 96
+def test_clean_variants(flows):
+    assert len(cic_schema(flows, without_contamination=True).columns) == 96
+    assert len(basic_schema(flows, without_contamination=True).columns) == 5
+    assert len(cidds_schema(flows, without_contamination=True).columns) == 7
+    assert len(nf_schema(flows, without_contamination=True).columns) == 61
+    clean_rf = rustiflow_schema(flows, without_contamination=True)
+    assert len(clean_rf.columns) == 194
+    # contaminant columns absent from every clean variant
+    for df in (
+        cic_schema(flows, without_contamination=True),
+        nf_schema(flows, without_contamination=True),
+        clean_rf,
+    ):
+        lowered = {c.lower() for c in df.columns}
+        assert not any("ip" == c or c.endswith("_ip") or "src ip" in c for c in lowered)
+        assert not any("timestamp" in c and "fwd" not in c and "bwd" not in c for c in lowered)
+    assert clean_rf.count() == flows.count()
 
 
 def test_schema_values_sane(flows):
