@@ -25,6 +25,36 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 IDLE_S = 1800  # 30 min gap sessionization for the events table
 BIG_ACTIVE_S = 10_000_000  # effectively disables the active timeout (SQL-oracle queries)
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Make rustiflow_spark importable in executor Python workers even when
+    the SparkSession was created before this module set PYTHONPATH (the
+    production path is spark-submit --py-files; this is the library-mode
+    equivalent via addPyFile)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import shutil
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_base = os.path.join(tempfile.gettempdir(), "rustiflow_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        staging = tempfile.mkdtemp()
+        shutil.copytree(
+            os.path.join(repo, "rustiflow_spark"),
+            os.path.join(staging, "rustiflow_spark"),
+        )
+        shutil.make_archive(zip_base, "zip", staging)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added or unsupported; PYTHONPATH may still cover it
+    _SHIPPED_SESSIONS.add(key)
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -59,6 +89,7 @@ def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Core operator: gap+terminator sessionization -> per-session feature
     vector (idle-timeout sessions; SURVEY.md §2.3 T1/T3-analog + §2.4 A1,
     A3, A5, A13)."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.event_features import sessionize_events
 
     feats = sessionize_events(
@@ -256,6 +287,7 @@ FROM c
 def q_session_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level session assignment (assign_sessions operator): every event
     annotated with its session ordinal — payload columns pass through."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.event_features import assign_sessions
 
     ann = assign_sessions(_events(spark, sf_dir), ["user_id"], _engine_cfg())
@@ -411,6 +443,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time as-of join (north-rule operator; operators/asof.py):
     each event gets its user's most recent signup event at or before it —
     leakage-free backward match."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.asof import asof_join
 
     ev = _events(spark, sf_dir)
@@ -452,6 +485,7 @@ FROM ev ASOF LEFT JOIN sig
 
 def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free lag/lead features (operators/windows.py)."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.windows import add_lag_lead_features
 
     ev = _events(spark, sf_dir).select(
@@ -485,6 +519,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing event-time range aggregates (RANGE frame, operators/windows.py)."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.windows import rolling_time_features
 
     ev = _events(spark, sf_dir).select(
@@ -520,6 +555,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup clustering on documents (operators/dedup.py).
     Not SQL-expressible (xxhash64 signature family) — rows-only check."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -532,6 +568,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures + near-dup pairs (rows-only check)."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.dedup import simhash_neardup_pairs, simhash_signatures
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -541,6 +578,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID over documents (rows-only check)."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.textstats import language_id
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -554,6 +592,7 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (rows-only check; the
     exact-top-k variant `similarity_topk` carries the SQL oracle)."""
+    _ensure_package_shipped(spark)
     from rustiflow_spark.operators.similarity import ann_topk_lsh
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -149,8 +149,12 @@ def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: 
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = all_ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
+    if edges.limit(1).count() == 0:
+        # no duplicate pairs at all: every id is its own cluster
+        return labels.select(F.col("src").alias(id_col), "cluster_id")
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))

@@ -272,3 +272,23 @@ def test_welford_population_std_order_invariance():
         assert np.isclose(r["payload_len_std"], np.std(vals))
         assert r["payload_len_min"] == 0.0
         assert r["payload_len_max"] == 200.0
+
+
+def test_degenerate_inputs():
+    """Ties, single packet, u32 saturation edge — both kernels agree."""
+    # identical timestamps: event_seq breaks the order deterministically
+    pdf = mk_packets([{"ts_us": 1_000_000, "fwd": True, "data_length": i} for i in range(5)])
+    r = run_both(pdf)[0]
+    assert r["payload_len_total"] == 10
+
+    pdf = mk_packets([{"ts_us": 1_000_000, "fwd": True}])
+    r = run_both(pdf)[0]
+    assert r["duration_us"] == 0 and r["subflow_count"] == 1 and r["iat_count"] == 0
+
+    # sequence range saturates at u32 max (retransmission_stats.rs:122)
+    pdf = mk_packets([
+        {"ts_us": 1_000_000, "fwd": True, "sequence_number": 2**32 - 50, "data_length": 100},
+        {"ts_us": 1_100_000, "fwd": True, "sequence_number": 2**32 - 50, "data_length": 100},
+    ])
+    r = run_both(pdf)[0]
+    assert r["fwd_retransmission_count"] == 1
