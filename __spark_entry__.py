@@ -605,6 +605,51 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship shape: a token-sequence table (tokens synthesized
+    deterministically from the documents text per FIXTURES.md §4) through
+    the full pipeline — sessionize by source + lag features. Rows-only
+    check (token arrays are not SQL-expressible portably)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.pipeline import token_feature_pipeline
+
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rank = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
+    tokens = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(
+            "transform(split(text, ' '), w -> CAST(length(w) * 31 + ascii(w) AS INT))"
+        ).alias("tokens"),
+        F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+        "source",
+        # events 60 s apart within each source -> multi-event sessions cut
+        # by terminator events (doc_id % 11)
+        (F.lit(1_700_000_000_000_000) + rank.cast("long") * 60_000_000).alias("ts_us"),
+        (F.col("doc_id") % 2).cast("int").alias("direction"),
+        F.when(F.col("doc_id") % 11 == 0, 1).otherwise(0).cast("int").alias("terminator"),
+        F.col("doc_id").alias("event_seq"),
+    )
+    # one session stream per source (doc events 1 min apart)
+    renamed = tokens.withColumnRenamed("doc_id", "orig_doc_id").withColumn(
+        "doc_id", F.lit("all")
+    )
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=600, scan_mode="none")
+    out = token_feature_pipeline(renamed, cfg, lags=[1])
+    return out.select(
+        "source",
+        F.col("session_index").cast("long").alias("session_index"),
+        "first_ts_us",
+        "cause",
+        F.col("event_count").cast("long").alias("event_count"),
+        F.round("n_tok_total", 6).alias("n_tok_total"),
+        F.round("n_tok_mean", 6).alias("n_tok_mean"),
+        F.round("n_tok_total_lag1", 6).alias("n_tok_total_lag1"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -632,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "langid": q_langid,
         "ann_topk": q_ann_topk,
+        "token_pipeline": q_token_pipeline,
     }
 
 

@@ -27,9 +27,13 @@ BENCH_QUERIES = [
     "welford_stats",
     "iat_window",
     "flag_counts",
+    "asof_join",
+    "lag_features",
+    "rolling_features",
     "dedup_exact",
     "text_stats",
     "similarity_topk",
+    "token_pipeline",
 ]
 
 

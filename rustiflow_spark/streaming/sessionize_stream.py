@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from rustiflow_spark.config import CAUSE_IDLE, EngineConfig, US_PER_S
+from rustiflow_spark.config import CAUSE_ACTIVE, CAUSE_IDLE, EngineConfig, US_PER_S
 from rustiflow_spark.kernel.event_kernel import featurize_key_events, segment_events
 
 STATE_SCHEMA = T.StructType(
@@ -126,9 +126,13 @@ def sessionize_stream(
             for i in range(n_emit):
                 r = feats[i]
                 if flush_all and i == len(sessions) - 1 and r["cause"] == "Exporter Shutdown":
-                    # timeout flush: idle expiry observed by the watermark
+                    # timeout flush: the watermark passed the earlier of the
+                    # two expiries; active is checked first (basic_flow.rs:361)
                     r = dict(r)
-                    r["cause"] = CAUSE_IDLE
+                    s0, e0 = sessions[i][0], sessions[i][1]
+                    active_exp = cfg.active_expiry_us(int(ts[s0]))
+                    idle_exp = cfg.idle_expiry_us(int(ts[e0 - 1]))
+                    r["cause"] = CAUSE_ACTIVE if active_exp <= idle_exp else CAUSE_IDLE
                 rows.append(r)
 
         if n_emit >= len(sessions):
@@ -142,7 +146,12 @@ def sessionize_stream(
                 [int(x) for x in tm[s:e]],
                 base + n_emit,
             ))
-            state.setTimeoutTimestamp(int(cfg.idle_expiry_us(int(ts[-1]))) // 1000)
+            # flush at whichever expiry comes first: idle (vs last event) or
+            # active (vs the open session's first event)
+            expiry_us = min(
+                cfg.idle_expiry_us(int(ts[e - 1])), cfg.active_expiry_us(int(ts[s]))
+            )
+            state.setTimeoutTimestamp(expiry_us // 1000)
 
         if rows:
             out = pd.DataFrame(rows)
