@@ -93,7 +93,13 @@ def q_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.operators.event_features import sessionize_events
 
     feats = sessionize_events(
-        _events(spark, sf_dir), ["user_id"], _engine_cfg(), value_col="value"
+        _events(spark, sf_dir),
+        ["user_id"],
+        _engine_cfg(),
+        value_col="value",
+        # column pruning pushed through the kernel: only the feature blocks
+        # this query projects are computed and shipped back through Arrow
+        features=["value", "iat", "subflow", "direction"],
     )
     return feats.select(
         "user_id",
