@@ -187,3 +187,22 @@ def test_multimodal_plumbing(spark):
     assert (frames["frame_idx"] % 4 == 0).all()
     n_video = media.filter("kind = 'video'").count()
     assert frames["media_id"].nunique() == n_video
+
+
+def test_minhash_finds_planted_neardups_in_driver_documents(spark):
+    """The driver's synthetic documents table contains planted near-duplicate
+    pairs (shingle-set Jaccard up to 1.0 despite distinct doc_ids —
+    discovered during verification). The MinHash pipeline must find them."""
+    from rustiflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_verify,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sigs = minhash_signatures(docs, "text")
+    cands = minhash_lsh_candidates(sigs, "doc_id")
+    verified = ngram_jaccard_verify(docs, cands, "doc_id", "text", threshold=0.99)
+    pairs = verified.toPandas()
+    assert len(pairs) >= 3
+    assert (pairs["jaccard"] >= 0.99).all()
