@@ -151,8 +151,8 @@ WITH ev AS (
            max(ts_us) AS last_ts_us,
            max(ts_us) - min(ts_us) AS duration_us,
            count(*) AS event_count,
-           sum(CASE WHEN direction = 0 THEN 1 ELSE 0 END) AS fwd_event_count,
-           sum(CASE WHEN direction = 1 THEN 1 ELSE 0 END) AS bwd_event_count,
+           CAST(sum(CASE WHEN direction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fwd_event_count,
+           CAST(sum(CASE WHEN direction = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bwd_event_count,
            round(sum(value), 6) AS value_total,
            round(avg(value), 6) AS value_mean,
            round(max(value), 6) AS value_max,
@@ -160,7 +160,7 @@ WITH ev AS (
            round(coalesce(sum(intra_gap_us / 1000.0), 0.0), 4) AS iat_total_ms,
            round(coalesce(max(intra_gap_us / 1000.0), 0.0), 4) AS iat_max_ms,
            round(coalesce(min(intra_gap_us / 1000.0), 0.0), 4) AS iat_min_ms,
-           1 + sum(CASE WHEN intra_gap_us > 1000000 THEN 1 ELSE 0 END) AS subflow_count,
+           CAST(1 + sum(CASE WHEN intra_gap_us > 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS subflow_count,
            max(CASE WHEN terminator = 1 THEN 1 ELSE 0 END) AS has_term
     FROM sess
     GROUP BY user_id, session_id
@@ -205,7 +205,7 @@ SELECT user_id,
        round(var_pop(value), 3) AS value_var,
        round(min(value), 6) AS value_min,
        round(max(value), 6) AS value_max,
-       sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS big_value_events
+       CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS big_value_events
 FROM events
 GROUP BY user_id
 """
@@ -273,11 +273,11 @@ def q_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_FLAGS_SQL = """
 WITH c AS (
     SELECT user_id,
-           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click_count,
-           sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view_count,
-           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_count,
-           sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup_count,
-           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click_count,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_count,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase_count,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup_count,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count
     FROM events GROUP BY user_id
 )
 SELECT *,
@@ -330,7 +330,7 @@ WITH ev AS (
     FROM sess GROUP BY user_id, session_index
 )
 SELECT s.user_id, s.event_seq AS event_id, s.ts_us,
-       s.session_index AS session_index,
+       CAST(s.session_index AS BIGINT) AS session_index,
        CASE WHEN t.has_term = 1 THEN 'TCP Normal Termination'
             WHEN s.session_index < l.max_si THEN 'Idle Timeout'
             ELSE 'Exporter Shutdown' END AS session_cause
@@ -466,11 +466,12 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         F.col("ts_us_sig").alias("signup_ts_us"),
         F.round("signup_value_sig", 6).alias("signup_value"),
-        F.when(
-            F.col("ts_us_sig").isNotNull(),
-            ((F.col("ts_us") - F.col("ts_us_sig")) / F.lit(1000000.0)),
-        ).alias("secs_since_signup"),
-    ).withColumn("secs_since_signup", F.round("secs_since_signup", 4))
+        # integer µs difference (exact in both engines; a rounded-seconds
+        # double lands on exact .00005 ties that Spark and DuckDB break
+        # differently — CORRECTNESS_r01). Cast to double so the null-able
+        # column serializes identically on both sides.
+        (F.col("ts_us") - F.col("ts_us_sig")).cast("double").alias("us_since_signup"),
+    )
 
 
 _Q_ASOF_SQL = """
@@ -483,7 +484,7 @@ WITH ev AS (
 SELECT ev.user_id, ev.event_id, ev.ts_us,
        sig.ts_us AS signup_ts_us,
        round(sig.signup_value, 6) AS signup_value,
-       round((ev.ts_us - sig.ts_us) / 1000000.0, 4) AS secs_since_signup
+       CAST(ev.ts_us - sig.ts_us AS DOUBLE) AS us_since_signup
 FROM ev ASOF LEFT JOIN sig
   ON ev.user_id = sig.user_id AND ev.ts_us >= sig.ts_us
 """
