@@ -658,6 +658,596 @@ def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Packet-path contract queries (SURVEY.md §2 packet operators against the
+# DuckDB oracle). A deterministic packet table is synthesized from `events`
+# with identical arithmetic in Spark SQL and DuckDB SQL. Timestamps are
+# coarsened to millisecond granularity ((raw_us div 40000) * 1000) so every
+# ms-domain float statistic (iat/active/idle/duration) is an exact
+# integer-valued double — sums become order-invariant and the value hash is
+# partition-count-independent on both engines.
+# --------------------------------------------------------------------------
+
+# per-user client endpoint (deterministic, valid RFC1918 address)
+_CLIENT_IP_SPARK = (
+    "concat('10.', CAST(user_id % 200 AS STRING), '.', "
+    "CAST((user_id div 200) % 200 AS STRING), '.5')"
+)
+_CLIENT_IP_DUCK = (
+    "'10.' || CAST(user_id % 200 AS VARCHAR) || '.' || "
+    "CAST((user_id // 200) % 200 AS VARCHAR) || '.5'"
+)
+_SERVER_IP = "172.16.0.9"
+_IDLE_CUT_US = (IDLE_S + 1) * 1_000_000  # strict > in whole seconds, int µs
+
+
+def _packet_table(spark: SparkSession, sf_dir: str, tcp: bool) -> DataFrame:
+    """Deterministic packet-event table derived from the events table.
+
+    Each event becomes one packet of the per-user client<->server biflow;
+    direction alternates by event_id parity, payload size comes from value,
+    and (for the TCP variant) every 23rd event carries RST. The same
+    synthesis is expressed in DuckDB SQL inside the oracle queries.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    base = ev.select(raw.alias("raw_us"), "user_id", "event_id", "value")
+    proto = 6 if tcp else 17
+    rst = "CASE WHEN event_id % 23 = 0 THEN 1 ELSE 0 END" if tcp else "0"
+    psh = "CASE WHEN floor(value) > 0 THEN 1 ELSE 0 END" if tcp else "0"
+    hdr = 20 if tcp else 8
+    overhead = 40 if tcp else 28
+    win = "1000 + (event_id % 97) * 7" if tcp else "0"
+    return base.selectExpr(
+        f"CASE WHEN event_id % 2 = 0 THEN {_CLIENT_IP_SPARK} ELSE '{_SERVER_IP}' END AS src_ip",
+        f"CASE WHEN event_id % 2 = 0 THEN '{_SERVER_IP}' ELSE {_CLIENT_IP_SPARK} END AS dst_ip",
+        "CAST(CASE WHEN event_id % 2 = 0 THEN 1024 + user_id % 60000 ELSE 443 END AS INT) AS src_port",
+        "CAST(CASE WHEN event_id % 2 = 0 THEN 443 ELSE 1024 + user_id % 60000 END AS INT) AS dst_port",
+        f"CAST({proto} AS INT) AS protocol",
+        "(raw_us div 40000) * 1000 AS ts_us",
+        "CAST(0 AS INT) AS fin_flag",
+        "CAST(0 AS INT) AS syn_flag",
+        f"CAST({rst} AS INT) AS rst_flag",
+        f"CAST({psh} AS INT) AS psh_flag",
+        "CAST(0 AS INT) AS ack_flag",
+        "CAST(0 AS INT) AS urg_flag",
+        "CAST(0 AS INT) AS cwr_flag",
+        "CAST(0 AS INT) AS ece_flag",
+        f"CAST(({psh}) * 8 + ({rst}) * 4 AS INT) AS flags",
+        "CAST(floor(value) AS INT) AS data_length",
+        f"CAST({hdr} AS INT) AS header_length",
+        f"CAST(floor(value) + {overhead} AS INT) AS length",
+        f"CAST({win} AS INT) AS window_size",
+        "CAST((event_id % 1000000) * 3000 AS BIGINT) AS sequence_number",
+        "CAST(0 AS BIGINT) AS sequence_number_ack",
+        "CAST(NULL AS INT) AS icmp_type",
+        "CAST(NULL AS INT) AS icmp_code",
+        "event_id AS event_seq",
+    )
+
+
+def _pk_sql(tcp: bool) -> str:
+    """DuckDB mirror of _packet_table (only columns the oracles need)."""
+    rst = "CASE WHEN event_id % 23 = 0 THEN 1 ELSE 0 END" if tcp else "0"
+    psh = "CASE WHEN floor(value) > 0 THEN 1 ELSE 0 END" if tcp else "0"
+    overhead = 40 if tcp else 28
+    return f"""
+    SELECT (epoch_us(ts) // 40000) * 1000 AS ts_us,
+           event_id AS event_seq,
+           user_id,
+           (event_id % 2 = 0) AS is_c2s,
+           CAST(floor(value) AS BIGINT) AS data_length,
+           CAST(floor(value) AS BIGINT) + {overhead} AS length,
+           {rst} AS rst,
+           {psh} AS psh,
+           1000 + (event_id % 97) * 7 AS window_size,
+           {_CLIENT_IP_DUCK} AS cip
+    FROM events
+"""
+
+
+def _flow_key_sql(proto: int) -> str:
+    """flow_key string from the session's first-packet orientation."""
+    port = "CAST(1024 + user_id % 60000 AS VARCHAR)"
+    return f"""
+       CASE WHEN fc2s = 1
+            THEN cip || ':' || {port} || '-{_SERVER_IP}:443-{proto}'
+            ELSE '{_SERVER_IP}:443-' || cip || ':' || {port} || '-{proto}'
+       END"""
+
+
+def q_flow_cic_udp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packet path, UDP: idle-timeout sessionization + the CIC feature
+    blocks with exactly-representable outputs (A1-A3, A5-A7, A13, A15,
+    K1/K2/K4, T1/T5/T8; cic_flow.rs:109-377 semantics)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(_packet_table(spark, sf_dir, tcp=False), cfg)
+    return flows.select(
+        "flow_key",
+        F.col("src_port").cast("long").alias("src_port"),
+        F.col("dst_port").cast("long").alias("dst_port"),
+        F.col("protocol").cast("long").alias("protocol"),
+        "src_ip_scope",
+        "dst_ip_scope",
+        "path_locality",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        F.col("fwd_packet_len_count").cast("long").alias("fwd_packet_count"),
+        F.col("bwd_packet_len_count").cast("long").alias("bwd_packet_count"),
+        "fwd_packet_len_total",
+        "fwd_packet_len_mean",
+        "fwd_packet_len_max",
+        "fwd_packet_len_min",
+        "bwd_packet_len_total",
+        "bwd_packet_len_mean",
+        "bwd_packet_len_max",
+        "bwd_packet_len_min",
+        "payload_len_total",
+        F.col("fwd_non_zero_payload_packets").cast("long").alias(
+            "fwd_non_zero_payload_packets"
+        ),
+        F.col("bwd_non_zero_payload_packets").cast("long").alias(
+            "bwd_non_zero_payload_packets"
+        ),
+        "header_len_total",
+        "iat_total",
+        "iat_mean",
+        "iat_max",
+        "iat_min",
+        F.col("iat_count").cast("long").alias("iat_count"),
+        "fwd_iat_total",
+        "bwd_iat_total",
+        F.col("subflow_count").cast("long").alias("subflow_count"),
+        F.col("idle_count").cast("long").alias("idle_count"),
+        "idle_total",
+        "idle_max",
+        F.col("active_count").cast("long").alias("active_count"),
+        "active_total",
+        "active_max",
+        "fwd_duration_ms",
+        "bwd_duration_ms",
+    )
+
+
+_Q_CIC_UDP_SQL = f"""
+WITH pk AS ({_pk_sql(tcp=False)}),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                ELSE 0 END AS new_session,
+           ts_us - lag(ts_us) OVER w AS gap_us
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid,
+           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS ig
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s,
+           sum(CASE WHEN ig IS NULL OR ig > 5000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_seq
+                     ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM sess
+), rows3 AS (
+    SELECT *, (is_c2s = first_c2s) AS is_fwd,
+           ts_us - lag(ts_us) OVER (PARTITION BY user_id, sid, is_c2s = first_c2s
+                                    ORDER BY ts_us, event_seq) AS dir_gap
+    FROM rows2
+), spans AS (
+    SELECT user_id, sid, span_id, max(ts_us) - min(ts_us) AS dur
+    FROM rows3 GROUP BY user_id, sid, span_id
+), span_agg AS (
+    SELECT user_id, sid,
+           CAST(count(*) FILTER (WHERE dur > 0) AS BIGINT) AS active_count,
+           coalesce(CAST(sum(dur) FILTER (WHERE dur > 0) AS DOUBLE) / 1000.0, 0.0)
+               AS active_total,
+           coalesce(CAST(max(dur) FILTER (WHERE dur > 0) AS DOUBLE) / 1000.0, 0.0)
+               AS active_max
+    FROM spans GROUP BY user_id, sid
+), agg AS (
+    SELECT user_id, sid,
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           CAST(count(*) FILTER (WHERE is_fwd) AS BIGINT) AS fwd_packet_count,
+           CAST(count(*) FILTER (WHERE NOT is_fwd) AS BIGINT) AS bwd_packet_count,
+           coalesce(CAST(sum(length) FILTER (WHERE is_fwd) AS DOUBLE), 0.0)
+               AS fwd_packet_len_total,
+           CASE WHEN count(*) FILTER (WHERE is_fwd) > 0
+                THEN CAST(sum(length) FILTER (WHERE is_fwd) AS DOUBLE)
+                     / count(*) FILTER (WHERE is_fwd)
+                ELSE 0.0 END AS fwd_packet_len_mean,
+           coalesce(CAST(max(length) FILTER (WHERE is_fwd) AS DOUBLE), 0.0)
+               AS fwd_packet_len_max,
+           coalesce(CAST(min(length) FILTER (WHERE is_fwd) AS DOUBLE), 0.0)
+               AS fwd_packet_len_min,
+           coalesce(CAST(sum(length) FILTER (WHERE NOT is_fwd) AS DOUBLE), 0.0)
+               AS bwd_packet_len_total,
+           CASE WHEN count(*) FILTER (WHERE NOT is_fwd) > 0
+                THEN CAST(sum(length) FILTER (WHERE NOT is_fwd) AS DOUBLE)
+                     / count(*) FILTER (WHERE NOT is_fwd)
+                ELSE 0.0 END AS bwd_packet_len_mean,
+           coalesce(CAST(max(length) FILTER (WHERE NOT is_fwd) AS DOUBLE), 0.0)
+               AS bwd_packet_len_max,
+           coalesce(CAST(min(length) FILTER (WHERE NOT is_fwd) AS DOUBLE), 0.0)
+               AS bwd_packet_len_min,
+           CAST(sum(data_length) AS DOUBLE) AS payload_len_total,
+           CAST(count(*) FILTER (WHERE is_fwd AND data_length > 0) AS BIGINT)
+               AS fwd_non_zero_payload_packets,
+           CAST(count(*) FILTER (WHERE NOT is_fwd AND data_length > 0) AS BIGINT)
+               AS bwd_non_zero_payload_packets,
+           CAST(count(*) * 8 AS DOUBLE) AS header_len_total,
+           coalesce(CAST(sum(ig) AS DOUBLE) / 1000.0, 0.0) AS iat_total,
+           CASE WHEN count(ig) > 0
+                THEN (CAST(sum(ig) AS DOUBLE) / 1000.0) / count(ig)
+                ELSE 0.0 END AS iat_mean,
+           coalesce(CAST(max(ig) AS DOUBLE) / 1000.0, 0.0) AS iat_max,
+           coalesce(CAST(min(ig) AS DOUBLE) / 1000.0, 0.0) AS iat_min,
+           CAST(count(ig) AS BIGINT) AS iat_count,
+           coalesce(CAST(sum(dir_gap) FILTER (WHERE is_fwd) AS DOUBLE) / 1000.0, 0.0)
+               AS fwd_iat_total,
+           coalesce(CAST(sum(dir_gap) FILTER (WHERE NOT is_fwd) AS DOUBLE) / 1000.0, 0.0)
+               AS bwd_iat_total,
+           CAST(1 + count(*) FILTER (WHERE ig > 1000000) AS BIGINT) AS subflow_count,
+           CAST(count(*) FILTER (WHERE ig > 5000000) AS BIGINT) AS big_cnt,
+           coalesce(sum(ig) FILTER (WHERE ig > 5000000), 0) AS big_sum,
+           coalesce(max(ig) FILTER (WHERE ig > 5000000), 0) AS big_max,
+           CASE WHEN count(*) FILTER (WHERE is_fwd) > 0
+                THEN CAST(max(ts_us) FILTER (WHERE is_fwd)
+                          - min(ts_us) FILTER (WHERE is_fwd) AS DOUBLE) / 1000.0
+                ELSE 0.0 END AS fwd_duration_ms,
+           CASE WHEN count(*) FILTER (WHERE NOT is_fwd) > 0
+                THEN CAST(max(ts_us) FILTER (WHERE NOT is_fwd)
+                          - min(ts_us) FILTER (WHERE NOT is_fwd) AS DOUBLE) / 1000.0
+                ELSE 0.0 END AS bwd_duration_ms
+    FROM rows3 GROUP BY user_id, sid
+), meta AS (
+    SELECT a.*, s.active_count, s.active_total, s.active_max,
+           lead(a.first_ts_us) OVER (PARTITION BY a.user_id ORDER BY a.sid)
+               AS next_first
+    FROM agg a JOIN span_agg s USING (user_id, sid)
+)
+SELECT
+    {_flow_key_sql(17)} AS flow_key,
+    CAST(CASE WHEN fc2s = 1 THEN 1024 + user_id % 60000 ELSE 443 END AS BIGINT)
+        AS src_port,
+    CAST(CASE WHEN fc2s = 1 THEN 443 ELSE 1024 + user_id % 60000 END AS BIGINT)
+        AS dst_port,
+    CAST(17 AS BIGINT) AS protocol,
+    'private' AS src_ip_scope,
+    'private' AS dst_ip_scope,
+    'private' AS path_locality,
+    first_ts_us, last_ts_us, duration_us,
+    CASE WHEN next_first IS NULL THEN 'Exporter Shutdown'
+         ELSE 'Idle Timeout' END AS cause,
+    fwd_packet_count, bwd_packet_count,
+    fwd_packet_len_total, fwd_packet_len_mean, fwd_packet_len_max, fwd_packet_len_min,
+    bwd_packet_len_total, bwd_packet_len_mean, bwd_packet_len_max, bwd_packet_len_min,
+    payload_len_total, fwd_non_zero_payload_packets, bwd_non_zero_payload_packets,
+    header_len_total,
+    iat_total, iat_mean, iat_max, iat_min, iat_count,
+    fwd_iat_total, bwd_iat_total,
+    subflow_count,
+    CAST(big_cnt + CASE WHEN next_first IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        AS idle_count,
+    CAST(big_sum + coalesce(next_first - last_ts_us, 0) AS DOUBLE) / 1000.0
+        AS idle_total,
+    CAST(greatest(big_max, coalesce(next_first - last_ts_us, 0)) AS DOUBLE) / 1000.0
+        AS idle_max,
+    active_count, active_total, active_max,
+    fwd_duration_ms, bwd_duration_ms
+FROM meta
+"""
+
+
+def q_flow_tcp_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packet path, TCP with RST terminations: lifecycle state machine (T4,
+    A8 flag stats + UAPRSF string, A9 init window, A14 close styles;
+    basic_flow.rs RST handling + tcp_flag_stats.rs:49-106)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(_packet_table(spark, sf_dir, tcp=True), cfg)
+    return flows.select(
+        "flow_key",
+        F.col("protocol").cast("long").alias("protocol"),
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        "close_style",
+        F.col("handshake_completed").cast("long").alias("handshake_completed"),
+        F.col("reset_before_handshake").cast("long").alias("reset_before_handshake"),
+        F.col("reset_after_handshake").cast("long").alias("reset_after_handshake"),
+        "flags",
+        F.col("fwd_rst_flag_count").cast("long").alias("fwd_rst_flag_count"),
+        F.col("bwd_rst_flag_count").cast("long").alias("bwd_rst_flag_count"),
+        F.col("fwd_psh_flag_count").cast("long").alias("fwd_psh_flag_count"),
+        F.col("bwd_psh_flag_count").cast("long").alias("bwd_psh_flag_count"),
+        F.col("fwd_packet_len_count").cast("long").alias("fwd_packet_count"),
+        F.col("bwd_packet_len_count").cast("long").alias("bwd_packet_count"),
+        F.col("fwd_init_window_size").cast("long").alias("fwd_init_window_size"),
+        F.col("bwd_init_window_size").cast("long").alias("bwd_init_window_size"),
+        F.col("subflow_count").cast("long").alias("subflow_count"),
+    )
+
+
+_Q_TCP_RST_SQL = f"""
+WITH pk AS ({_pk_sql(tcp=True)}),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                WHEN lag(rst) OVER w = 1 THEN 1
+                ELSE 0 END AS new_session,
+           ts_us - lag(ts_us) OVER w AS gap_us
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid,
+           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS ig
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s,
+           row_number() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts_us DESC, event_seq DESC) AS rn_last
+    FROM sess
+), rows3 AS (
+    SELECT *, (is_c2s = first_c2s) AS is_fwd,
+           row_number() OVER (PARTITION BY user_id, sid, is_c2s = first_c2s
+                              ORDER BY ts_us, event_seq) AS dir_rn
+    FROM rows2
+), agg AS (
+    SELECT user_id, sid,
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           max(CASE WHEN rn_last = 1 THEN rst ELSE 0 END) AS ends_rst,
+           CAST(coalesce(sum(rst) FILTER (WHERE is_fwd), 0) AS BIGINT)
+               AS fwd_rst_flag_count,
+           CAST(coalesce(sum(rst) FILTER (WHERE NOT is_fwd), 0) AS BIGINT)
+               AS bwd_rst_flag_count,
+           CAST(coalesce(sum(psh) FILTER (WHERE is_fwd), 0) AS BIGINT)
+               AS fwd_psh_flag_count,
+           CAST(coalesce(sum(psh) FILTER (WHERE NOT is_fwd), 0) AS BIGINT)
+               AS bwd_psh_flag_count,
+           CAST(count(*) FILTER (WHERE is_fwd) AS BIGINT) AS fwd_packet_count,
+           CAST(count(*) FILTER (WHERE NOT is_fwd) AS BIGINT) AS bwd_packet_count,
+           CAST(coalesce(max(CASE WHEN dir_rn = 1 AND is_fwd
+                                  THEN window_size END), 0) AS BIGINT)
+               AS fwd_init_window_size,
+           CAST(coalesce(max(CASE WHEN dir_rn = 1 AND NOT is_fwd
+                                  THEN window_size END), 0) AS BIGINT)
+               AS bwd_init_window_size,
+           CAST(1 + count(*) FILTER (WHERE ig > 1000000) AS BIGINT) AS subflow_count
+    FROM rows3 GROUP BY user_id, sid
+), meta AS (
+    SELECT *,
+           lead(first_ts_us) OVER (PARTITION BY user_id ORDER BY sid) AS next_first
+    FROM agg
+)
+SELECT
+    {_flow_key_sql(6)} AS flow_key,
+    CAST(6 AS BIGINT) AS protocol,
+    first_ts_us, last_ts_us, duration_us,
+    CASE WHEN ends_rst = 1 THEN 'TCP Reset'
+         WHEN next_first IS NULL THEN 'Exporter Shutdown'
+         ELSE 'Idle Timeout' END AS cause,
+    CASE WHEN ends_rst = 1 THEN 'reset' ELSE 'none' END AS close_style,
+    CAST(0 AS BIGINT) AS handshake_completed,
+    CAST(ends_rst AS BIGINT) AS reset_before_handshake,
+    CAST(0 AS BIGINT) AS reset_after_handshake,
+    concat('..',
+           CASE WHEN fwd_psh_flag_count + bwd_psh_flag_count > 0
+                THEN 'P' ELSE '.' END,
+           CASE WHEN fwd_rst_flag_count + bwd_rst_flag_count > 0
+                THEN 'R' ELSE '.' END,
+           '..') AS flags,
+    fwd_rst_flag_count, bwd_rst_flag_count,
+    fwd_psh_flag_count, bwd_psh_flag_count,
+    fwd_packet_count, bwd_packet_count,
+    fwd_init_window_size, bwd_init_window_size,
+    subflow_count
+FROM meta
+"""
+
+
+def q_flow_active_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packet path with a FINITE active timeout (T2): the recursive
+    active-window split (flow_table.rs:132-153 expiry-before-apply), oracled
+    with a DuckDB recursive CTE that replays the per-row segment-start
+    chain exactly."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(active_timeout=3600, idle_timeout=IDLE_S, scan_mode="none")
+    flows = sessionize_packets(_packet_table(spark, sf_dir, tcp=False), cfg)
+    return flows.select(
+        "flow_key",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
+        .cast("long")
+        .alias("packet_count"),
+    )
+
+
+_ACTIVE_CUT_US = (3600 + 1) * 1_000_000
+
+_Q_ACTIVE_SQL = f"""
+WITH RECURSIVE pk AS ({_pk_sql(tcp=False)}),
+numbered AS (
+    SELECT user_id, ts_us, event_seq, is_c2s, cip,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_seq) AS rn
+    FROM pk
+), chain AS (
+    SELECT user_id, rn, ts_us, is_c2s, cip, ts_us AS seg_start
+    FROM numbered WHERE rn = 1
+    UNION ALL
+    SELECT n.user_id, n.rn, n.ts_us, n.is_c2s, n.cip,
+           CASE WHEN n.ts_us - c.ts_us >= {_IDLE_CUT_US}
+                  OR n.ts_us >= c.seg_start + {_ACTIVE_CUT_US}
+                THEN n.ts_us ELSE c.seg_start END
+    FROM numbered n JOIN chain c ON n.user_id = c.user_id AND n.rn = c.rn + 1
+), agg AS (
+    SELECT user_id, seg_start,
+           max(cip) AS cip,
+           max(CASE WHEN rn = mn THEN CASE WHEN is_c2s THEN 1 ELSE 0 END END)
+               AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           CAST(count(*) AS BIGINT) AS packet_count
+    FROM (SELECT *, min(rn) OVER (PARTITION BY user_id, seg_start) AS mn FROM chain)
+    GROUP BY user_id, seg_start
+), meta AS (
+    SELECT *,
+           lead(first_ts_us) OVER (PARTITION BY user_id ORDER BY first_ts_us)
+               AS next_first
+    FROM agg
+)
+SELECT
+    {_flow_key_sql(17)} AS flow_key,
+    first_ts_us, last_ts_us, duration_us,
+    CASE WHEN next_first IS NULL THEN 'Exporter Shutdown'
+         WHEN next_first >= first_ts_us + {_ACTIVE_CUT_US} THEN 'Active Timeout'
+         ELSE 'Idle Timeout' END AS cause,
+    packet_count
+FROM meta
+"""
+
+
+def q_flow_scan_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packet path with the virtual-time expiry scan enabled (T6,
+    scan_mode='exact'): close timestamps come from the reproduced scan
+    timeline (flow_table.rs:207-245), visible through the trailing-idle
+    statistic and last-session causes."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S,
+        idle_timeout=IDLE_S,
+        scan_mode="exact",
+        expiration_check_interval=7200,
+    )
+    flows = sessionize_packets(_packet_table(spark, sf_dir, tcp=False), cfg)
+    return flows.select(
+        "flow_key",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
+        .cast("long")
+        .alias("packet_count"),
+        F.col("idle_count").cast("long").alias("idle_count"),
+        "idle_total",
+        "idle_max",
+    )
+
+
+_SCAN_INTERVAL_US = 7200 * 1_000_000
+
+_Q_SCAN_SQL = f"""
+WITH RECURSIVE pk AS ({_pk_sql(tcp=False)}),
+scans AS (
+    SELECT (SELECT min(ts_us) FROM pk) AS st
+    UNION ALL
+    SELECT (SELECT min(ts_us) FROM pk WHERE ts_us >= s.st + {_SCAN_INTERVAL_US})
+    FROM scans s
+    WHERE (SELECT min(ts_us) FROM pk
+           WHERE ts_us >= s.st + {_SCAN_INTERVAL_US}) IS NOT NULL
+), flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                ELSE 0 END AS new_session,
+           ts_us - lag(ts_us) OVER w AS gap_us
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid,
+           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS ig
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s
+    FROM sess
+), agg AS (
+    SELECT user_id, sid,
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           CAST(count(*) AS BIGINT) AS packet_count,
+           CAST(count(*) FILTER (WHERE ig > 5000000) AS BIGINT) AS big_cnt,
+           coalesce(sum(ig) FILTER (WHERE ig > 5000000), 0) AS big_sum,
+           coalesce(max(ig) FILTER (WHERE ig > 5000000), 0) AS big_max
+    FROM rows2 GROUP BY user_id, sid
+), meta AS (
+    SELECT a.*,
+           lead(a.first_ts_us) OVER (PARTITION BY a.user_id ORDER BY a.sid)
+               AS next_first,
+           (SELECT min(st) FROM scans
+            WHERE st >= a.last_ts_us + {_IDLE_CUT_US}) AS scan_close
+    FROM agg a
+), closed AS (
+    SELECT *,
+           CASE WHEN scan_close IS NOT NULL AND next_first IS NOT NULL
+                THEN least(scan_close, next_first)
+                ELSE coalesce(scan_close, next_first) END AS close_ts
+    FROM meta
+)
+SELECT
+    {_flow_key_sql(17)} AS flow_key,
+    first_ts_us, last_ts_us, duration_us,
+    CASE WHEN close_ts IS NULL THEN 'Exporter Shutdown'
+         ELSE 'Idle Timeout' END AS cause,
+    packet_count,
+    CAST(big_cnt + CASE WHEN close_ts IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        AS idle_count,
+    CAST(big_sum + coalesce(close_ts - last_ts_us, 0) AS DOUBLE) / 1000.0
+        AS idle_total,
+    CAST(greatest(big_max, coalesce(close_ts - last_ts_us, 0)) AS DOUBLE) / 1000.0
+        AS idle_max
+FROM closed
+"""
+
+
+# --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
 
@@ -680,6 +1270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "lag_features": q_lag_features,
         "rolling_features": q_rolling_features,
+        "flow_cic_udp": q_flow_cic_udp,
+        "flow_tcp_rst": q_flow_tcp_rst,
+        "flow_active_timeout": q_flow_active_timeout,
+        "flow_scan_close": q_flow_scan_close,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "langid": q_langid,
@@ -701,4 +1295,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _Q_ASOF_SQL,
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
+        "flow_cic_udp": _Q_CIC_UDP_SQL,
+        "flow_tcp_rst": _Q_TCP_RST_SQL,
+        "flow_active_timeout": _Q_ACTIVE_SQL,
+        "flow_scan_close": _Q_SCAN_SQL,
     }
