@@ -584,7 +584,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language ID over documents (rows-only check)."""
+    """Heuristic language ID over documents (pure Catalyst argmax over
+    stopword-marker hits; operators/textstats.py)."""
     _ensure_package_shipped(spark)
     from rustiflow_spark.operators.textstats import language_id
 
@@ -594,6 +595,42 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_pred",
         F.col("lang_pred_hits").cast("long").alias("lang_pred_hits"),
     )
+
+
+def _langid_hits_sql(markers: list[str]) -> str:
+    arr = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_intersect(list_distinct("
+        "regexp_split_to_array(lower(trim(text)), '\\s+')), [" + arr + "]))"
+    )
+
+
+def _langid_sql() -> str:
+    """DuckDB mirror of language_id: argmax by (hits, lang) — ties resolve
+    to the lexicographically greatest language, matching Spark's
+    array_max over (hits, lang) structs."""
+    from rustiflow_spark.operators.textstats import _LANG_MARKERS
+
+    hit_cols = ",\n           ".join(
+        f"{_langid_hits_sql(m)} AS hits_{lang}" for lang, m in sorted(_LANG_MARKERS.items())
+    )
+    langs_desc = sorted(_LANG_MARKERS, reverse=True)
+    best = "greatest(" + ", ".join(f"hits_{la}" for la in sorted(_LANG_MARKERS)) + ")"
+    pick = " ".join(
+        f"WHEN hits_{la} = {best} THEN '{la}'" for la in langs_desc[:-1]
+    )
+    return f"""
+WITH h AS (
+    SELECT doc_id,
+           {hit_cols}
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {best} = 0 THEN 'unknown' {pick} ELSE '{langs_desc[-1]}' END
+           AS lang_pred,
+       CAST({best} AS BIGINT) AS lang_pred_hits
+FROM h
+"""
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,36 +652,37 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
-    the full pipeline — sessionize by source + lag features. Rows-only
-    check (token arrays are not SQL-expressible portably)."""
+    the full pipeline — sessionize by source (terminator cuts + a FINITE
+    active timeout, T2) + lag features over session history.
+
+    Event times are pure doc_id arithmetic (doc_id div 20 == the per-source
+    rank, since source = 'src' || doc_id % 20): no global window over a
+    source's documents, so the synthesis itself scales."""
     _ensure_package_shipped(spark)
     from rustiflow_spark.config import EngineConfig
     from rustiflow_spark.pipeline import token_feature_pipeline
 
-    from pyspark.sql import Window
-
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    rank = F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
     tokens = docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("orig_doc_id"),
+        F.lit("all").alias("doc_id"),
         F.expr(
             "transform(split(text, ' '), w -> CAST(length(w) * 31 + ascii(w) AS INT))"
         ).alias("tokens"),
         F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
         "source",
-        # events 60 s apart within each source -> multi-event sessions cut
-        # by terminator events (doc_id % 11)
-        (F.lit(1_700_000_000_000_000) + rank.cast("long") * 60_000_000).alias("ts_us"),
+        # events exactly 60 s apart within each source -> sessions cut by
+        # terminator events (doc_id % 11) and the 240 s active timeout
+        (
+            F.lit(1_700_000_000_000_000)
+            + F.expr("doc_id div 20") * F.lit(60_000_000)
+        ).alias("ts_us"),
         (F.col("doc_id") % 2).cast("int").alias("direction"),
         F.when(F.col("doc_id") % 11 == 0, 1).otherwise(0).cast("int").alias("terminator"),
         F.col("doc_id").alias("event_seq"),
     )
-    # one session stream per source (doc events 1 min apart)
-    renamed = tokens.withColumnRenamed("doc_id", "orig_doc_id").withColumn(
-        "doc_id", F.lit("all")
-    )
-    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=600, scan_mode="none")
-    out = token_feature_pipeline(renamed, cfg, lags=[1])
+    cfg = EngineConfig(active_timeout=240, idle_timeout=600, scan_mode="none")
+    out = token_feature_pipeline(tokens, cfg, lags=[1])
     return out.select(
         "source",
         F.col("session_index").cast("long").alias("session_index"),
@@ -655,6 +693,70 @@ def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("n_tok_mean", 6).alias("n_tok_mean"),
         F.round("n_tok_total_lag1", 6).alias("n_tok_total_lag1"),
     )
+
+
+# DuckDB mirror of the token pipeline. Within a source, events are exactly
+# 60 s apart, so the active-timeout recursion (split at the first event with
+# ts >= seg_start + 241 s) lands deterministically on every 5th event of a
+# terminator-run — expressible as pos-in-run div 5 without recursion.
+_Q_TOKEN_SQL = """
+WITH ev AS (
+    SELECT source,
+           doc_id AS event_seq,
+           1700000000000000 + (doc_id // 20) * 60000000 AS ts_us,
+           CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS terminator,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents
+), runs AS (
+    SELECT *,
+           CASE WHEN lag(terminator) OVER w IS NULL THEN 1
+                WHEN lag(terminator) OVER w = 1 THEN 1
+                ELSE 0 END AS new_run
+    FROM ev WINDOW w AS (PARTITION BY source ORDER BY ts_us, event_seq)
+), rid AS (
+    SELECT *,
+           sum(new_run) OVER (PARTITION BY source ORDER BY ts_us, event_seq
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM runs
+), segd AS (
+    SELECT *,
+           (row_number() OVER (PARTITION BY source, run_id
+                               ORDER BY ts_us, event_seq) - 1) // 5 AS seg_no
+    FROM rid
+), agg AS (
+    SELECT source, run_id, seg_no,
+           min(ts_us) AS first_ts_us,
+           CAST(count(*) AS BIGINT) AS event_count,
+           CAST(sum(n_tok) AS DOUBLE) AS n_tok_total,
+           CAST(sum(n_tok) AS DOUBLE) / count(*) AS n_tok_mean,
+           max(CASE WHEN rn_last = 1 THEN terminator ELSE 0 END) AS ends_term
+    FROM (SELECT *, row_number() OVER (PARTITION BY source, run_id, seg_no
+                                       ORDER BY ts_us DESC, event_seq DESC)
+                        AS rn_last
+          FROM segd)
+    GROUP BY source, run_id, seg_no
+), meta AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY source ORDER BY first_ts_us) - 1
+               AS session_index,
+           lead(first_ts_us) OVER (PARTITION BY source ORDER BY first_ts_us)
+               AS next_first
+    FROM agg
+)
+SELECT source,
+       CAST(session_index AS BIGINT) AS session_index,
+       first_ts_us,
+       CASE WHEN ends_term = 1 THEN 'TCP Normal Termination'
+            WHEN next_first IS NULL THEN 'Exporter Shutdown'
+            WHEN next_first >= first_ts_us + 241000000 THEN 'Active Timeout'
+            ELSE 'Idle Timeout' END AS cause,
+       event_count,
+       round(n_tok_total, 6) AS n_tok_total,
+       round(n_tok_mean, 6) AS n_tok_mean,
+       round(lag(n_tok_total) OVER (PARTITION BY source ORDER BY session_index), 6)
+           AS n_tok_total_lag1
+FROM meta
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1299,4 +1401,6 @@ def oracle_sql() -> dict[str, str]:
         "flow_tcp_rst": _Q_TCP_RST_SQL,
         "flow_active_timeout": _Q_ACTIVE_SQL,
         "flow_scan_close": _Q_SCAN_SQL,
+        "token_pipeline": _Q_TOKEN_SQL,
+        "langid": _langid_sql(),
     }
