@@ -28,8 +28,15 @@ from rustiflow_spark.config import (
     SYN_FLAG,
     EngineConfig,
 )
+from rustiflow_spark.config import CLOSE_NONE
 from rustiflow_spark.kernel.flow_kernel import Session, segment_biflow
-from rustiflow_spark.kernel.segmented import _seg_bounds, _seg_stats
+from rustiflow_spark.kernel.segmented import (
+    _CAUSE_STRINGS,
+    _seg_bounds,
+    _seg_stats,
+    close_sessions,
+    segment_block,
+)
 
 U32_MAX = 0xFFFFFFFF
 
@@ -64,37 +71,148 @@ def _first_last_per_segment(ts: np.ndarray, rows: np.ndarray, seg_of_row: np.nda
 
 def segment_groups(
     g: dict[str, np.ndarray], cfg: EngineConfig, scan_times: np.ndarray, flush_ts: int
-) -> tuple[np.ndarray, list[Session]]:
-    """Per-biflow segmentation over a sorted block. Returns (group start
-    indices, flat session list with absolute start/end)."""
+) -> dict[str, np.ndarray]:
+    """Per-biflow segmentation over a sorted block, vectorized across groups
+    for the common case.
+
+    Groups without TCP control flags (all non-TCP traffic plus flagless TCP)
+    are segmented block-wide with segmented NumPy (segment_block +
+    close_sessions) — zero per-group Python. Only TCP biflows that carry at
+    least one FIN/RST/SYN run the per-group lifecycle state machine
+    (segment_biflow), exactly the rows whose cuts are control-driven
+    (basic_flow.rs:155-191). Both paths produce identical sessions for
+    flagless groups (asserted by tests/test_packet_vectorized.py).
+
+    Returns per-session arrays sorted by start row: starts, ends (exclusive),
+    cause (object), close_ts, closed, close_style (object), handshake,
+    reset_before, reset_after (int64).
+    """
     key_ids = g["key_id"]
     n = key_ids.size
-    grp_start = np.flatnonzero(np.concatenate(([True], key_ids[1:] != key_ids[:-1])))
-    grp_end = np.append(grp_start[1:], n)
     ts = g["ts_us"]
     dir_a = g["dir_a"]
     proto = g["protocol"]
-    sessions: list[Session] = []
-    for s, e in zip(grp_start, grp_end):
-        protocol = int(proto[s])
-        tcp_ctl = None
-        if protocol == PROTO_TCP:
-            tcp_ctl = {
-                "fin": g["fin_flag"][s:e],
-                "rst": g["rst_flag"][s:e],
-                "syn": g["syn_flag"][s:e],
-                "ack": g["ack_flag"][s:e],
-                "seq": g["sequence_number"][s:e],
-                "ack_seq": g["sequence_number_ack"][s:e],
-                "data_len": g["data_length"][s:e],
-            }
-        for sess in segment_biflow(
-            ts[s:e], dir_a[s:e], protocol, tcp_ctl, cfg, scan_times, flush_ts
-        ):
-            sess.start += s
-            sess.end += s
-            sessions.append(sess)
-    return grp_start, sessions
+    grp_start = np.flatnonzero(np.concatenate(([True], key_ids[1:] != key_ids[:-1])))
+    grp_end = np.append(grp_start[1:], n)
+    ngroups = grp_start.size
+
+    # control groups: TCP biflows with >= 1 fin/rst/syn packet
+    ctlrow = (
+        ((g["fin_flag"] > 0) | (g["rst_flag"] > 0) | (g["syn_flag"] > 0))
+        & (proto == PROTO_TCP)
+    )
+    grp_of_row = np.zeros(n, dtype=np.int64)
+    grp_of_row[grp_start[1:]] = 1
+    np.cumsum(grp_of_row, out=grp_of_row)
+    ctl_grp = np.bincount(grp_of_row[ctlrow], minlength=ngroups) > 0
+    row_is_ctl = ctl_grp[grp_of_row]
+
+    starts_parts: list[np.ndarray] = []
+    ends_parts: list[np.ndarray] = []
+    cause_parts: list[np.ndarray] = []
+    close_parts: list[np.ndarray] = []
+    closed_parts: list[np.ndarray] = []
+    style_parts: list[np.ndarray] = []
+    hs_parts: list[np.ndarray] = []
+    rb_parts: list[np.ndarray] = []
+    ra_parts: list[np.ndarray] = []
+
+    nc_rows = np.flatnonzero(~row_is_ctl)
+    if nc_rows.size:
+        sub_keys = key_ids[nc_rows]
+        sub_ts = ts[nc_rows]
+        zeros = np.zeros(nc_rows.size, dtype=np.int64)
+        starts_l = segment_block(sub_keys, sub_ts, zeros, cfg)
+        ends_l = np.append(starts_l[1:], nc_rows.size)
+        codes, close_ts_nc, closed_nc = close_sessions(
+            starts_l, ends_l, sub_keys, sub_ts, zeros, cfg, scan_times, flush_ts
+        )
+        # groups are wholly control or wholly not, so sessions tile their
+        # group contiguously in absolute row space too
+        starts_parts.append(nc_rows[starts_l])
+        ends_parts.append(nc_rows[ends_l - 1] + 1)
+        cause_parts.append(_CAUSE_STRINGS[codes])
+        close_parts.append(close_ts_nc)
+        closed_parts.append(closed_nc)
+        sess_proto = proto[nc_rows[starts_l]]
+        style_parts.append(
+            np.where(sess_proto == PROTO_TCP, CLOSE_NONE, CLOSE_NOT_APPLICABLE).astype(
+                object
+            )
+        )
+        m = starts_l.size
+        hs_parts.append(np.zeros(m, dtype=np.int64))
+        rb_parts.append(np.zeros(m, dtype=np.int64))
+        ra_parts.append(np.zeros(m, dtype=np.int64))
+
+    for gi in np.flatnonzero(ctl_grp):
+        s, e = int(grp_start[gi]), int(grp_end[gi])
+        tcp_ctl = {
+            "fin": g["fin_flag"][s:e],
+            "rst": g["rst_flag"][s:e],
+            "syn": g["syn_flag"][s:e],
+            "ack": g["ack_flag"][s:e],
+            "seq": g["sequence_number"][s:e],
+            "ack_seq": g["sequence_number_ack"][s:e],
+            "data_len": g["data_length"][s:e],
+        }
+        sess_list = segment_biflow(
+            ts[s:e], dir_a[s:e], PROTO_TCP, tcp_ctl, cfg, scan_times, flush_ts
+        )
+        if any(sess.snapshot_of >= 0 for sess in sess_list):
+            raise NotImplementedError(
+                "early-export snapshots use the per-group kernel path"
+            )
+        m = len(sess_list)
+        starts_parts.append(
+            np.fromiter((x.start + s for x in sess_list), dtype=np.int64, count=m)
+        )
+        ends_parts.append(
+            np.fromiter((x.end + s for x in sess_list), dtype=np.int64, count=m)
+        )
+        cause_parts.append(np.array([x.cause for x in sess_list], dtype=object))
+        close_parts.append(
+            np.fromiter((x.close_ts for x in sess_list), dtype=np.int64, count=m)
+        )
+        closed_parts.append(
+            np.fromiter((x.closed for x in sess_list), dtype=bool, count=m)
+        )
+        style_parts.append(np.array([x.close_style for x in sess_list], dtype=object))
+        hs_parts.append(
+            np.fromiter(
+                (int(x.handshake_completed) for x in sess_list), dtype=np.int64, count=m
+            )
+        )
+        rb_parts.append(
+            np.fromiter(
+                (int(x.reset_before_handshake) for x in sess_list),
+                dtype=np.int64,
+                count=m,
+            )
+        )
+        ra_parts.append(
+            np.fromiter(
+                (int(x.reset_after_handshake) for x in sess_list),
+                dtype=np.int64,
+                count=m,
+            )
+        )
+
+    if not starts_parts:
+        return {"starts": np.empty(0, dtype=np.int64)}
+    starts = np.concatenate(starts_parts)
+    order = np.argsort(starts, kind="stable")
+    return {
+        "starts": starts[order],
+        "ends": np.concatenate(ends_parts)[order],
+        "cause": np.concatenate(cause_parts)[order],
+        "close_ts": np.concatenate(close_parts)[order],
+        "closed": np.concatenate(closed_parts)[order],
+        "close_style": np.concatenate(style_parts)[order],
+        "handshake": np.concatenate(hs_parts)[order],
+        "reset_before": np.concatenate(rb_parts)[order],
+        "reset_after": np.concatenate(ra_parts)[order],
+    }
 
 
 def featurize_packet_block(
@@ -111,37 +229,29 @@ def featurize_packet_block(
     (object dtype): key_ip_a, key_port_a, key_ip_b, key_port_b.
     Returns superset column arrays (schema.FLOW_SUPERSET_COLUMNS).
     """
-    _, sessions = segment_groups(g, cfg, scan_times, flush_ts)
-    nsess = len(sessions)
+    segd = segment_groups(g, cfg, scan_times, flush_ts)
+    starts = segd["starts"]
+    nsess = starts.size
     out: dict[str, np.ndarray] = {}
     if nsess == 0:
         return {"__empty": np.empty(0)}
 
     ts = g["ts_us"]
     n = ts.size
-    starts = np.fromiter((s.start for s in sessions), dtype=np.int64, count=nsess)
-    ends = np.fromiter((s.end for s in sessions), dtype=np.int64, count=nsess)
-    closed = np.fromiter((s.closed for s in sessions), dtype=bool, count=nsess)
-    close_ts = np.fromiter((s.close_ts for s in sessions), dtype=np.int64, count=nsess)
-    cause = np.array([s.cause for s in sessions], dtype=object)
+    ends = segd["ends"]
+    closed = segd["closed"]
+    close_ts = segd["close_ts"]
+    cause = segd["cause"]
 
-    # snapshots (early export) may overlap their parent session; build a
-    # row->session map only when sessions tile the block contiguously
-    has_snapshots = any(s.snapshot_of >= 0 for s in sessions)
-    if has_snapshots:
-        raise NotImplementedError(
-            "early-export snapshots use the per-group kernel path"
-        )
-    order = np.argsort(starts, kind="stable")
-    inv = np.empty(nsess, dtype=np.int64)
-    inv[order] = np.arange(nsess)
+    # sessions arrive sorted by start row and tile the block contiguously
+    # (segment_groups raises for early-export snapshots), so array order IS
+    # contiguous row order
+    order = np.arange(nsess)
+    inv = order
     seg_of_row = np.zeros(n, dtype=np.int64)
-    seg_of_row[starts[order][1:]] = 1
+    seg_of_row[starts[1:]] = 1
     seg_of_row = np.cumsum(seg_of_row)
-    # map contiguous ordinal back to session list order
-    sess_of_row = order[seg_of_row]
-    # For segmented reductions we need seg ids sorted -> use the ordinal
-    # (contiguous) numbering, then permute outputs back via `order`.
+    sess_of_row = seg_of_row
 
     counts = ends - starts
     first_ts = ts[starts]
@@ -190,20 +300,10 @@ def featurize_packet_block(
     out["last_ts_us"] = last_ts
     out["duration_us"] = last_ts - first_ts
     out["cause"] = cause
-    out["close_style"] = np.where(
-        protocol != PROTO_TCP,
-        CLOSE_NOT_APPLICABLE,
-        np.array([s.close_style for s in sessions], dtype=object),
-    )
-    out["handshake_completed"] = np.fromiter(
-        (int(s.handshake_completed) for s in sessions), dtype=np.int64, count=nsess
-    )
-    out["reset_before_handshake"] = np.fromiter(
-        (int(s.reset_before_handshake) for s in sessions), dtype=np.int64, count=nsess
-    )
-    out["reset_after_handshake"] = np.fromiter(
-        (int(s.reset_after_handshake) for s in sessions), dtype=np.int64, count=nsess
-    )
+    out["close_style"] = segd["close_style"]
+    out["handshake_completed"] = segd["handshake"]
+    out["reset_before_handshake"] = segd["reset_before"]
+    out["reset_after_handshake"] = segd["reset_after"]
 
     # --- contiguous-order scaffolding --------------------------------------
     fwd_rows = np.flatnonzero(fwd_row)
@@ -397,18 +497,35 @@ def featurize_packet_block(
         else:
             out[f"{pre}_duplicate_ack_count"] = np.zeros(nsess, dtype=np.int64)
 
-    # retransmissions: loop only over sessions with >= 2 eligible segments
-    # in a direction (otherwise no overlap is possible)
+    # retransmissions: a vectorized necessary condition prunes the exact
+    # per-session scan to sessions that can possibly overlap. A segment can
+    # only overlap the union of PRIOR ranges if start < max(prior ends) AND
+    # end > min(prior starts) — segmented running max/min computed with the
+    # band-lift trick (values + seg_id * 2^33 make np.maximum.accumulate
+    # reset at session boundaries since end <= 2^32 < 2^33). In-order
+    # traffic (monotone sequence numbers) never enters Python here.
     ctl = ((flags_bm & SYN_FLAG) != 0).astype(np.int64) + ((flags_bm & FIN_FLAG) != 0).astype(np.int64)
     seg_len = dl + ctl
     eligible = is_tcp_row & ~((flags_bm == ACK_FLAG) & (dl == 0)) & (seg_len > 0)
     seq = g["sequence_number"]
+    _LIFT = np.int64(1) << 33
     for rows_dir, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
         rows = rows_dir[eligible[rows_dir]]
         res = np.zeros(nsess, dtype=np.int64)
         if rows.size:
-            cnt = np.bincount(seg_of_row[rows], minlength=nsess)
-            multi = np.flatnonzero(cnt >= 2)
+            seg_r = seg_of_row[rows]
+            start_v = seq[rows]
+            end_v = np.minimum(start_v + seg_len[rows], U32_MAX)
+            band = seg_r * _LIFT
+            cmax_end = np.maximum.accumulate(end_v + band)
+            cmin_start = np.minimum.accumulate(start_v - band)
+            cand = np.zeros(rows.size, dtype=bool)
+            if rows.size > 1:
+                cand[1:] = ((start_v[1:] + band[1:]) < cmax_end[:-1]) & (
+                    (end_v[1:] - band[1:]) > cmin_start[:-1]
+                )
+            cnt = np.bincount(seg_r, minlength=nsess)
+            multi = np.unique(seg_r[cand])
             bounds = _seg_bounds(cnt)
             for si in multi:
                 rr = rows[bounds[si] : bounds[si] + cnt[si]]
@@ -435,93 +552,67 @@ def featurize_packet_block(
                 res[si] = count
         out[f"{pre}_retransmission_count"] = res[inv]
 
-    # bulk: loop only over sessions with >= MIN_BULK_PACKETS nonzero-length
-    # packets in at least one direction (others cannot produce a bulk)
+    # bulk transfers, fully vectorized. The reference's interleaved 2-state
+    # machine (bulk_stats.rs:115-167; flow_kernel.compute_bulk) reduces to:
+    # a bulk attempt is a maximal run of CONSECUTIVE same-direction
+    # nonzero-length packets, additionally split where the intra-run gap
+    # exceeds BULK_IDLE_MS (a direction's pending bulk is finalized exactly
+    # when the other direction starts a fresh one, i.e. at every direction
+    # switch). A run is recorded iff it has >= MIN_BULK_PACKETS packets and
+    # is not the session-trailing run of an unclosed (terminated) flow.
     ts_ms = ts // 1000
     length_i = g["length"]
     nzrows = np.flatnonzero(length_i > 0)
-    bulk_out = {
-        f"{d}_bulk_{m}_{s}": np.zeros(nsess)
-        for d in ("fwd", "bwd")
-        for m in ("packets", "bytes", "duration")
-        for s in ("total", "mean", "std", "max", "min")
-    }
     for d in ("fwd", "bwd"):
         for m in ("packets", "bytes", "duration"):
-            bulk_out[f"{d}_bulk_{m}_count"] = np.zeros(nsess, dtype=np.int64)
-    bulk_rate = {"fwd": np.zeros(nsess), "bwd": np.zeros(nsess)}
+            for s_ in ("total", "mean", "std", "max", "min"):
+                out[f"{d}_bulk_{m}_{s_}"] = np.zeros(nsess)
+            out[f"{d}_bulk_{m}_count"] = np.zeros(nsess, dtype=np.int64)
+        out[f"{d}_bulk_rate"] = np.zeros(nsess)
     if nzrows.size:
-        nz_fwd_cnt = np.bincount(seg_of_row[nzrows[fwd_row[nzrows]]], minlength=nsess)
-        nz_bwd_cnt = np.bincount(seg_of_row[nzrows[~fwd_row[nzrows]]], minlength=nsess)
-        candidates = np.flatnonzero(
-            (nz_fwd_cnt >= MIN_BULK_PACKETS) | (nz_bwd_cnt >= MIN_BULK_PACKETS)
-        )
-        if candidates.size:
-            cnt_all = np.bincount(seg_of_row[nzrows], minlength=nsess)
-            bounds_all = _seg_bounds(cnt_all)
-            fwd_nz = fwd_row[nzrows]
-            for si in candidates:
-                rr = slice(bounds_all[si], bounds_all[si] + cnt_all[si])
-                rows = nzrows[rr]
-                fw = fwd_nz[rr]
-                res = _bulk_session(ts_ms[rows], length_i[rows], fw, bool(closed_c[si]))
-                for d in ("fwd", "bwd"):
-                    sizes, packets, durs = res[d]
-                    if packets:
-                        ps = np.asarray(packets, dtype=np.float64)
-                        ss = np.asarray(sizes, dtype=np.float64)
-                        ds = np.asarray(durs, dtype=np.float64)
-                        for name, arr in (("packets", ps), ("bytes", ss), ("duration", ds)):
-                            bulk_out[f"{d}_bulk_{name}_total"][si] = arr.sum()
-                            bulk_out[f"{d}_bulk_{name}_mean"][si] = arr.mean()
-                            bulk_out[f"{d}_bulk_{name}_std"][si] = arr.std()
-                            bulk_out[f"{d}_bulk_{name}_max"][si] = arr.max()
-                            bulk_out[f"{d}_bulk_{name}_min"][si] = arr.min()
-                            bulk_out[f"{d}_bulk_{name}_count"][si] = arr.size
-                        # rate quirk (bulk_stats.rs:65-78): ms totals / 1e6;
-                        # zero total duration -> +inf like Rust f64 division
-                        denom = ds.sum() / 1_000_000.0
-                        bulk_rate[d][si] = ss.sum() / denom if denom else np.inf
-    for k, v in bulk_out.items():
-        out[k] = v[inv] if v.dtype != np.int64 else v[inv].astype(np.int64)
-    out["fwd_bulk_rate"] = bulk_rate["fwd"][inv]
-    out["bwd_bulk_rate"] = bulk_rate["bwd"][inv]
+        nzsess = seg_of_row[nzrows]
+        nzdir = fwd_row[nzrows]
+        t_ms = ts_ms[nzrows]
+        ln = length_i[nzrows]
+        nb = nzrows.size
+        newrun = np.ones(nb, dtype=bool)
+        if nb > 1:
+            newrun[1:] = ~(
+                (nzsess[1:] == nzsess[:-1])
+                & (nzdir[1:] == nzdir[:-1])
+                & ((t_ms[1:] - t_ms[:-1]) <= BULK_IDLE_MS)
+            )
+        run_start = np.flatnonzero(newrun)
+        r_sess = nzsess[run_start]
+        r_dir = nzdir[run_start]
+        r_count = np.diff(np.append(run_start, nb)).astype(np.int64)
+        r_bytes = np.add.reduceat(ln, run_start)
+        r_dur = (
+            t_ms[np.append(run_start[1:], nb) - 1] - t_ms[run_start]
+        ).astype(np.int64)
+        is_last_run = np.ones(run_start.size, dtype=bool)
+        is_last_run[:-1] = r_sess[:-1] != r_sess[1:]
+        keep = (r_count >= MIN_BULK_PACKETS) & (~is_last_run | closed[r_sess])
+        for d_val, d in ((True, "fwd"), (False, "bwd")):
+            m = keep & (r_dir == d_val)
+            m_sess = r_sess[m]
+            for name, arr in (
+                ("packets", r_count[m].astype(np.float64)),
+                ("bytes", r_bytes[m].astype(np.float64)),
+                ("duration", r_dur[m].astype(np.float64)),
+            ):
+                tmp = {}
+                _seg_stats(arr, m_sess, nsess, f"{d}_bulk_{name}", tmp)
+                out.update(tmp)
+            # rate quirk (bulk_stats.rs:65-78): ms totals / 1e6; zero total
+            # duration with a recorded bulk -> +inf like Rust f64 division
+            b_tot = out[f"{d}_bulk_bytes_total"]
+            d_tot = out[f"{d}_bulk_duration_total"] / 1_000_000.0
+            has = out[f"{d}_bulk_packets_count"] > 0
+            rate = np.zeros(nsess)
+            pos = has & (d_tot > 0)
+            np.divide(b_tot, d_tot, out=rate, where=pos)
+            rate[has & (d_tot == 0)] = np.inf
+            out[f"{d}_bulk_rate"] = rate
 
-    return out
-
-
-def _bulk_session(ts_ms: np.ndarray, length: np.ndarray, fwd: np.ndarray, closed: bool):
-    """Bulk scan for one session's nonzero-length packets
-    (bulk_stats.rs:115-167 semantics; see flow_kernel.compute_bulk)."""
-    out = {"fwd": ([], [], []), "bwd": ([], [], [])}
-    state = {"fwd": None, "bwd": None}
-
-    def finalize(d):
-        b = state[d]
-        if b is not None and b[2] >= MIN_BULK_PACKETS:
-            sizes, packets, durs = out[d]
-            packets.append(float(b[2]))
-            sizes.append(float(b[3]))
-            durs.append(float(b[1] - b[0]))
-        state[d] = None
-
-    for i in range(ts_ms.size):
-        d = "fwd" if fwd[i] else "bwd"
-        t = int(ts_ms[i])
-        ln = int(length[i])
-        b = state[d]
-        if b is not None:
-            if t - b[1] > BULK_IDLE_MS:
-                finalize(d)
-                state[d] = [t, t, 1, ln]
-            else:
-                b[2] += 1
-                b[3] += ln
-                b[1] = t
-        else:
-            state[d] = [t, t, 1, ln]
-            finalize("bwd" if d == "fwd" else "fwd")
-    if closed:
-        finalize("fwd")
-        finalize("bwd")
     return out
