@@ -75,10 +75,14 @@ def run_with_checkpoints(
             part = bucketed.filter(F.col("__bucket") == b).drop("__bucket")
             result = process_fn(part)
             dest = os.path.join(out_path, f"bucket={b}")
+            # row count observed during the write job itself — no re-read of
+            # the bucket's output just to count rows
+            from pyspark.sql import Observation
+
+            obs = Observation(f"bucket_{b}_rows")
+            result = result.observe(obs, F.count(F.lit(1)).alias("n"))
             result.write.mode("overwrite").parquet(dest)
-            n = (
-                result.sparkSession.read.parquet(dest).count()
-            )
+            n = int(obs.get["n"])
             row = {
                 "bucket": b,
                 "fingerprint": fingerprint,

@@ -9,9 +9,12 @@ beats shipping both sides through Arrow at 100 TB. The plan:
 
     right' = right rows tagged 0, payload packed into one struct column
     left'  = left rows tagged 1, payload null
-    union  -> window over (by) ordered by (ts, tag, seq):
+    union  -> window over (by) ordered by (ts, tag, payload):
               last(payload, ignorenulls=True)  [backward-looking only]
     filter tag=1 -> unpack struct
+
+    The payload struct in the ordering makes ties on (key, ts) among right
+    rows deterministic (greatest payload wins) across runs and partitionings.
 
 Leakage-freedom is structural: the window is ROWS UNBOUNDED PRECEDING..
 CURRENT ROW, and right rows at ts == left ts sort before left rows
@@ -70,16 +73,28 @@ def asof_join(
     r = r.select(*by, "__ts", "__tag", "__payload", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by])
     unioned = l.unionByName(r)
 
+    # Deterministic tiebreak for multiple right rows at the same (key, ts):
+    # order by the payload struct itself, so the greatest payload wins
+    # regardless of partitioning/run (left rows are separated by __tag
+    # first, so their null payload never participates). Structs containing
+    # maps are not orderable in Spark — those fall back to tag-only order.
+    from pyspark.sql import types as T
+
+    orderable = not any(
+        isinstance(f.dataType, T.MapType)
+        for f in r.schema["__payload"].dataType.fields
+    )
+    tie = [F.asc("__payload")] if orderable else []
     if direction == "backward":
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.asc("__ts"), F.asc("__tag"))
+            .orderBy(F.asc("__ts"), F.asc("__tag"), *tie)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(*by)
-            .orderBy(F.desc("__ts"), F.asc("__tag"))
+            .orderBy(F.desc("__ts"), F.asc("__tag"), *tie)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))

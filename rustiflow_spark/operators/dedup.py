@@ -17,13 +17,23 @@ Operators:
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
+logger = logging.getLogger(__name__)
 
-def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
-    """Exact duplicate groups by content hash; keeper = min id."""
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str, max_members: int = 10_000
+) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id.
+
+    member_ids is sorted and truncated to max_members so one mega-duplicate
+    group (e.g. the empty document repeated billions of times) cannot blow
+    up a single aggregation buffer; `copies` stays exact."""
     h = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]))
     return (
         df.withColumn("content_hash", h)
@@ -31,9 +41,30 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count("*").alias("copies"),
-            F.collect_list(id_col).alias("member_ids"),
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, max_members).alias(
+                "member_ids"
+            ),
         )
     )
+
+
+def _drop_oversized_buckets(
+    banded: DataFrame, bucket_cols: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Remove rows whose LSH bucket exceeds max_bucket_size members.
+
+    A degenerate bucket (empty documents, boilerplate, the zero vector)
+    makes the bucket self-join quadratic: m members -> m^2/2 candidate
+    pairs. Capping bounds every bucket's fan-out at max_bucket_size^2/2
+    pairs. Oversized buckets are dropped entirely — at near-dup thresholds
+    they are degenerate content whose members are better handled by exact
+    dedup, and the other (bands - 1) bands still catch genuine near-dups
+    that happen to collide with a degenerate band. The size aggregate is
+    map-side combinable on the same keys as the join; the exclusion join is
+    a broadcast anti-join (oversized buckets are few by construction)."""
+    sizes = banded.groupBy(*bucket_cols).count()
+    oversized = sizes.filter(F.col("count") > max_bucket_size).select(*bucket_cols)
+    return banded.join(F.broadcast(oversized), bucket_cols, "left_anti")
 
 
 def _shingles(text_col: str, k: int):
@@ -68,12 +99,15 @@ def minhash_lsh_candidates(
     id_col: str,
     num_perm: int = 64,
     bands: int = 16,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over `minhash`.
 
     rows = num_perm / bands hashes per band; docs sharing any band bucket
     become one candidate pair (id_a < id_b). Pair estimation column
-    `est_jaccard` = fraction of equal minhash components."""
+    `est_jaccard` = fraction of equal minhash components. Buckets larger
+    than max_bucket_size are dropped before the self-join (see
+    _drop_oversized_buckets) so per-bucket fan-out is bounded."""
     rows_per_band = num_perm // bands
     banded = df.select(
         F.col(id_col).alias("__id"),
@@ -87,6 +121,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("__id", "minhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _drop_oversized_buckets(banded, ["band", "bh"], max_bucket_size)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -180,6 +215,15 @@ def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: 
         labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
         if not changed:
             break
+    else:
+        logger.warning(
+            "cluster_min_id stopped after max_iter=%d without converging: "
+            "components with diameter > %d keep split labels. Raise max_iter "
+            "(rounds needed = graph diameter; near-dup clusters are tiny, so "
+            "this indicates a degenerate chain).",
+            max_iter,
+            max_iter,
+        )
     return labels.select(F.col("src").alias(id_col), "cluster_id")
 
 
@@ -247,11 +291,16 @@ def _simhash_impl(df: DataFrame, id_col: str, text_col: str, shingle_k: int) -> 
 
 
 def simhash_neardup_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 3, bands: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming via banded
     16-bit chunks (pigeonhole: <=3 differing bits means >=1 of 4 bands
-    identical). Verify with bit_count on the XOR."""
+    identical). Verify with bit_count on the XOR. Buckets larger than
+    max_bucket_size are dropped before the self-join."""
     width = 64 // bands
     banded = sigs.select(
         F.col(id_col).alias("__id"),
@@ -264,6 +313,7 @@ def simhash_neardup_pairs(
             )
         ).alias("bb"),
     ).select("__id", "simhash", "bb.band", "bb.chunk")
+    banded = _drop_oversized_buckets(banded, ["band", "chunk"], max_bucket_size)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -299,10 +349,12 @@ def embedding_neardup(
     n_planes: int = 16,
     seed: int = 7,
     dim: int | None = None,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs: random-hyperplane LSH buckets (sign
     pattern of n_planes projections) then exact cosine verify inside
-    buckets. Deterministic planes from the seed."""
+    buckets. Deterministic planes from the seed. Buckets larger than
+    max_bucket_size are dropped before the self-join."""
     first = df.select(F.size(emb_col).alias("d")).first()
     d = dim or (first["d"] if first else 0)
     rng = np.random.RandomState(seed)
@@ -323,6 +375,7 @@ def embedding_neardup(
         .withColumn("bucket", sig)
         .drop("__planes")
     )
+    prepared = _drop_oversized_buckets(prepared, ["bucket"], max_bucket_size)
     a, b = prepared.alias("a"), prepared.alias("b")
     pairs = a.join(
         b,

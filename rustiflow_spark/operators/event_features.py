@@ -86,6 +86,7 @@ def sessionize_events(
     num_partitions: int | None = None,
     features: list[str] | None = None,
     next_ts_col: str | None = None,
+    flush_ts: int | None = None,
 ) -> DataFrame:
     """One row per session with the event feature vector (EVENT_FEATURE_COLUMNS).
 
@@ -105,7 +106,7 @@ def sessionize_events(
 
     cfg = cfg or EngineConfig()
     blocks = None if features is None else frozenset(features)
-    scan_times, flush_ts = compute_timeline(df, ts_col, cfg)
+    scan_times, flush_ts = compute_timeline(df, ts_col, cfg, flush_ts=flush_ts)
     schema = _feature_schema(df, key_cols, blocks)
     out_cols = [f.name for f in schema.fields]
     sort_cols = key_cols + [ts_col] + ([order_col] if order_col else [])
@@ -186,6 +187,7 @@ def assign_sessions(
     ts_col: str = "ts_us",
     terminator_col: str | None = "terminator",
     order_col: str | None = "event_seq",
+    flush_ts: int | None = None,
 ) -> DataFrame:
     """Annotate events with (session_index, session_cause); every input
     column — including array payloads like ``tokens`` — passes through
@@ -198,7 +200,7 @@ def assign_sessions(
     )
 
     cfg = cfg or EngineConfig()
-    scan_times, flush_ts = compute_timeline(df, ts_col, cfg)
+    scan_times, flush_ts = compute_timeline(df, ts_col, cfg, flush_ts=flush_ts)
     schema = T.StructType(
         list(df.schema.fields)
         + [

@@ -84,6 +84,7 @@ def sessionize_packets(
     cfg: EngineConfig | None = None,
     num_partitions: int | None = None,
     engine: str = "auto",
+    flush_ts: int | None = None,
 ) -> DataFrame:
     """Full sessionization: returns one row per exported flow with the
     feature superset columns (schema.FLOW_SUPERSET_SCHEMA).
@@ -94,11 +95,14 @@ def sessionize_packets(
     required for early-export snapshots); 'auto' picks vectorized unless
     early_export is configured. Both produce identical output (asserted by
     tests/test_packet_vectorized.py).
+
+    flush_ts: known max event timestamp (e.g. parquet/Iceberg column stats
+    via sources.tables.parquet_column_max) — skips the extra ts column scan.
     """
     cfg = cfg or EngineConfig()
     if engine == "auto":
         engine = "simple" if cfg.early_export is not None else "vectorized"
-    scan_times, flush_ts = compute_timeline(df, "ts_us", cfg)
+    scan_times, flush_ts = compute_timeline(df, "ts_us", cfg, flush_ts=flush_ts)
 
     keyed = with_canonical_key(df)
     if engine == "simple":

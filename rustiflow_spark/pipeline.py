@@ -28,16 +28,20 @@ def token_feature_pipeline(
     reference: DataFrame | None = None,
     features: list[str] | None = None,
     lags: list[int] = (1, 2),
+    flush_ts: int | None = None,
 ) -> DataFrame:
     """Session feature vectors with lag + optional as-of enrichment.
 
     reference: optional (source, doc_id, ts_us, <payload...>) table to
     as-of join against each session's first timestamp (backward,
     leakage-free).
+
+    flush_ts: known max event timestamp (parquet/Iceberg column statistics)
+    — avoids the extra ts column scan per run.
     """
     cfg = cfg or EngineConfig()
     key = ["source", "doc_id"]
-    sessions = sessionize_events(tokens, key, cfg, features=features)
+    sessions = sessionize_events(tokens, key, cfg, features=features, flush_ts=flush_ts)
     enriched = add_lag_lead_features(
         sessions,
         key,

@@ -36,6 +36,43 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str = "auto") -> Da
     return spark.read.parquet(path_or_table)
 
 
+def parquet_column_max(path: str, column: str) -> int | None:
+    """Max value of a column from parquet footer statistics only — zero data
+    pages read. Used to supply the engine's flush timestamp (the shard-global
+    max event time) without an extra full column scan per query; the Iceberg
+    analog is the manifest-level upper_bounds map.
+
+    Returns None when any row group lacks statistics for the column (the
+    caller then falls back to the aggregate scan).
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths: list[str] = []
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            paths.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    else:
+        paths = [path]
+    if not paths:
+        return None
+    best: int | None = None
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                return None
+            v = stats.max
+            best = v if best is None else max(best, v)
+    return best
+
+
 def write_table(
     df: DataFrame,
     path_or_table: str,

@@ -136,7 +136,13 @@ def sessionize_stream(
                 rows.append(r)
 
         if n_emit >= len(sessions):
-            state.remove()
+            # keep the per-key session ordinal across micro-batches: an
+            # empty buffer + the advanced base, with no timeout (an empty
+            # state never flushes). Removing state here would restart
+            # session_index at 0 for the key's next event and emit duplicate
+            # (key, session_index) rows, diverging from the batch path's
+            # continuous ordinal.
+            state.update(([], [], [], [], base + n_emit))
         else:
             s, e = sessions[-1][0], sessions[-1][1]
             state.update((

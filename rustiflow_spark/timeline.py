@@ -64,24 +64,36 @@ def scan_times_from_bucket_mins(
     return np.asarray(scans, dtype=np.int64)
 
 
-def compute_timeline(df, ts_col: str, cfg: EngineConfig) -> tuple[np.ndarray, int]:
+# 'exact' scan mode falls back to 'bucket' beyond this many distinct
+# timestamps rather than collecting them all to the driver
+EXACT_SCAN_MAX_TIMESTAMPS = 2_000_000
+
+
+def compute_timeline(
+    df, ts_col: str, cfg: EngineConfig, flush_ts: int | None = None
+) -> tuple[np.ndarray, int]:
     """Compute (scan_times, flush_ts) for a packet-event DataFrame.
 
     scan_mode 'exact' collects the sorted distinct timestamps (test scale /
-    single shard domain); 'none' returns an empty timeline. flush_ts is the
-    shard-global max event time (flow_table.rs:180; pcap.rs:277-285).
+    single shard domain) and degrades to 'bucket' past
+    EXACT_SCAN_MAX_TIMESTAMPS distinct values instead of OOMing the driver;
+    'none' returns an empty timeline. flush_ts is the shard-global max event
+    time (flow_table.rs:180; pcap.rs:277-285).
+
+    flush_ts: pass the known max event timestamp (e.g. from parquet/Iceberg
+    column statistics, sources.tables.parquet_column_max) to skip the extra
+    full column scan — with scan_mode 'none' the timeline then costs zero
+    Spark jobs.
     """
     from pyspark.sql import functions as F
 
-    agg = df.agg(F.max(ts_col).alias("mx")).collect()[0]
-    flush_ts = int(agg["mx"]) if agg["mx"] is not None else 0
+    if flush_ts is None:
+        agg = df.agg(F.max(ts_col).alias("mx")).collect()[0]
+        flush_ts = int(agg["mx"]) if agg["mx"] is not None else 0
     if cfg.scan_mode == "none":
         return np.empty(0, dtype=np.int64), flush_ts
-    if cfg.scan_mode == "exact":
-        rows = df.select(ts_col).distinct().orderBy(ts_col).collect()
-        ts_sorted = np.asarray([r[0] for r in rows], dtype=np.int64)
-        return scan_times_from_sorted(ts_sorted, cfg.check_interval_us), flush_ts
-    if cfg.scan_mode == "bucket":
+
+    def bucket_timeline() -> np.ndarray:
         bucket_us = max(cfg.check_interval_us // 64, 1)
         rows = (
             df.select((F.col(ts_col) / F.lit(bucket_us)).cast("long").alias("b"), F.col(ts_col))
@@ -91,5 +103,16 @@ def compute_timeline(df, ts_col: str, cfg: EngineConfig) -> tuple[np.ndarray, in
             .collect()
         )
         mins = np.asarray([r["mn"] for r in rows], dtype=np.int64)
-        return scan_times_from_bucket_mins(mins, cfg.check_interval_us, bucket_us), flush_ts
+        return scan_times_from_bucket_mins(mins, cfg.check_interval_us, bucket_us)
+
+    if cfg.scan_mode == "exact":
+        rows = (
+            df.select(ts_col).distinct().limit(EXACT_SCAN_MAX_TIMESTAMPS + 1).collect()
+        )
+        if len(rows) > EXACT_SCAN_MAX_TIMESTAMPS:
+            return bucket_timeline(), flush_ts
+        ts_sorted = np.sort(np.asarray([r[0] for r in rows], dtype=np.int64))
+        return scan_times_from_sorted(ts_sorted, cfg.check_interval_us), flush_ts
+    if cfg.scan_mode == "bucket":
+        return bucket_timeline(), flush_ts
     raise ValueError(f"unknown scan_mode: {cfg.scan_mode}")

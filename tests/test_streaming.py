@@ -63,3 +63,57 @@ def test_stream_matches_batch_closed_sessions(spark, tmp_path, n_docs):
     batch_keys = set(map(tuple, batch[key].itertuples(index=False)))
     got_keys = set(map(tuple, got[key].itertuples(index=False)))
     assert got_keys <= batch_keys
+
+
+def test_stream_session_index_continues_across_microbatches(spark, tmp_path):
+    """When a micro-batch flushes every session of a key (terminator-closed
+    trailing session), the per-key ordinal must survive into later
+    micro-batches — no duplicate (key, session_index) rows (ADVICE r1)."""
+    import time as _time
+
+    src_dir = tmp_path / "mb_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "mb_out")
+    ckpt = str(tmp_path / "mb_ckpt")
+
+    def events(ts_list, term_last, seq0):
+        return pd.DataFrame({
+            "doc_id": ["d"] * len(ts_list),
+            "n_tok": [float(10 + i) for i in range(len(ts_list))],
+            "source": ["s"] * len(ts_list),
+            "ts_us": np.asarray(ts_list, dtype=np.int64),
+            "direction": np.zeros(len(ts_list), dtype=np.int64),
+            "terminator": np.asarray(
+                [0] * (len(ts_list) - 1) + [1 if term_last else 0], dtype=np.int64
+            ),
+            "event_seq": np.arange(seq0, seq0 + len(ts_list), dtype=np.int64),
+        })
+
+    base = 1_700_000_000_000_000
+    sdf1 = spark.createDataFrame(events([base, base + 1_000_000, base + 2_000_000], True, 0))
+    sdf1.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f1.parquet"))
+    _time.sleep(1.1)  # distinct mod times => deterministic file order
+    sdf2 = spark.createDataFrame(
+        events([base + 50_000_000, base + 51_000_000], True, 10)
+    )
+    sdf2.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f2.parquet"))
+
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=120, scan_mode="none")
+    stream = (
+        spark.readStream.schema(sdf1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    features = sessionize_stream(stream, ["source", "doc_id"], cfg)
+    q = (
+        features.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    assert len(got) == 2, got
+    assert sorted(got["session_index"].tolist()) == [0, 1], got
+    assert set(got["cause"]) == {"TCP Normal Termination"}

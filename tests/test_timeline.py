@@ -35,3 +35,51 @@ def test_bucket_mode_error_bound():
     # exact scan's neighborhood; counts match within rounding drift
     assert np.isin(approx, ts).all()
     assert abs(len(approx) - len(exact)) <= max(2, len(exact) // 20)
+
+
+def test_parquet_footer_flush_matches_aggregate(spark):
+    """parquet_column_max (footer statistics, zero data pages) must agree
+    with the aggregate max the engine would otherwise compute per query."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.sources.tables import parquet_column_max
+
+    path = "/root/testdata/sf0.01/events.parquet"
+    mx = parquet_column_max(path, "ts")
+    assert mx is not None
+    td = mx - datetime.datetime(1970, 1, 1)
+    footer_us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    agg = (
+        spark.read.parquet(path)
+        .agg(
+            F.expr(
+                "max(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+            ).alias("mx")
+        )
+        .collect()[0]["mx"]
+    )
+    assert footer_us == int(agg)
+    assert parquet_column_max(path, "no_such_column") is None
+
+
+def test_sessionize_with_explicit_flush_matches_default(spark):
+    """Passing the footer-derived flush_ts must not change any output."""
+    import __spark_entry__ as em
+    from rustiflow_spark.operators.event_features import sessionize_events
+
+    ev = em._events(spark, "/root/testdata/sf0.001")
+    cfg = em._engine_cfg()
+    base = sessionize_events(ev, ["user_id"], cfg, value_col="value").toPandas()
+    flush = em._events_flush_us("/root/testdata/sf0.001")
+    assert flush is not None
+    fast = sessionize_events(
+        ev, ["user_id"], cfg, value_col="value", flush_ts=flush
+    ).toPandas()
+    key = ["user_id", "first_ts_us"]
+    base = base.sort_values(key).reset_index(drop=True)
+    fast = fast.sort_values(key).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, fast)

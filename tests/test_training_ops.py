@@ -206,3 +206,43 @@ def test_minhash_finds_planted_neardups_in_driver_documents(spark):
     pairs = verified.toPandas()
     assert len(pairs) >= 3
     assert (pairs["jaccard"] >= 0.99).all()
+
+
+def test_lsh_bucket_cap_bounds_degenerate_fanout(spark):
+    """A corpus dominated by one constant document must not go quadratic:
+    oversized LSH buckets are dropped before the self-join, while distinct
+    near-dup pairs outside the degenerate bucket still surface."""
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    n_const = 60
+    rows = [(i, "the exact same boilerplate text repeated everywhere")
+            for i in range(n_const)]
+    rows += [(1000, "a genuinely unique document about distributed joins"),
+             (1001, "a genuinely unique document about distributed joinz")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, "text")
+    # cap below the degenerate bucket size: its 60*59/2 = 1770 pairs vanish
+    cands = minhash_lsh_candidates(sigs, "doc_id", max_bucket_size=50).toPandas()
+    assert len(cands) <= 10, f"degenerate bucket leaked {len(cands)} pairs"
+    near = cands[(cands.id_a == 1000) & (cands.id_b == 1001)]
+    assert len(near) == 1, "genuine near-dup pair lost by the cap"
+    # without the cap the degenerate bucket explodes
+    uncapped = minhash_lsh_candidates(sigs, "doc_id", max_bucket_size=10**9).count()
+    assert uncapped >= n_const * (n_const - 1) // 2
+
+
+def test_exact_dedup_member_cap(spark):
+    from rustiflow_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "same") for i in range(20)] + [(99, "other")], ["doc_id", "text"]
+    )
+    out = exact_dedup(docs, ["text"], "doc_id", max_members=5).toPandas()
+    big = out[out.copies == 20].iloc[0]
+    assert big["keeper_id"] == 0 and len(big["member_ids"]) == 5
+    assert list(big["member_ids"]) == [0, 1, 2, 3, 4]
