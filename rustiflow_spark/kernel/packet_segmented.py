@@ -28,7 +28,7 @@ from rustiflow_spark.config import (
     SYN_FLAG,
     EngineConfig,
 )
-from rustiflow_spark.config import CLOSE_NONE
+from rustiflow_spark.config import CAUSE_NONE, CLOSE_NONE
 from rustiflow_spark.kernel.flow_kernel import Session, segment_biflow
 from rustiflow_spark.kernel.segmented import (
     _CAUSE_STRINGS,
@@ -85,7 +85,10 @@ def segment_groups(
 
     Returns per-session arrays sorted by start row: starts, ends (exclusive),
     cause (object), close_ts, closed, close_style (object), handshake,
-    reset_before, reset_after (int64).
+    reset_before, reset_after (int64). When cfg.early_export is set, a
+    second group of arrays with the "snap_" prefix carries the early-export
+    snapshots (flow_table.rs:155-177): one per packet past the threshold,
+    spanning the live session's prefix, cause 'None', closed False.
     """
     key_ids = g["key_id"]
     n = key_ids.size
@@ -117,6 +120,10 @@ def segment_groups(
     rb_parts: list[np.ndarray] = []
     ra_parts: list[np.ndarray] = []
 
+    snap_starts_parts: list[np.ndarray] = []
+    snap_ends_parts: list[np.ndarray] = []
+    snap_hs_parts: list[np.ndarray] = []
+
     nc_rows = np.flatnonzero(~row_is_ctl)
     if nc_rows.size:
         sub_keys = key_ids[nc_rows]
@@ -145,6 +152,20 @@ def segment_groups(
         rb_parts.append(np.zeros(m, dtype=np.int64))
         ra_parts.append(np.zeros(m, dtype=np.int64))
 
+        if cfg.early_export is not None:
+            # fast-path early export (flow_table.rs:155-177): every packet
+            # past the threshold snapshots the running flow. Vectorized:
+            # a row is a snapshot end iff ts >= session_first + (early+1)s.
+            seg_of = np.zeros(nc_rows.size, dtype=np.int64)
+            seg_of[starts_l[1:]] = 1
+            np.cumsum(seg_of, out=seg_of)
+            thr = sub_ts[starts_l][seg_of] + (cfg.early_export + 1) * 1_000_000
+            snap_l = np.flatnonzero(sub_ts >= thr)
+            if snap_l.size:
+                snap_starts_parts.append(nc_rows[starts_l[seg_of[snap_l]]])
+                snap_ends_parts.append(nc_rows[snap_l] + 1)
+                snap_hs_parts.append(np.zeros(snap_l.size, dtype=np.int64))
+
     for gi in np.flatnonzero(ctl_grp):
         s, e = int(grp_start[gi]), int(grp_end[gi])
         tcp_ctl = {
@@ -156,12 +177,23 @@ def segment_groups(
             "ack_seq": g["sequence_number_ack"][s:e],
             "data_len": g["data_length"][s:e],
         }
-        sess_list = segment_biflow(
+        all_sess = segment_biflow(
             ts[s:e], dir_a[s:e], PROTO_TCP, tcp_ctl, cfg, scan_times, flush_ts
         )
-        if any(sess.snapshot_of >= 0 for sess in sess_list):
-            raise NotImplementedError(
-                "early-export snapshots use the per-group kernel path"
+        sess_list = [x for x in all_sess if x.snapshot_of < 0]
+        snaps = [x for x in all_sess if x.snapshot_of >= 0]
+        if snaps:
+            ms = len(snaps)
+            snap_starts_parts.append(
+                np.fromiter((x.start + s for x in snaps), dtype=np.int64, count=ms)
+            )
+            snap_ends_parts.append(
+                np.fromiter((x.end + s for x in snaps), dtype=np.int64, count=ms)
+            )
+            snap_hs_parts.append(
+                np.fromiter(
+                    (int(x.handshake_completed) for x in snaps), dtype=np.int64, count=ms
+                )
             )
         m = len(sess_list)
         starts_parts.append(
@@ -202,7 +234,7 @@ def segment_groups(
         return {"starts": np.empty(0, dtype=np.int64)}
     starts = np.concatenate(starts_parts)
     order = np.argsort(starts, kind="stable")
-    return {
+    out = {
         "starts": starts[order],
         "ends": np.concatenate(ends_parts)[order],
         "cause": np.concatenate(cause_parts)[order],
@@ -213,6 +245,15 @@ def segment_groups(
         "reset_before": np.concatenate(rb_parts)[order],
         "reset_after": np.concatenate(ra_parts)[order],
     }
+    if snap_starts_parts:
+        s_starts = np.concatenate(snap_starts_parts)
+        s_ends = np.concatenate(snap_ends_parts)
+        s_hs = np.concatenate(snap_hs_parts)
+        so = np.lexsort((s_ends, s_starts))
+        out["snap_starts"] = s_starts[so]
+        out["snap_ends"] = s_ends[so]
+        out["snap_handshake"] = s_hs[so]
+    return out
 
 
 def featurize_packet_block(
@@ -242,10 +283,59 @@ def featurize_packet_block(
     closed = segd["closed"]
     close_ts = segd["close_ts"]
     cause = segd["cause"]
+    style = segd["close_style"]
+    handshake = segd["handshake"]
+    reset_before = segd["reset_before"]
+    reset_after = segd["reset_after"]
 
-    # sessions arrive sorted by start row and tile the block contiguously
-    # (segment_groups raises for early-export snapshots), so array order IS
-    # contiguous row order
+    snap_starts = segd.get("snap_starts")
+    if snap_starts is not None:
+        # Early-export snapshots overlap their parent session, so they can't
+        # share the tiling row->session map. Gather-expand instead: append
+        # each snapshot's row range after the block as its own contiguous
+        # segment; every segmented statistic below then treats snapshots
+        # exactly like sessions (same code path the simple kernel uses,
+        # recomputed over the prefix rows).
+        s_ends = segd["snap_ends"]
+        lens = s_ends - snap_starts
+        total = int(lens.sum())
+        cum = np.zeros(lens.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=cum[1:])
+        extra_idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum, lens)
+            + np.repeat(snap_starts, lens)
+        )
+        gather = np.concatenate((np.arange(n, dtype=np.int64), extra_idx))
+        snap_proto = g["protocol"][snap_starts]
+        g = {k: v[gather] for k, v in g.items()}
+        keys = {k: v[gather] for k, v in keys.items()}
+        nsnap = snap_starts.size
+        starts = np.concatenate((starts, n + cum))
+        ends = np.concatenate((ends, n + cum + lens))
+        closed = np.concatenate((closed, np.zeros(nsnap, dtype=bool)))
+        close_ts = np.concatenate((close_ts, ts[s_ends - 1]))
+        cause = np.concatenate(
+            (cause, np.full(nsnap, CAUSE_NONE, dtype=object))
+        )
+        style = np.concatenate(
+            (
+                style,
+                np.where(
+                    snap_proto == PROTO_TCP, CLOSE_NONE, CLOSE_NOT_APPLICABLE
+                ).astype(object),
+            )
+        )
+        handshake = np.concatenate((handshake, segd["snap_handshake"]))
+        zeros_snap = np.zeros(nsnap, dtype=np.int64)
+        reset_before = np.concatenate((reset_before, zeros_snap))
+        reset_after = np.concatenate((reset_after, zeros_snap))
+        ts = g["ts_us"]
+        n = ts.size
+        nsess += nsnap
+
+    # sessions arrive sorted by start row and tile the (expanded) block
+    # contiguously, so array order IS contiguous row order
     order = np.arange(nsess)
     inv = order
     seg_of_row = np.zeros(n, dtype=np.int64)
@@ -300,10 +390,10 @@ def featurize_packet_block(
     out["last_ts_us"] = last_ts
     out["duration_us"] = last_ts - first_ts
     out["cause"] = cause
-    out["close_style"] = segd["close_style"]
-    out["handshake_completed"] = segd["handshake"]
-    out["reset_before_handshake"] = segd["reset_before"]
-    out["reset_after_handshake"] = segd["reset_after"]
+    out["close_style"] = style
+    out["handshake_completed"] = handshake
+    out["reset_before_handshake"] = reset_before
+    out["reset_after_handshake"] = reset_after
 
     # --- contiguous-order scaffolding --------------------------------------
     fwd_rows = np.flatnonzero(fwd_row)

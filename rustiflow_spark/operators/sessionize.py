@@ -90,18 +90,18 @@ def sessionize_packets(
     feature superset columns (schema.FLOW_SUPERSET_SCHEMA).
 
     engine: 'vectorized' — segment-vectorized block kernel over sorted
-    partitions (mapInPandas; the scale path, ~2 orders of magnitude faster);
-    'simple' — per-group applyInPandas kernel (reference implementation,
-    required for early-export snapshots); 'auto' picks vectorized unless
-    early_export is configured. Both produce identical output (asserted by
-    tests/test_packet_vectorized.py).
+    partitions (mapInPandas; the scale path, ~2 orders of magnitude faster),
+    including early-export snapshots via gather-expansion; 'simple' —
+    per-group applyInPandas kernel (reference implementation, kept for
+    differential testing); 'auto' always picks vectorized. Both produce
+    identical output (asserted by tests/test_packet_vectorized.py).
 
     flush_ts: known max event timestamp (e.g. parquet/Iceberg column stats
     via sources.tables.parquet_column_max) — skips the extra ts column scan.
     """
     cfg = cfg or EngineConfig()
     if engine == "auto":
-        engine = "simple" if cfg.early_export is not None else "vectorized"
+        engine = "vectorized"
     scan_times, flush_ts = compute_timeline(df, "ts_us", cfg, flush_ts=flush_ts)
 
     keyed = with_canonical_key(df)

@@ -57,6 +57,8 @@ def run_vectorized(df: pd.DataFrame, cfg: EngineConfig) -> list[dict]:
     [
         EngineConfig(),
         EngineConfig(active_timeout=30, idle_timeout=8, expiration_check_interval=5),
+        EngineConfig(active_timeout=60, idle_timeout=10, early_export=3,
+                     expiration_check_interval=15),
     ],
 )
 def test_vectorized_matches_simple(seed, cfg):
@@ -76,6 +78,25 @@ def test_vectorized_spark_end_to_end(spark):
     vec = sessionize_packets(sdf, cfg, engine="vectorized").toPandas()
     simple = sessionize_packets(sdf, cfg, engine="simple").toPandas()
     key = ["flow_key", "first_ts_us", "last_ts_us"]
+    a = vec.sort_values(key).reset_index(drop=True)
+    b = simple.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_vectorized_early_export_spark_end_to_end(spark):
+    """early_export no longer changes engine selection: the vectorized path
+    emits the same snapshots (gather-expansion) as the per-group kernel."""
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+    from test_sessionize_spark import make_events_df
+
+    pdf = generate_packet_events(n_flows=30, seed=5, long_flow_packets=200)
+    sdf = make_events_df(spark, pdf)
+    cfg = EngineConfig(active_timeout=3600, idle_timeout=120, early_export=2)
+    auto = sessionize_packets(sdf, cfg)  # engine='auto' must stay vectorized
+    vec = auto.toPandas()
+    simple = sessionize_packets(sdf, cfg, engine="simple").toPandas()
+    assert (vec["cause"] == "None").any(), "no early-export snapshots produced"
+    key = ["flow_key", "first_ts_us", "last_ts_us", "cause", "duration_us"]
     a = vec.sort_values(key).reset_index(drop=True)
     b = simple.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
