@@ -45,6 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
         default="cic",
         choices=["superset", "basic", "cic", "cic-clean", "cidds", "nf", "rustiflow"],
     )
+    e.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "pcap"],
+        help="pcap: decode .pcap capture files on the executors "
+        "(the reference CLI's `rustiflow pcap` analog)",
+    )
 
     t = sub.add_parser("tokens", help="token/event stream -> session features")
     common(t)
@@ -70,8 +77,11 @@ def _engine_config(args):
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
     from rustiflow_spark.session import get_spark
 
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(
         f"rustiflow-{args.command}",
         cores=args.cores,
@@ -79,14 +89,31 @@ def main(argv: list[str] | None = None) -> int:
     )
     cfg = _engine_config(args)
     t0 = time.time()
-    df = spark.read.parquet(args.input)
+    flush_ts = None
+    if args.command == "extract" and getattr(args, "input_format", "parquet") == "pcap":
+        from rustiflow_spark.sources.pcap import read_pcap
+
+        df = read_pcap(spark, args.input)
+    else:
+        df = spark.read.parquet(args.input)
+        # flush timestamp from parquet footer statistics — saves one full
+        # ts-column scan per run
+        from rustiflow_spark.sources.tables import parquet_column_max
+
+        ts_col = "ts_us" if args.command == "extract" else args.ts_col
+        try:
+            flush_ts = parquet_column_max(args.input, ts_col)
+            if flush_ts is not None:
+                flush_ts = int(flush_ts)
+        except Exception:
+            flush_ts = None
 
     if args.command == "extract":
         from rustiflow_spark.flows.schemas import SCHEMAS, cic_schema
         from rustiflow_spark.operators.sessionize import sessionize_packets
 
         def process(part):
-            flows = sessionize_packets(part, cfg)
+            flows = sessionize_packets(part, cfg, flush_ts=flush_ts)
             if args.schema == "superset":
                 return flows
             if args.schema == "cic-clean":
@@ -108,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
                 value_col=args.value_col,
                 direction_col=args.direction_col,
                 terminator_col=args.terminator_col,
+                flush_ts=flush_ts,
             )
 
     if args.checkpoint_dir:
@@ -118,13 +146,18 @@ def main(argv: list[str] | None = None) -> int:
             input_fingerprint=args.input,
         )
     else:
-        result = process(df)
+        from pyspark.sql import Observation, functions as F
+
+        obs = Observation("rows")
+        result = process(df).observe(obs, F.count(F.lit(1)).alias("n"))
         result.write.mode("overwrite").parquet(args.output)
-        summary = {"rows": spark.read.parquet(args.output).count()}
+        summary = {"rows": int(obs.get["n"])}
 
     summary["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(summary))
-    spark.stop()
+    if not pre_existing:
+        # library/embedded callers own their session's lifecycle
+        spark.stop()
     return 0
 
 
