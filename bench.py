@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "text_stats",
     "similarity_topk",
     "token_pipeline",
+    "flow_cic_udp",
+    "flow_tcp_rst",
 ]
 
 
@@ -79,6 +81,7 @@ def main() -> None:
         "cores": cores,
         "events": n_events,
         "events_per_sec_sessionize": round(n_events / timings["session_features"], 1),
+        "pkts_per_sec_flow_tcp": round(n_events / timings["flow_tcp_rst"], 1),
     }
     print(json.dumps(result))
     spark.stop()

@@ -74,7 +74,12 @@ def _is_unique_local_v6(addr: ipaddress.IPv6Address) -> bool:
 
 def path_locality(src: str, dst: str) -> str:
     # flows/util.rs:71-97
-    s, d = ip_scope(src), ip_scope(dst)
+    return locality_from_scopes(ip_scope(src), ip_scope(dst))
+
+
+def locality_from_scopes(s: str, d: str) -> str:
+    # path locality is a pure function of the two endpoint scopes — the
+    # vectorized kernel builds an 8x8 lookup table from this
     if s == "multicast" or d == "multicast":
         return "multicast"
     if s == "loopback" and d == "loopback":

@@ -289,11 +289,13 @@ def segment_biflow(
         terminated = False
         term_cause = ""
         prev_t = first
+        act_lim = first + active_us
         while i < n:
             t = ts_l[i]
             if i > s:
                 # expiry check before applying packet (flow_table.rs:132-153)
-                if t >= min(first + active_us, prev_t + idle_us):
+                # t >= min(act_lim, prev+idle) decomposed to avoid min()
+                if t >= act_lim or t - prev_t >= idle_us:
                     break
             fwd = dir_l[i] == fwd_dir
             if syn[i] or ack[i]:

@@ -166,6 +166,21 @@ def segment_groups(
                 snap_ends_parts.append(nc_rows[snap_l] + 1)
                 snap_hs_parts.append(np.zeros(snap_l.size, dtype=np.int64))
 
+    # ctl groups are typically small (one biflow each): accumulate plain
+    # Python scalars across ALL groups and convert once, instead of paying
+    # ~9 array constructions per group
+    c_starts: list[int] = []
+    c_ends: list[int] = []
+    c_cause: list[str] = []
+    c_close: list[int] = []
+    c_closed: list[bool] = []
+    c_style: list[str] = []
+    c_hs: list[int] = []
+    c_rb: list[int] = []
+    c_ra: list[int] = []
+    s_starts_l: list[int] = []
+    s_ends_l: list[int] = []
+    s_hs_l: list[int] = []
     for gi in np.flatnonzero(ctl_grp):
         s, e = int(grp_start[gi]), int(grp_end[gi])
         tcp_ctl = {
@@ -177,58 +192,37 @@ def segment_groups(
             "ack_seq": g["sequence_number_ack"][s:e],
             "data_len": g["data_length"][s:e],
         }
-        all_sess = segment_biflow(
+        for x in segment_biflow(
             ts[s:e], dir_a[s:e], PROTO_TCP, tcp_ctl, cfg, scan_times, flush_ts
-        )
-        sess_list = [x for x in all_sess if x.snapshot_of < 0]
-        snaps = [x for x in all_sess if x.snapshot_of >= 0]
-        if snaps:
-            ms = len(snaps)
-            snap_starts_parts.append(
-                np.fromiter((x.start + s for x in snaps), dtype=np.int64, count=ms)
-            )
-            snap_ends_parts.append(
-                np.fromiter((x.end + s for x in snaps), dtype=np.int64, count=ms)
-            )
-            snap_hs_parts.append(
-                np.fromiter(
-                    (int(x.handshake_completed) for x in snaps), dtype=np.int64, count=ms
-                )
-            )
-        m = len(sess_list)
-        starts_parts.append(
-            np.fromiter((x.start + s for x in sess_list), dtype=np.int64, count=m)
-        )
-        ends_parts.append(
-            np.fromiter((x.end + s for x in sess_list), dtype=np.int64, count=m)
-        )
-        cause_parts.append(np.array([x.cause for x in sess_list], dtype=object))
-        close_parts.append(
-            np.fromiter((x.close_ts for x in sess_list), dtype=np.int64, count=m)
-        )
-        closed_parts.append(
-            np.fromiter((x.closed for x in sess_list), dtype=bool, count=m)
-        )
-        style_parts.append(np.array([x.close_style for x in sess_list], dtype=object))
-        hs_parts.append(
-            np.fromiter(
-                (int(x.handshake_completed) for x in sess_list), dtype=np.int64, count=m
-            )
-        )
-        rb_parts.append(
-            np.fromiter(
-                (int(x.reset_before_handshake) for x in sess_list),
-                dtype=np.int64,
-                count=m,
-            )
-        )
-        ra_parts.append(
-            np.fromiter(
-                (int(x.reset_after_handshake) for x in sess_list),
-                dtype=np.int64,
-                count=m,
-            )
-        )
+        ):
+            if x.snapshot_of >= 0:
+                s_starts_l.append(x.start + s)
+                s_ends_l.append(x.end + s)
+                s_hs_l.append(int(x.handshake_completed))
+            else:
+                c_starts.append(x.start + s)
+                c_ends.append(x.end + s)
+                c_cause.append(x.cause)
+                c_close.append(x.close_ts)
+                c_closed.append(x.closed)
+                c_style.append(x.close_style)
+                c_hs.append(int(x.handshake_completed))
+                c_rb.append(int(x.reset_before_handshake))
+                c_ra.append(int(x.reset_after_handshake))
+    if c_starts:
+        starts_parts.append(np.asarray(c_starts, dtype=np.int64))
+        ends_parts.append(np.asarray(c_ends, dtype=np.int64))
+        cause_parts.append(np.array(c_cause, dtype=object))
+        close_parts.append(np.asarray(c_close, dtype=np.int64))
+        closed_parts.append(np.asarray(c_closed, dtype=bool))
+        style_parts.append(np.array(c_style, dtype=object))
+        hs_parts.append(np.asarray(c_hs, dtype=np.int64))
+        rb_parts.append(np.asarray(c_rb, dtype=np.int64))
+        ra_parts.append(np.asarray(c_ra, dtype=np.int64))
+    if s_starts_l:
+        snap_starts_parts.append(np.asarray(s_starts_l, dtype=np.int64))
+        snap_ends_parts.append(np.asarray(s_ends_l, dtype=np.int64))
+        snap_hs_parts.append(np.asarray(s_hs_l, dtype=np.int64))
 
     if not starts_parts:
         return {"starts": np.empty(0, dtype=np.int64)}
@@ -374,17 +368,32 @@ def featurize_packet_block(
         ],
         dtype=object,
     )
-    # IP metadata via cache over unique addresses
+    # IP metadata: python parsing only over UNIQUE addresses, then gathered;
+    # path locality via an 8x8 scope-pair lookup table (flows/util.rs:71-97)
     from rustiflow_spark.flows import ipmeta
 
-    out["ip_version"] = np.fromiter(
-        (ipmeta.ip_version(x) for x in src_ip), dtype=np.int64, count=nsess
+    uniq, uinv = np.unique(
+        np.concatenate((src_ip, dst_ip)).astype(object), return_inverse=True
     )
-    out["src_ip_scope"] = np.array([ipmeta.ip_scope(x) for x in src_ip], dtype=object)
-    out["dst_ip_scope"] = np.array([ipmeta.ip_scope(x) for x in dst_ip], dtype=object)
-    out["path_locality"] = np.array(
-        [ipmeta.path_locality(a, b) for a, b in zip(src_ip, dst_ip)], dtype=object
+    u_scope = np.array([ipmeta.ip_scope(x) for x in uniq], dtype=object)
+    u_ver = np.fromiter(
+        (ipmeta.ip_version(x) for x in uniq), dtype=np.int64, count=uniq.size
     )
+    scope_names = sorted(set(u_scope))
+    code_of = {nme: i for i, nme in enumerate(scope_names)}
+    u_code = np.fromiter((code_of[x] for x in u_scope), dtype=np.int64, count=uniq.size)
+    loc_table = np.array(
+        [
+            [ipmeta.locality_from_scopes(a, b) for b in scope_names]
+            for a in scope_names
+        ],
+        dtype=object,
+    )
+    s_inv, d_inv = uinv[:nsess], uinv[nsess:]
+    out["ip_version"] = u_ver[s_inv]
+    out["src_ip_scope"] = u_scope[s_inv]
+    out["dst_ip_scope"] = u_scope[d_inv]
+    out["path_locality"] = loc_table[u_code[s_inv], u_code[d_inv]]
 
     out["first_ts_us"] = first_ts
     out["last_ts_us"] = last_ts

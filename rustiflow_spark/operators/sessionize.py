@@ -133,8 +133,15 @@ def sessionize_packets(
         for c in ("icmp_type", "icmp_code"):
             g[c] = pdf[c].to_numpy(dtype=np.float64, na_value=-1).astype(np.int64)
         g["dir_a"] = pdf["dir_a"].to_numpy(dtype=bool)
-        kf = pdf[_KEY_COLS]
-        g["key_id"] = pd.factorize(pd.MultiIndex.from_frame(kf))[0].astype(np.int64)
+        # rows arrive sorted by the key columns, so key_id is a run index
+        # from adjacent-row comparison — ~10x cheaper than hash-factorizing
+        # a MultiIndex over the five key columns
+        newk = np.zeros(len(pdf), dtype=bool)
+        newk[0] = True
+        for c in _KEY_COLS:
+            v = pdf[c].to_numpy()
+            newk[1:] |= v[1:] != v[:-1]
+        g["key_id"] = np.cumsum(newk) - 1
         keys = {
             "key_ip_a": pdf["key_ip_a"].to_numpy(),
             "key_port_a": pdf["key_port_a"].to_numpy(),
