@@ -816,7 +816,15 @@ def _packet_flush_us(sf_dir: str) -> int | None:
     return None if raw is None else (raw // 40000) * 1000
 
 
-def _packet_table(spark: SparkSession, sf_dir: str, tcp: bool) -> DataFrame:
+# ICMP type from event_id % 5: echo request, echo reply, dest-unreachable,
+# time-exceeded (error class), timestamp (neither) — icmp_stats.rs taxonomy
+_ICMP_TYPE = "CASE event_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 0 WHEN 2 THEN 3 WHEN 3 THEN 11 ELSE 13 END"
+_ICMP_CODE = "CAST(event_id % 3 AS INT)"
+
+
+def _packet_table(
+    spark: SparkSession, sf_dir: str, tcp: bool, icmp: bool = False
+) -> DataFrame:
     """Deterministic packet-event table derived from the events table.
 
     Each event becomes one packet of the per-user client<->server biflow;
@@ -827,17 +835,27 @@ def _packet_table(spark: SparkSession, sf_dir: str, tcp: bool) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     base = ev.select(raw.alias("raw_us"), "user_id", "event_id", "value")
-    proto = 6 if tcp else 17
+    proto = 6 if tcp else (1 if icmp else 17)
     rst = "CASE WHEN event_id % 23 = 0 THEN 1 ELSE 0 END" if tcp else "0"
     psh = "CASE WHEN floor(value) > 0 THEN 1 ELSE 0 END" if tcp else "0"
     hdr = 20 if tcp else 8
     overhead = 40 if tcp else 28
     win = "1000 + (event_id % 97) * 7" if tcp else "0"
+    icmp_type = _ICMP_TYPE if icmp else "CAST(NULL AS INT)"
+    icmp_code = _ICMP_CODE if icmp else "CAST(NULL AS INT)"
+    ports = (
+        ("CAST(0 AS INT) AS src_port", "CAST(0 AS INT) AS dst_port")
+        if icmp
+        else (
+            "CAST(CASE WHEN event_id % 2 = 0 THEN 1024 + user_id % 60000 ELSE 443 END AS INT) AS src_port",
+            "CAST(CASE WHEN event_id % 2 = 0 THEN 443 ELSE 1024 + user_id % 60000 END AS INT) AS dst_port",
+        )
+    )
     return base.selectExpr(
         f"CASE WHEN event_id % 2 = 0 THEN {_CLIENT_IP_SPARK} ELSE '{_SERVER_IP}' END AS src_ip",
         f"CASE WHEN event_id % 2 = 0 THEN '{_SERVER_IP}' ELSE {_CLIENT_IP_SPARK} END AS dst_ip",
-        "CAST(CASE WHEN event_id % 2 = 0 THEN 1024 + user_id % 60000 ELSE 443 END AS INT) AS src_port",
-        "CAST(CASE WHEN event_id % 2 = 0 THEN 443 ELSE 1024 + user_id % 60000 END AS INT) AS dst_port",
+        ports[0],
+        ports[1],
         f"CAST({proto} AS INT) AS protocol",
         "(raw_us div 40000) * 1000 AS ts_us",
         "CAST(0 AS INT) AS fin_flag",
@@ -855,8 +873,8 @@ def _packet_table(spark: SparkSession, sf_dir: str, tcp: bool) -> DataFrame:
         f"CAST({win} AS INT) AS window_size",
         "CAST((event_id % 1000000) * 3000 AS BIGINT) AS sequence_number",
         "CAST(0 AS BIGINT) AS sequence_number_ack",
-        "CAST(NULL AS INT) AS icmp_type",
-        "CAST(NULL AS INT) AS icmp_code",
+        f"CAST({icmp_type} AS INT) AS icmp_type",
+        f"{icmp_code} AS icmp_code",
         "event_id AS event_seq",
     )
 
@@ -1088,6 +1106,224 @@ SELECT
         AS idle_max,
     active_count, active_total, active_max,
     fwd_duration_ms, bwd_duration_ms
+FROM meta
+"""
+
+
+def q_flow_cic_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived scalar features (SURVEY §2.5 D1-D7) computed by the SAME
+    Catalyst expressions the production schemas use (flows/schemas.py:
+    safe_div, per-second rates, pooled flow packet stats, down/up ratio,
+    ms->µs unit conversion, subflow means, expiration_id, IANA classes)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.flows.schemas import (
+        _flow_pkt_count,
+        _flow_pkt_max,
+        _flow_pkt_mean,
+        _flow_pkt_min,
+        _flow_pkt_total,
+        _iana,
+        _rate_per_s,
+        _safe_div,
+    )
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
+    )
+    dur = F.col("duration_us").cast("double")
+    expiration_id = (
+        F.when(F.col("cause") == "Active Timeout", 1)
+        .when(F.col("cause").isin("Idle Timeout", "TCP Normal Termination"), 0)
+        .otherwise(-1)
+    )
+    return flows.select(
+        "flow_key",
+        "first_ts_us",
+        expiration_id.cast("long").alias("expiration_id"),
+        _iana(F.col("src_port")).alias("src_port_iana"),
+        _iana(F.col("dst_port")).alias("dst_port_iana"),
+        _flow_pkt_count().cast("long").alias("flow_pkt_count"),
+        _flow_pkt_total().alias("flow_pkt_total"),
+        _flow_pkt_mean().alias("flow_pkt_mean"),
+        _flow_pkt_min().alias("flow_pkt_min"),
+        _flow_pkt_max().alias("flow_pkt_max"),
+        _rate_per_s(F.col("payload_len_total"), dur).alias("payload_bytes_per_s"),
+        _rate_per_s(_flow_pkt_count().cast("double"), dur).alias("packets_per_s"),
+        _safe_div(
+            F.col("bwd_packet_len_count").cast("double"),
+            F.col("fwd_packet_len_count").cast("double"),
+        ).alias("down_up_ratio"),
+        (F.col("iat_mean") * F.lit(1000.0)).alias("iat_mean_us"),
+        _safe_div(
+            F.col("fwd_packet_len_total"), F.col("subflow_count").cast("double")
+        ).alias("fwd_subflow_bytes_mean"),
+        _safe_div(
+            F.col("bwd_packet_len_total"), F.col("subflow_count").cast("double")
+        ).alias("bwd_subflow_bytes_mean"),
+    )
+
+
+_Q_CIC_DERIVED_SQL = f"""
+WITH base AS ({_Q_CIC_UDP_SQL})
+SELECT flow_key,
+       first_ts_us,
+       CAST(CASE WHEN cause = 'Active Timeout' THEN 1
+                 WHEN cause IN ('Idle Timeout', 'TCP Normal Termination') THEN 0
+                 ELSE -1 END AS BIGINT) AS expiration_id,
+       CASE WHEN src_port <= 1023 THEN 'well-known'
+            WHEN src_port <= 49151 THEN 'registered'
+            ELSE 'dynamic' END AS src_port_iana,
+       CASE WHEN dst_port <= 1023 THEN 'well-known'
+            WHEN dst_port <= 49151 THEN 'registered'
+            ELSE 'dynamic' END AS dst_port_iana,
+       CAST(fwd_packet_count + bwd_packet_count AS BIGINT) AS flow_pkt_count,
+       fwd_packet_len_total + bwd_packet_len_total AS flow_pkt_total,
+       CASE WHEN fwd_packet_count + bwd_packet_count <> 0
+            THEN (fwd_packet_len_total + bwd_packet_len_total)
+                 / CAST(fwd_packet_count + bwd_packet_count AS DOUBLE)
+            ELSE 0.0 END AS flow_pkt_mean,
+       CASE WHEN fwd_packet_count > 0 AND bwd_packet_count > 0
+                THEN least(fwd_packet_len_min, bwd_packet_len_min)
+            WHEN fwd_packet_count > 0 THEN fwd_packet_len_min
+            WHEN bwd_packet_count > 0 THEN bwd_packet_len_min
+            ELSE 0.0 END AS flow_pkt_min,
+       CASE WHEN fwd_packet_count > 0 AND bwd_packet_count > 0
+                THEN greatest(fwd_packet_len_max, bwd_packet_len_max)
+            WHEN fwd_packet_count > 0 THEN fwd_packet_len_max
+            WHEN bwd_packet_count > 0 THEN bwd_packet_len_max
+            ELSE 0.0 END AS flow_pkt_max,
+       CASE WHEN duration_us / 1000000.0 <> 0
+            THEN payload_len_total / (duration_us / 1000000.0)
+            ELSE 0.0 END AS payload_bytes_per_s,
+       CASE WHEN duration_us / 1000000.0 <> 0
+            THEN CAST(fwd_packet_count + bwd_packet_count AS DOUBLE)
+                 / (duration_us / 1000000.0)
+            ELSE 0.0 END AS packets_per_s,
+       CASE WHEN CAST(fwd_packet_count AS DOUBLE) <> 0
+            THEN CAST(bwd_packet_count AS DOUBLE) / CAST(fwd_packet_count AS DOUBLE)
+            ELSE 0.0 END AS down_up_ratio,
+       iat_mean * 1000.0 AS iat_mean_us,
+       CASE WHEN CAST(subflow_count AS DOUBLE) <> 0
+            THEN fwd_packet_len_total / CAST(subflow_count AS DOUBLE)
+            ELSE 0.0 END AS fwd_subflow_bytes_mean,
+       CASE WHEN CAST(subflow_count AS DOUBLE) <> 0
+            THEN bwd_packet_len_total / CAST(subflow_count AS DOUBLE)
+            ELSE 0.0 END AS bwd_subflow_bytes_mean
+FROM base
+"""
+
+
+def q_flow_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packet path, ICMP: per-session first type/code + the taxonomy
+    counters (A10, icmp_stats.rs v4 code map)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _packet_table(spark, sf_dir, tcp=False, icmp=True),
+        cfg,
+        flush_ts=_packet_flush_us(sf_dir),
+    )
+    return flows.select(
+        "flow_key",
+        "first_ts_us",
+        "last_ts_us",
+        "cause",
+        "close_style",
+        F.col("protocol").cast("long").alias("protocol"),
+        F.col("icmp_type").cast("long").alias("icmp_type"),
+        F.col("icmp_code").cast("long").alias("icmp_code"),
+        F.col("icmp_echo_request_count").cast("long").alias("icmp_echo_request_count"),
+        F.col("icmp_echo_reply_count").cast("long").alias("icmp_echo_reply_count"),
+        F.col("icmp_error_count").cast("long").alias("icmp_error_count"),
+        F.col("icmp_destination_unreachable_count")
+        .cast("long")
+        .alias("icmp_destination_unreachable_count"),
+        (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
+        .cast("long")
+        .alias("packet_count"),
+    )
+
+
+_Q_ICMP_SQL = f"""
+WITH pk AS (
+    SELECT (epoch_us(ts) // 40000) * 1000 AS ts_us,
+           event_id AS event_seq,
+           user_id,
+           (event_id % 2 = 0) AS is_c2s,
+           {_ICMP_TYPE} AS itype,
+           event_id % 3 AS icode,
+           {_CLIENT_IP_DUCK} AS cip
+    FROM events
+), flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                ELSE 0 END AS new_session
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s,
+           first_value(itype) OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts_us, event_seq
+                                    ROWS UNBOUNDED PRECEDING) AS first_itype,
+           first_value(icode) OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts_us, event_seq
+                                    ROWS UNBOUNDED PRECEDING) AS first_icode
+    FROM sess
+), agg AS (
+    SELECT user_id, sid,
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           max(first_itype) AS icmp_type,
+           max(first_icode) AS icmp_code,
+           CAST(count(*) FILTER (WHERE itype = 8) AS BIGINT)
+               AS icmp_echo_request_count,
+           CAST(count(*) FILTER (WHERE itype = 0) AS BIGINT)
+               AS icmp_echo_reply_count,
+           CAST(count(*) FILTER (WHERE itype IN (3, 4, 5, 11, 12)) AS BIGINT)
+               AS icmp_error_count,
+           CAST(count(*) FILTER (WHERE itype = 3) AS BIGINT)
+               AS icmp_destination_unreachable_count,
+           CAST(count(*) AS BIGINT) AS packet_count
+    FROM rows2 GROUP BY user_id, sid
+), meta AS (
+    SELECT *,
+           lead(first_ts_us) OVER (PARTITION BY user_id ORDER BY sid) AS next_first
+    FROM agg
+)
+SELECT
+    CASE WHEN fc2s = 1
+         THEN cip || ':0-{_SERVER_IP}:0-1'
+         ELSE '{_SERVER_IP}:0-' || cip || ':0-1' END AS flow_key,
+    first_ts_us, last_ts_us,
+    CASE WHEN next_first IS NULL THEN 'Exporter Shutdown'
+         ELSE 'Idle Timeout' END AS cause,
+    'not_applicable' AS close_style,
+    CAST(1 AS BIGINT) AS protocol,
+    CAST(icmp_type AS BIGINT) AS icmp_type,
+    CAST(icmp_code AS BIGINT) AS icmp_code,
+    icmp_echo_request_count, icmp_echo_reply_count,
+    icmp_error_count, icmp_destination_unreachable_count,
+    packet_count
 FROM meta
 """
 
@@ -1415,6 +1651,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_features": q_lag_features,
         "rolling_features": q_rolling_features,
         "flow_cic_udp": q_flow_cic_udp,
+        "flow_cic_derived": q_flow_cic_derived,
+        "flow_icmp": q_flow_icmp,
         "flow_tcp_rst": q_flow_tcp_rst,
         "flow_active_timeout": q_flow_active_timeout,
         "flow_scan_close": q_flow_scan_close,
@@ -1440,6 +1678,8 @@ def oracle_sql() -> dict[str, str]:
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,
+        "flow_cic_derived": _Q_CIC_DERIVED_SQL,
+        "flow_icmp": _Q_ICMP_SQL,
         "flow_tcp_rst": _Q_TCP_RST_SQL,
         "flow_active_timeout": _Q_ACTIVE_SQL,
         "flow_scan_close": _Q_SCAN_SQL,
