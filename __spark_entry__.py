@@ -1328,6 +1328,177 @@ FROM meta
 """
 
 
+def _tcp_fin_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TCP packet table with planted 4-way FIN closes (T3/A14): every 7th
+    event explodes into fin(A) / ack(B) / fin(B) / ack(A) sub-packets 1 µs
+    apart with exact expected-ACK arithmetic; other events emit one data
+    packet. The state machine must terminate exactly at the 4th sub-packet
+    (basic_flow.rs FIN tracking), which the SQL oracle mirrors as a
+    terminator cut."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    base = ev.select(raw.alias("raw_us"), "user_id", "event_id", "value")
+    j = "explode(CASE WHEN event_id % 7 = 0 THEN array(0, 1, 2, 3) ELSE array(0) END)"
+    sub = base.selectExpr("*", f"{j} AS j").selectExpr(
+        "user_id",
+        "event_id",
+        "value",
+        "j",
+        "event_id % 7 = 0 AS is_term",
+        "(raw_us div 40000) * 1000 + j AS ts_us",
+        "event_id * 4 + j AS event_seq",
+        # A side = the event's own orientation; j1/j2 come from the peer
+        "CASE WHEN j IN (0, 3) THEN event_id % 2 = 0 ELSE event_id % 2 = 1 END AS c2s",
+        "(event_id % 1000000) * 3000 AS b",
+    )
+    return sub.selectExpr(
+        f"CASE WHEN c2s THEN {_CLIENT_IP_SPARK} ELSE '{_SERVER_IP}' END AS src_ip",
+        f"CASE WHEN c2s THEN '{_SERVER_IP}' ELSE {_CLIENT_IP_SPARK} END AS dst_ip",
+        "CAST(CASE WHEN c2s THEN 1024 + user_id % 60000 ELSE 443 END AS INT) AS src_port",
+        "CAST(CASE WHEN c2s THEN 443 ELSE 1024 + user_id % 60000 END AS INT) AS dst_port",
+        "CAST(6 AS INT) AS protocol",
+        "ts_us",
+        "CAST(CASE WHEN is_term AND j IN (0, 2) THEN 1 ELSE 0 END AS INT) AS fin_flag",
+        "CAST(0 AS INT) AS syn_flag",
+        "CAST(0 AS INT) AS rst_flag",
+        "CAST(CASE WHEN NOT is_term AND floor(value) > 0 THEN 1 ELSE 0 END AS INT) AS psh_flag",
+        "CAST(CASE WHEN is_term AND j IN (1, 3) THEN 1 ELSE 0 END AS INT) AS ack_flag",
+        "CAST(0 AS INT) AS urg_flag",
+        "CAST(0 AS INT) AS cwr_flag",
+        "CAST(0 AS INT) AS ece_flag",
+        "CAST(CASE WHEN is_term AND j IN (0, 2) THEN 1"
+        "          WHEN is_term AND j IN (1, 3) THEN 16"
+        "          WHEN floor(value) > 0 THEN 8 ELSE 0 END AS INT) AS flags",
+        "CAST(CASE WHEN is_term THEN 0 ELSE floor(value) END AS INT) AS data_length",
+        "CAST(20 AS INT) AS header_length",
+        "CAST(CASE WHEN is_term THEN 40 ELSE floor(value) + 40 END AS INT) AS length",
+        "CAST(1000 + (event_id % 97) * 7 AS INT) AS window_size",
+        "CAST(CASE WHEN is_term AND j = 2 THEN b + 1000"
+        "          WHEN is_term AND j IN (1, 3) THEN b + 2000"
+        "          ELSE b END AS BIGINT) AS sequence_number",
+        "CAST(CASE WHEN is_term AND j = 1 THEN b + 1"
+        "          WHEN is_term AND j = 3 THEN b + 1001"
+        "          ELSE 0 END AS BIGINT) AS sequence_number_ack",
+        "CAST(NULL AS INT) AS icmp_type",
+        "CAST(NULL AS INT) AS icmp_code",
+        "event_seq",
+    )
+
+
+def q_flow_tcp_fin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packet path, TCP with exact 4-way FIN termination (T3, A14
+    close-style machine, A8 fin/ack counters)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _tcp_fin_packets(spark, sf_dir), cfg, flush_ts=_packet_flush_us(sf_dir)
+    )
+    return flows.select(
+        "flow_key",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        "close_style",
+        F.col("handshake_completed").cast("long").alias("handshake_completed"),
+        "flags",
+        F.col("fwd_fin_flag_count").cast("long").alias("fwd_fin_flag_count"),
+        F.col("bwd_fin_flag_count").cast("long").alias("bwd_fin_flag_count"),
+        F.col("fwd_ack_flag_count").cast("long").alias("fwd_ack_flag_count"),
+        F.col("bwd_ack_flag_count").cast("long").alias("bwd_ack_flag_count"),
+        (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
+        .cast("long")
+        .alias("packet_count"),
+    )
+
+
+_Q_TCP_FIN_SQL = f"""
+WITH pk AS (
+    SELECT user_id,
+           (epoch_us(ts) // 40000) * 1000 + j.j AS ts_us,
+           event_id * 4 + j.j AS event_seq,
+           CASE WHEN j.j IN (0, 3) THEN event_id % 2 = 0
+                ELSE event_id % 2 = 1 END AS is_c2s,
+           event_id % 7 = 0 AS is_term,
+           j.j AS j,
+           CASE WHEN event_id % 7 = 0 AND j.j IN (0, 2) THEN 1 ELSE 0 END AS fin,
+           CASE WHEN event_id % 7 = 0 AND j.j IN (1, 3) THEN 1 ELSE 0 END AS ackf,
+           CASE WHEN event_id % 7 <> 0 AND floor(value) > 0 THEN 1 ELSE 0 END AS psh,
+           CASE WHEN event_id % 7 = 0 AND j.j = 3 THEN 1 ELSE 0 END AS term_last,
+           {_CLIENT_IP_DUCK} AS cip
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS j) j
+    WHERE event_id % 7 = 0 OR j.j = 0
+), flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                WHEN lag(term_last) OVER w = 1 THEN 1
+                ELSE 0 END AS new_session
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s,
+           row_number() OVER (PARTITION BY user_id, sid
+                              ORDER BY ts_us DESC, event_seq DESC) AS rn_last
+    FROM sess
+), agg AS (
+    SELECT user_id, sid,
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           max(CASE WHEN rn_last = 1 THEN term_last ELSE 0 END) AS ends_term,
+           CAST(coalesce(sum(fin) FILTER (WHERE is_c2s = first_c2s), 0) AS BIGINT)
+               AS fwd_fin_flag_count,
+           CAST(coalesce(sum(fin) FILTER (WHERE is_c2s <> first_c2s), 0) AS BIGINT)
+               AS bwd_fin_flag_count,
+           CAST(coalesce(sum(ackf) FILTER (WHERE is_c2s = first_c2s), 0) AS BIGINT)
+               AS fwd_ack_flag_count,
+           CAST(coalesce(sum(ackf) FILTER (WHERE is_c2s <> first_c2s), 0) AS BIGINT)
+               AS bwd_ack_flag_count,
+           max(psh) AS has_psh,
+           max(ackf) AS has_ack,
+           max(fin) AS has_fin,
+           CAST(count(*) AS BIGINT) AS packet_count
+    FROM rows2 GROUP BY user_id, sid
+), meta AS (
+    SELECT *,
+           lead(first_ts_us) OVER (PARTITION BY user_id ORDER BY sid) AS next_first
+    FROM agg
+)
+SELECT
+    {_flow_key_sql(6)} AS flow_key,
+    first_ts_us, last_ts_us, duration_us,
+    CASE WHEN ends_term = 1 THEN 'TCP Normal Termination'
+         WHEN next_first IS NULL THEN 'Exporter Shutdown'
+         ELSE 'Idle Timeout' END AS cause,
+    CASE WHEN ends_term = 1 THEN 'four_way_fin' ELSE 'none' END AS close_style,
+    CAST(0 AS BIGINT) AS handshake_completed,
+    concat('.',
+           CASE WHEN has_ack = 1 THEN 'A' ELSE '.' END,
+           CASE WHEN has_psh = 1 THEN 'P' ELSE '.' END,
+           '.', '.',
+           CASE WHEN has_fin = 1 THEN 'F' ELSE '.' END) AS flags,
+    fwd_fin_flag_count, bwd_fin_flag_count,
+    fwd_ack_flag_count, bwd_ack_flag_count,
+    packet_count
+FROM meta
+"""
+
+
 def q_flow_tcp_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packet path, TCP with RST terminations: lifecycle state machine (T4,
     A8 flag stats + UAPRSF string, A9 init window, A14 close styles;
@@ -1654,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_cic_derived": q_flow_cic_derived,
         "flow_icmp": q_flow_icmp,
         "flow_tcp_rst": q_flow_tcp_rst,
+        "flow_tcp_fin": q_flow_tcp_fin,
         "flow_active_timeout": q_flow_active_timeout,
         "flow_scan_close": q_flow_scan_close,
         "minhash_dedup": q_minhash_dedup,
@@ -1681,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_cic_derived": _Q_CIC_DERIVED_SQL,
         "flow_icmp": _Q_ICMP_SQL,
         "flow_tcp_rst": _Q_TCP_RST_SQL,
+        "flow_tcp_fin": _Q_TCP_FIN_SQL,
         "flow_active_timeout": _Q_ACTIVE_SQL,
         "flow_scan_close": _Q_SCAN_SQL,
         "token_pipeline": _Q_TOKEN_SQL,
