@@ -1499,6 +1499,241 @@ FROM meta
 """
 
 
+def _od_packets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TCP packet table (no control flags -> pure timeout segmentation)
+    exercising the order-dependent feature modules: every 13th event is a
+    5-packet same-direction burst in one millisecond (a bulk transfer,
+    bulk_stats.rs), every 17th a duplicated data segment with an overlapping
+    sequence range (a retransmission, retransmission_stats.rs), every 19th a
+    doubled pure-ACK with equal ack number and window (a duplicate ACK,
+    tcp_quality semantics); every 23rd event advertises a zero window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    base = ev.select(raw.alias("raw_us"), "user_id", "event_id", "value")
+    cls = (
+        "CASE WHEN event_id % 13 = 0 THEN 'bulk' "
+        "WHEN event_id % 17 = 0 THEN 'retr' "
+        "WHEN event_id % 19 = 0 THEN 'dupa' ELSE 'data' END"
+    )
+    sub = base.selectExpr(
+        "*",
+        f"{cls} AS cls",
+        f"explode(CASE WHEN {cls} = 'bulk' THEN array(0, 1, 2, 3, 4) "
+        f"WHEN {cls} IN ('retr', 'dupa') THEN array(0, 1) "
+        "ELSE array(0) END) AS j",
+    ).selectExpr(
+        "user_id",
+        "value",
+        "cls",
+        "(raw_us div 40000) * 1000 + j AS ts_us",
+        "event_id * 8 + j AS event_seq",
+        "event_id % 2 = 0 AS c2s",
+        # 9000-wide per-event sequence window (< u32): bulk sub-packets get
+        # disjoint 1500-spaced ranges inside it; a 'retr' event reuses one
+        # range for both packets — the ONLY overlap, by construction
+        "(event_id % 470000) * 9000 + CASE WHEN cls IN ('retr', 'dupa') THEN 0 ELSE j * 1500 END AS b",
+        "CASE WHEN event_id % 23 = 0 THEN 0 ELSE 1000 + (event_id % 97) * 7 END AS win",
+    )
+    dl = (
+        "CASE WHEN cls = 'dupa' THEN 0 "
+        "WHEN cls = 'retr' THEN CAST(floor(value) AS BIGINT) + 1 "
+        "ELSE CAST(floor(value) AS BIGINT) END"
+    )
+    return sub.selectExpr(
+        f"CASE WHEN c2s THEN {_CLIENT_IP_SPARK} ELSE '{_SERVER_IP}' END AS src_ip",
+        f"CASE WHEN c2s THEN '{_SERVER_IP}' ELSE {_CLIENT_IP_SPARK} END AS dst_ip",
+        "CAST(CASE WHEN c2s THEN 1024 + user_id % 60000 ELSE 443 END AS INT) AS src_port",
+        "CAST(CASE WHEN c2s THEN 443 ELSE 1024 + user_id % 60000 END AS INT) AS dst_port",
+        "CAST(6 AS INT) AS protocol",
+        "ts_us",
+        "CAST(0 AS INT) AS fin_flag",
+        "CAST(0 AS INT) AS syn_flag",
+        "CAST(0 AS INT) AS rst_flag",
+        f"CAST(CASE WHEN cls <> 'dupa' AND {dl} > 0 THEN 1 ELSE 0 END AS INT) AS psh_flag",
+        "CAST(CASE WHEN cls = 'dupa' THEN 1 ELSE 0 END AS INT) AS ack_flag",
+        "CAST(0 AS INT) AS urg_flag",
+        "CAST(0 AS INT) AS cwr_flag",
+        "CAST(0 AS INT) AS ece_flag",
+        "CAST(CASE WHEN cls = 'dupa' THEN 16 "
+        f"WHEN {dl} > 0 THEN 8 ELSE 0 END AS INT) AS flags",
+        f"CAST({dl} AS INT) AS data_length",
+        "CAST(20 AS INT) AS header_length",
+        f"CAST({dl} + 40 AS INT) AS length",
+        "CAST(win AS INT) AS window_size",
+        "CAST(b AS BIGINT) AS sequence_number",
+        "CAST(CASE WHEN cls = 'dupa' THEN b + 7 ELSE 0 END AS BIGINT) AS sequence_number_ack",
+        "CAST(NULL AS INT) AS icmp_type",
+        "CAST(NULL AS INT) AS icmp_code",
+        "event_seq",
+    )
+
+
+def q_flow_od_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-dependent modules driver-visible: bulk transfers (A4),
+    retransmissions (A11), duplicate ACKs + zero windows (A12)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _od_packets(spark, sf_dir), cfg, flush_ts=_packet_flush_us(sf_dir)
+    )
+    return flows.select(
+        "flow_key",
+        "first_ts_us",
+        "cause",
+        F.col("fwd_retransmission_count").cast("long").alias("fwd_retransmission_count"),
+        F.col("bwd_retransmission_count").cast("long").alias("bwd_retransmission_count"),
+        F.col("fwd_duplicate_ack_count").cast("long").alias("fwd_duplicate_ack_count"),
+        F.col("bwd_duplicate_ack_count").cast("long").alias("bwd_duplicate_ack_count"),
+        F.col("fwd_zero_window_count").cast("long").alias("fwd_zero_window_count"),
+        F.col("bwd_zero_window_count").cast("long").alias("bwd_zero_window_count"),
+        F.col("fwd_bulk_packets_count").cast("long").alias("fwd_bulk_count"),
+        F.col("bwd_bulk_packets_count").cast("long").alias("bwd_bulk_count"),
+        "fwd_bulk_packets_total",
+        "bwd_bulk_packets_total",
+        "fwd_bulk_bytes_total",
+        "bwd_bulk_bytes_total",
+        "fwd_bulk_rate",
+        "bwd_bulk_rate",
+        (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
+        .cast("long")
+        .alias("packet_count"),
+    )
+
+
+_Q_OD_SQL = f"""
+WITH pk AS (
+    SELECT user_id,
+           (epoch_us(ts) // 40000) * 1000 + j.j AS ts_us,
+           event_id * 8 + j.j AS event_seq,
+           (event_id % 2 = 0) AS is_c2s,
+           cls, j.j AS j,
+           CASE WHEN cls = 'dupa' THEN 0
+                WHEN cls = 'retr' THEN CAST(floor(value) AS BIGINT) + 1
+                ELSE CAST(floor(value) AS BIGINT) END + 40 AS length,
+           CASE WHEN event_id % 23 = 0 THEN 1 ELSE 0 END AS zero_win,
+           {_CLIENT_IP_DUCK} AS cip
+    FROM (SELECT *,
+                 CASE WHEN event_id % 13 = 0 THEN 'bulk'
+                      WHEN event_id % 17 = 0 THEN 'retr'
+                      WHEN event_id % 19 = 0 THEN 'dupa'
+                      ELSE 'data' END AS cls
+          FROM events) e, (SELECT unnest([0, 1, 2, 3, 4]) AS j) j
+    WHERE (e.cls = 'bulk')
+       OR (e.cls IN ('retr', 'dupa') AND j.j < 2)
+       OR (j.j = 0)
+), flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                ELSE 0 END AS new_session
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s,
+           CASE WHEN new_session = 1 THEN 1
+                WHEN is_c2s <> lag(is_c2s) OVER w2 THEN 1
+                WHEN ts_us // 1000 - lag(ts_us // 1000) OVER w2 > 1000 THEN 1
+                ELSE 0 END AS new_run
+    FROM sess
+    WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts_us, event_seq)
+), rows3 AS (
+    SELECT *,
+           sum(new_run) OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_seq
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM rows2
+), runs AS (
+    SELECT user_id, sid, run_id,
+           max(CASE WHEN is_c2s = first_c2s THEN 1 ELSE 0 END) AS run_fwd,
+           count(*) AS cnt,
+           sum(length) AS bytes,
+           max(ts_us // 1000) - min(ts_us // 1000) AS dur_ms
+    FROM rows3 GROUP BY user_id, sid, run_id
+), bulk AS (
+    SELECT user_id, sid,
+           CAST(count(*) FILTER (WHERE run_fwd = 1 AND cnt >= 4) AS BIGINT)
+               AS fwd_bulk_count,
+           CAST(count(*) FILTER (WHERE run_fwd = 0 AND cnt >= 4) AS BIGINT)
+               AS bwd_bulk_count,
+           coalesce(CAST(sum(cnt) FILTER (WHERE run_fwd = 1 AND cnt >= 4)
+                         AS DOUBLE), 0.0) AS fwd_bulk_packets_total,
+           coalesce(CAST(sum(cnt) FILTER (WHERE run_fwd = 0 AND cnt >= 4)
+                         AS DOUBLE), 0.0) AS bwd_bulk_packets_total,
+           coalesce(CAST(sum(bytes) FILTER (WHERE run_fwd = 1 AND cnt >= 4)
+                         AS DOUBLE), 0.0) AS fwd_bulk_bytes_total,
+           coalesce(CAST(sum(bytes) FILTER (WHERE run_fwd = 0 AND cnt >= 4)
+                         AS DOUBLE), 0.0) AS bwd_bulk_bytes_total,
+           coalesce(sum(dur_ms) FILTER (WHERE run_fwd = 1 AND cnt >= 4), 0)
+               AS fwd_bulk_dur_ms,
+           coalesce(sum(dur_ms) FILTER (WHERE run_fwd = 0 AND cnt >= 4), 0)
+               AS bwd_bulk_dur_ms
+    FROM runs GROUP BY user_id, sid
+), agg AS (
+    SELECT r.user_id, r.sid,
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           CAST(count(*) FILTER (WHERE cls = 'retr' AND j = 1
+                                 AND is_c2s = first_c2s) AS BIGINT)
+               AS fwd_retransmission_count,
+           CAST(count(*) FILTER (WHERE cls = 'retr' AND j = 1
+                                 AND is_c2s <> first_c2s) AS BIGINT)
+               AS bwd_retransmission_count,
+           CAST(count(*) FILTER (WHERE cls = 'dupa' AND j = 1
+                                 AND is_c2s = first_c2s) AS BIGINT)
+               AS fwd_duplicate_ack_count,
+           CAST(count(*) FILTER (WHERE cls = 'dupa' AND j = 1
+                                 AND is_c2s <> first_c2s) AS BIGINT)
+               AS bwd_duplicate_ack_count,
+           CAST(count(*) FILTER (WHERE zero_win = 1 AND is_c2s = first_c2s)
+                AS BIGINT) AS fwd_zero_window_count,
+           CAST(count(*) FILTER (WHERE zero_win = 1 AND is_c2s <> first_c2s)
+                AS BIGINT) AS bwd_zero_window_count,
+           CAST(count(*) AS BIGINT) AS packet_count
+    FROM rows3 r GROUP BY r.user_id, r.sid
+), meta AS (
+    SELECT a.*, b.* EXCLUDE (user_id, sid),
+           lead(a.first_ts_us) OVER (PARTITION BY a.user_id ORDER BY a.sid)
+               AS next_first
+    FROM agg a JOIN bulk b USING (user_id, sid)
+)
+SELECT
+    {_flow_key_sql(6)} AS flow_key,
+    first_ts_us,
+    CASE WHEN next_first IS NULL THEN 'Exporter Shutdown'
+         ELSE 'Idle Timeout' END AS cause,
+    fwd_retransmission_count, bwd_retransmission_count,
+    fwd_duplicate_ack_count, bwd_duplicate_ack_count,
+    fwd_zero_window_count, bwd_zero_window_count,
+    fwd_bulk_count, bwd_bulk_count,
+    fwd_bulk_packets_total, bwd_bulk_packets_total,
+    fwd_bulk_bytes_total, bwd_bulk_bytes_total,
+    CASE WHEN fwd_bulk_count > 0
+         THEN CASE WHEN fwd_bulk_dur_ms > 0
+                   THEN fwd_bulk_bytes_total / (fwd_bulk_dur_ms / 1000000.0)
+                   ELSE CAST('infinity' AS DOUBLE) END
+         ELSE 0.0 END AS fwd_bulk_rate,
+    CASE WHEN bwd_bulk_count > 0
+         THEN CASE WHEN bwd_bulk_dur_ms > 0
+                   THEN bwd_bulk_bytes_total / (bwd_bulk_dur_ms / 1000000.0)
+                   ELSE CAST('infinity' AS DOUBLE) END
+         ELSE 0.0 END AS bwd_bulk_rate,
+    packet_count
+FROM meta
+"""
+
+
 def q_flow_tcp_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packet path, TCP with RST terminations: lifecycle state machine (T4,
     A8 flag stats + UAPRSF string, A9 init window, A14 close styles;
@@ -1826,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_icmp": q_flow_icmp,
         "flow_tcp_rst": q_flow_tcp_rst,
         "flow_tcp_fin": q_flow_tcp_fin,
+        "flow_od_modules": q_flow_od_modules,
         "flow_active_timeout": q_flow_active_timeout,
         "flow_scan_close": q_flow_scan_close,
         "minhash_dedup": q_minhash_dedup,
@@ -1854,6 +2090,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_icmp": _Q_ICMP_SQL,
         "flow_tcp_rst": _Q_TCP_RST_SQL,
         "flow_tcp_fin": _Q_TCP_FIN_SQL,
+        "flow_od_modules": _Q_OD_SQL,
         "flow_active_timeout": _Q_ACTIVE_SQL,
         "flow_scan_close": _Q_SCAN_SQL,
         "token_pipeline": _Q_TOKEN_SQL,
