@@ -1734,6 +1734,117 @@ FROM meta
 """
 
 
+_EARLY_S = 900  # early-export threshold (compressed seconds)
+
+
+def q_flow_early_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packet path with early export (T7, flow_table.rs:155-177): every
+    packet past the threshold emits a snapshot of the running flow (cause
+    'None', span = session prefix) alongside the final session exports. The
+    oracle expresses snapshots as running cumulative windows."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S,
+        idle_timeout=IDLE_S,
+        scan_mode="none",
+        early_export=_EARLY_S,
+    )
+    flows = sessionize_packets(
+        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
+    )
+    return flows.select(
+        "flow_key",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        "close_style",
+        (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
+        .cast("long")
+        .alias("packet_count"),
+        "payload_len_total",
+        F.col("subflow_count").cast("long").alias("subflow_count"),
+    )
+
+
+_Q_EARLY_SQL = f"""
+WITH pk AS ({_pk_sql(tcp=False)}),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                ELSE 0 END AS new_session,
+           ts_us - lag(ts_us) OVER w AS gap_us
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid,
+           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS ig
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER w2 AS first_c2s,
+           first_value(ts_us) OVER w2 AS sess_first_ts,
+           count(*) OVER w2 AS cum_cnt,
+           sum(data_length) OVER w2 AS cum_payload,
+           CAST(1 + count(CASE WHEN ig > 1000000 THEN 1 END) OVER w2 AS BIGINT)
+               AS cum_subflow
+    FROM sess
+    WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts_us, event_seq
+                  ROWS UNBOUNDED PRECEDING)
+), agg AS (
+    SELECT user_id, sid,
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           CAST(count(*) AS BIGINT) AS packet_count,
+           CAST(sum(data_length) AS DOUBLE) AS payload_len_total,
+           CAST(1 + count(CASE WHEN ig > 1000000 THEN 1 END) AS BIGINT)
+               AS subflow_count
+    FROM rows2 GROUP BY user_id, sid
+), meta AS (
+    SELECT *,
+           lead(first_ts_us) OVER (PARTITION BY user_id ORDER BY sid) AS next_first
+    FROM agg
+), sessions_out AS (
+    SELECT
+        {_flow_key_sql(17)} AS flow_key,
+        first_ts_us, last_ts_us, last_ts_us - first_ts_us AS duration_us,
+        CASE WHEN next_first IS NULL THEN 'Exporter Shutdown'
+             ELSE 'Idle Timeout' END AS cause,
+        'not_applicable' AS close_style,
+        packet_count, payload_len_total, subflow_count
+    FROM meta
+), snapshots_out AS (
+    SELECT
+        CASE WHEN (CASE WHEN first_c2s THEN 1 ELSE 0 END) = 1
+             THEN cip || ':' || CAST(1024 + user_id % 60000 AS VARCHAR)
+                  || '-{_SERVER_IP}:443-17'
+             ELSE '{_SERVER_IP}:443-' || cip || ':'
+                  || CAST(1024 + user_id % 60000 AS VARCHAR) || '-17'
+        END AS flow_key,
+        sess_first_ts AS first_ts_us,
+        ts_us AS last_ts_us,
+        ts_us - sess_first_ts AS duration_us,
+        'None' AS cause,
+        'not_applicable' AS close_style,
+        CAST(cum_cnt AS BIGINT) AS packet_count,
+        CAST(cum_payload AS DOUBLE) AS payload_len_total,
+        cum_subflow AS subflow_count
+    FROM rows2
+    WHERE ts_us >= sess_first_ts + {(_EARLY_S + 1) * 1_000_000}
+)
+SELECT * FROM sessions_out
+UNION ALL
+SELECT * FROM snapshots_out
+"""
+
+
 def q_flow_tcp_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packet path, TCP with RST terminations: lifecycle state machine (T4,
     A8 flag stats + UAPRSF string, A9 init window, A14 close styles;
@@ -2062,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_tcp_rst": q_flow_tcp_rst,
         "flow_tcp_fin": q_flow_tcp_fin,
         "flow_od_modules": q_flow_od_modules,
+        "flow_early_export": q_flow_early_export,
         "flow_active_timeout": q_flow_active_timeout,
         "flow_scan_close": q_flow_scan_close,
         "minhash_dedup": q_minhash_dedup,
@@ -2091,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_tcp_rst": _Q_TCP_RST_SQL,
         "flow_tcp_fin": _Q_TCP_FIN_SQL,
         "flow_od_modules": _Q_OD_SQL,
+        "flow_early_export": _Q_EARLY_SQL,
         "flow_active_timeout": _Q_ACTIVE_SQL,
         "flow_scan_close": _Q_SCAN_SQL,
         "token_pipeline": _Q_TOKEN_SQL,
