@@ -120,3 +120,15 @@ def test_plan_quality_pushdown_and_pruning(spark, sf_dir):
     # only needed columns are read for the sessionize pipeline
     assert "event_type" in fplan  # used to derive terminator
     assert "props" not in fplan  # unused column pruned from the scan
+
+def test_packet_plan_single_exchange(spark, sf_dir):
+    """The packet path is one shuffle end-to-end: scan -> canonical-key
+    projection -> Exchange on the biflow key -> Sort -> MapInPandas."""
+    import __spark_entry__ as em
+
+    flows = em.q_flow_cic_udp(spark, sf_dir)
+    plan = flows._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInPandas" in plan, plan
+    # props is never referenced by the synthesis; the scan must prune it
+    assert "props" not in plan, plan

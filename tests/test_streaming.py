@@ -117,3 +117,57 @@ def test_stream_session_index_continues_across_microbatches(spark, tmp_path):
     assert len(got) == 2, got
     assert sorted(got["session_index"].tolist()) == [0, 1], got
     assert set(got["cause"]) == {"TCP Normal Termination"}
+
+
+def test_stream_event_time_timeout_flushes_trailing_session(spark, tmp_path):
+    """The watermark passing a key's idle expiry must flush its trailing
+    open session with the timeout cause (the state-timeout path, which the
+    availableNow equivalence test never exercises because trailing sessions
+    stay in state when the stream ends)."""
+    import time as _time
+
+    src_dir = tmp_path / "to_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "to_out")
+    ckpt = str(tmp_path / "to_ckpt")
+
+    def events(doc, ts_list, seq0):
+        return pd.DataFrame({
+            "doc_id": [doc] * len(ts_list),
+            "n_tok": [float(5)] * len(ts_list),
+            "source": ["s"] * len(ts_list),
+            "ts_us": np.asarray(ts_list, dtype=np.int64),
+            "direction": np.zeros(len(ts_list), dtype=np.int64),
+            "terminator": np.zeros(len(ts_list), dtype=np.int64),
+            "event_seq": np.arange(seq0, seq0 + len(ts_list), dtype=np.int64),
+        })
+
+    base = 1_700_000_000_000_000
+    # key A: two events, then silence
+    sdf1 = spark.createDataFrame(events("A", [base, base + 1_000_000], 0))
+    sdf1.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f1.parquet"))
+    _time.sleep(1.1)
+    # key B much later: watermark moves past A's idle expiry (idle=120s)
+    sdf2 = spark.createDataFrame(events("B", [base + 600_000_000], 10))
+    sdf2.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f2.parquet"))
+
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=120, scan_mode="none")
+    stream = (
+        spark.readStream.schema(sdf1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    features = sessionize_stream(stream, ["source", "doc_id"], cfg)
+    q = (
+        features.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+    a = got[got["doc_id"] == "A"]
+    assert len(a) == 1, got
+    assert a.iloc[0]["cause"] == "Idle Timeout", got
+    assert a.iloc[0]["event_count"] == 2
