@@ -2144,6 +2144,69 @@ FROM closed
 """
 
 
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table derived from documents: payload = the text
+    bytes (opaque to the engine), kind and metadata from doc_id arithmetic
+    — identical construction in the DuckDB oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id AS media_id",
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind",
+        "CAST(text AS BINARY) AS payload",
+        "named_struct("
+        "  'width', CAST(CASE WHEN doc_id % 3 <> 1 THEN 8 + doc_id % 56 END AS INT),"
+        "  'height', CAST(CASE WHEN doc_id % 3 <> 1 THEN 8 + doc_id % 40 END AS INT),"
+        "  'channels', CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INT),"
+        "  'sample_rate', CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 END AS INT),"
+        "  'n_frames', CAST(CASE WHEN doc_id % 3 = 2 THEN 4 + doc_id % 28 END AS INT),"
+        "  'format', 'raw') AS meta",
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (pure Catalyst sequence+explode:
+    the sharding pattern for distributed video decode)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.multimodal import sample_video_frames
+
+    frames = sample_video_frames(_media_table(spark, sf_dir), every_n=2)
+    return frames.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("meta.n_frames").cast("long").alias("n_frames"),
+    )
+
+
+_Q_MM_FRAMES_SQL = """
+WITH media AS (
+    SELECT doc_id AS media_id,
+           4 + doc_id % 28 AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       unnest(range(0, greatest(n_frames - 1, 0) + 1, 2)) AS frame_idx,
+       n_frames
+FROM media
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode->feature plumbing over the deterministic fake
+    decoder (media libs absent in this container — rows-only check; the
+    Spark-side schema/batching/UDF surface is the real production path)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.multimodal import extract_media_features
+
+    feats = extract_media_features(_media_table(spark, sf_dir))
+    return feats.select(
+        F.col("media_id").cast("long").alias("media_id"),
+        "kind",
+        "decode_ok",
+        F.size("feature").cast("long").alias("feature_dim"),
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract surface
 # --------------------------------------------------------------------------
@@ -2181,6 +2244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "ann_topk": q_ann_topk,
         "token_pipeline": q_token_pipeline,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -2204,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_tcp_fin": _Q_TCP_FIN_SQL,
         "flow_od_modules": _Q_OD_SQL,
         "flow_early_export": _Q_EARLY_SQL,
+        "multimodal_frames": _Q_MM_FRAMES_SQL,
         "flow_active_timeout": _Q_ACTIVE_SQL,
         "flow_scan_close": _Q_SCAN_SQL,
         "token_pipeline": _Q_TOKEN_SQL,
