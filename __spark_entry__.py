@@ -194,6 +194,47 @@ FROM agg
 """
 
 
+def q_session_features_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-key pre-split variant (K3, operators/skew.py): sessions grouped
+    by (key, episode) with the next_key_ts handoff must produce EXACTLY the
+    session_features output — same DuckDB oracle, proving the skew split is
+    lossless driver-visibly."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.event_features import sessionize_events
+    from rustiflow_spark.operators.skew import with_episodes
+
+    split = with_episodes(
+        _events(spark, sf_dir), ["user_id"], "ts_us", IDLE_S, "event_seq"
+    )
+    feats = sessionize_events(
+        split,
+        ["user_id", "episode"],
+        _engine_cfg(),
+        value_col="value",
+        features=["value", "iat", "subflow", "direction"],
+        next_ts_col="next_key_ts",
+        flush_ts=_events_flush_us(sf_dir),
+    )
+    return feats.select(
+        "user_id",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        F.col("event_count").cast("long").alias("event_count"),
+        F.col("fwd_event_count").cast("long").alias("fwd_event_count"),
+        F.col("bwd_event_count").cast("long").alias("bwd_event_count"),
+        F.round("n_tok_total", 6).alias("value_total"),
+        F.round("n_tok_mean", 6).alias("value_mean"),
+        F.round("n_tok_max", 6).alias("value_max"),
+        F.round("n_tok_min", 6).alias("value_min"),
+        F.round("iat_total", 4).alias("iat_total_ms"),
+        F.round("iat_max", 4).alias("iat_max_ms"),
+        F.round("iat_min", 4).alias("iat_min_ms"),
+        F.col("subflow_count").cast("long").alias("subflow_count"),
+    )
+
+
 def q_welford_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-invariant Welford feature block (A5/A6/A7 analog) as pure
     Catalyst aggregation — whole-stage codegen, no Python."""
@@ -2163,6 +2204,77 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (5-shingle) Jaccard verification on deterministic
+    candidate pairs (adjacent doc_ids) — the verify stage of the near-dup
+    pipeline, pure Catalyst higher-order functions."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.dedup import ngram_jaccard_verify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.selectExpr("doc_id AS id_a", "doc_id + 1 AS id_b").join(
+        docs.selectExpr("doc_id AS id_b"), "id_b"
+    )
+    out = ngram_jaccard_verify(docs, pairs, "doc_id", "text", threshold=0.0)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+_Q_JACCARD_SQL = """
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(length(text) - 4, 1) + 1),
+               i -> substring(text, CAST(i AS INT), 5))) AS s
+    FROM documents
+)
+SELECT a.doc_id AS id_a,
+       b.doc_id AS id_b,
+       len(list_intersect(a.s, b.s))
+           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_salted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path (K3): salted two-phase partial/final aggregation
+    (operators/skew.py Chan merge) over an exact-integer domain (value in
+    cents), so the salted result is bitwise equal to the single-phase
+    aggregate regardless of salt fan-out."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.skew import salted_welford_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("double")
+    )
+    out = salted_welford_agg(ev, ["user_id"], "cents", salt_buckets=8)
+    return out.select(
+        "user_id",
+        F.col("count").cast("long").alias("n_events"),
+        (F.col("total") / 100.0).alias("value_total"),
+        (F.col("mean") / 100.0).alias("value_mean"),
+        (F.col("min") / 100.0).alias("value_min"),
+        (F.col("max") / 100.0).alias("value_max"),
+    )
+
+
+_Q_SALTED_SQL = """
+SELECT user_id,
+       count(value) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+           AS value_total,
+       (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / count(value))
+           / 100.0 AS value_mean,
+       min(round(value * 100)) / 100.0 AS value_min,
+       max(round(value * 100)) / 100.0 AS value_max
+FROM events
+GROUP BY user_id
+"""
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plumbing (pure Catalyst sequence+explode:
     the sharding pattern for distributed video decode)."""
@@ -2246,6 +2358,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
+        "neardup_jaccard": q_neardup_jaccard,
+        "salted_stats": q_salted_stats,
+        "session_features_split": q_session_features_split,
     }
 
 
@@ -2270,6 +2385,11 @@ def oracle_sql() -> dict[str, str]:
         "flow_od_modules": _Q_OD_SQL,
         "flow_early_export": _Q_EARLY_SQL,
         "multimodal_frames": _Q_MM_FRAMES_SQL,
+        "neardup_jaccard": _Q_JACCARD_SQL,
+        "salted_stats": _Q_SALTED_SQL,
+        # identical expected output to session_features: the episode split
+        # is exact, so the same oracle applies
+        "session_features_split": _Q_SESSION_SQL,
         "flow_active_timeout": _Q_ACTIVE_SQL,
         "flow_scan_close": _Q_SCAN_SQL,
         "token_pipeline": _Q_TOKEN_SQL,
