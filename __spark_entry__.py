@@ -636,7 +636,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures + near-dup pairs (rows-only check)."""
     _ensure_package_shipped(spark)
-    from rustiflow_spark.operators.dedup import simhash_neardup_pairs, simhash_signatures
+    from rustiflow_spark.operators.dedup import simhash_signatures
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sigs = simhash_signatures(docs, "doc_id", "text")

@@ -29,7 +29,7 @@ from rustiflow_spark.config import (
     EngineConfig,
 )
 from rustiflow_spark.config import CAUSE_NONE, CLOSE_NONE
-from rustiflow_spark.kernel.flow_kernel import Session, segment_biflow
+from rustiflow_spark.kernel.flow_kernel import segment_biflow
 from rustiflow_spark.kernel.segmented import (
     _CAUSE_STRINGS,
     _seg_bounds,

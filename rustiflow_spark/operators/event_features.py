@@ -23,11 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from rustiflow_spark.config import EngineConfig
-from rustiflow_spark.kernel.event_kernel import (
-    EVENT_FEATURE_COLUMNS,
-    featurize_key_events,
-    segment_events,
-)
+from rustiflow_spark.kernel.event_kernel import EVENT_FEATURE_COLUMNS
 from rustiflow_spark.timeline import compute_timeline
 
 

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from rustiflow_spark.config import CAUSE_ACTIVE, CAUSE_IDLE, EngineConfig, US_PER_S
+from rustiflow_spark.config import CAUSE_ACTIVE, CAUSE_IDLE, EngineConfig
 from rustiflow_spark.kernel.event_kernel import featurize_key_events, segment_events
 
 STATE_SCHEMA = T.StructType(
