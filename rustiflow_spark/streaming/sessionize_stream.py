@@ -177,3 +177,152 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Packet-path streaming (the realtime eBPF pipeline analog for flows)
+# ---------------------------------------------------------------------------
+
+_PKT_STATE_COLS = [
+    "ts_us", "fin_flag", "syn_flag", "rst_flag", "psh_flag", "ack_flag",
+    "urg_flag", "cwr_flag", "ece_flag", "flags", "data_length",
+    "header_length", "length", "window_size", "sequence_number",
+    "sequence_number_ack", "protocol", "event_seq", "icmp_type", "icmp_code",
+]
+
+PACKET_STATE_SCHEMA = T.StructType(
+    [T.StructField(c, T.ArrayType(T.LongType())) for c in _PKT_STATE_COLS]
+    + [T.StructField("dir_a", T.ArrayType(T.BooleanType()))]
+)
+
+
+def sessionize_packets_stream(
+    events: DataFrame,
+    cfg: EngineConfig | None = None,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming flow extraction: packet events -> full feature-superset
+    flow rows, one open flow buffered per biflow key.
+
+    Mirrors the reference's realtime path (rustiflow/src/realtime.rs): a
+    flow is exported as soon as it is provably closed — a successor packet
+    observed its expiry, or TCP termination (FIN sequence / RST) ended it —
+    and the trailing open flow flushes on an event-time timeout at its
+    idle/active expiry instant. Same documented close-ts divergence as the
+    event path (expiry instant instead of scan time)."""
+    from rustiflow_spark.config import CAUSE_TCP_RESET, CAUSE_TCP_TERM
+    from rustiflow_spark.kernel.flow_kernel import (
+        compute_session_features,
+        segment_biflow,
+    )
+    from rustiflow_spark.operators.sessionize import with_canonical_key
+    from rustiflow_spark.schema import FLOW_SUPERSET_COLUMNS, FLOW_SUPERSET_SCHEMA
+
+    cfg = cfg or EngineConfig()
+    key_cols = ["key_ip_a", "key_port_a", "key_ip_b", "key_port_b", "protocol"]
+    no_scans = np.empty(0, dtype=np.int64)
+    proto_tcp = 6
+
+    def func(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            stored = state.get
+            bufs = {c: np.asarray(stored[i], dtype=np.int64)
+                    for i, c in enumerate(_PKT_STATE_COLS)}
+            bufs["dir_a"] = np.asarray(stored[len(_PKT_STATE_COLS)], dtype=bool)
+        else:
+            bufs = {c: np.empty(0, dtype=np.int64) for c in _PKT_STATE_COLS}
+            bufs["dir_a"] = np.empty(0, dtype=bool)
+
+        parts = [bufs]
+        for pdf in pdfs:
+            g = {}
+            for c in _PKT_STATE_COLS:
+                if c in ("icmp_type", "icmp_code"):
+                    g[c] = pdf[c].to_numpy(dtype=np.float64, na_value=-1).astype(np.int64)
+                else:
+                    g[c] = pdf[c].to_numpy(dtype=np.int64, na_value=0)
+            g["dir_a"] = pdf["dir_a"].to_numpy(dtype=bool)
+            parts.append(g)
+        merged = {
+            c: np.concatenate([p[c] for p in parts])
+            for c in (*_PKT_STATE_COLS, "dir_a")
+        }
+        n = merged["ts_us"].size
+        if n == 0:
+            if state.hasTimedOut:
+                state.remove()
+            return
+        order = np.lexsort((merged["event_seq"], merged["ts_us"]))
+        merged = {c: v[order] for c, v in merged.items()}
+
+        ts = merged["ts_us"]
+        protocol = int(merged["protocol"][0])
+        tcp_ctl = None
+        if protocol == proto_tcp:
+            tcp_ctl = {
+                "fin": merged["fin_flag"], "rst": merged["rst_flag"],
+                "syn": merged["syn_flag"], "ack": merged["ack_flag"],
+                "seq": merged["sequence_number"],
+                "ack_seq": merged["sequence_number_ack"],
+                "data_len": merged["data_length"],
+            }
+        flush_all = state.hasTimedOut
+        sessions = segment_biflow(
+            ts, merged["dir_a"], protocol, tcp_ctl, cfg, no_scans, int(ts[-1])
+        )
+        n_emit = len(sessions) if flush_all else len(sessions) - 1
+        if not flush_all and sessions and sessions[-1].cause in (
+            CAUSE_TCP_TERM, CAUSE_TCP_RESET,
+        ):
+            n_emit = len(sessions)
+
+        rows = []
+        if n_emit > 0:
+            gm = dict(merged)
+            gm.update({
+                "src_ip_a": key[0], "src_port_a": int(key[1]),
+                "dst_ip_a": key[2], "dst_port_a": int(key[3]),
+            })
+            for i in range(n_emit):
+                r = compute_session_features(gm, sessions[i], cfg)
+                if (
+                    flush_all
+                    and i == len(sessions) - 1
+                    and r["cause"] == "Exporter Shutdown"
+                ):
+                    s0, e0 = sessions[i].start, sessions[i].end
+                    active_exp = cfg.active_expiry_us(int(ts[s0]))
+                    idle_exp = cfg.idle_expiry_us(int(ts[e0 - 1]))
+                    r = dict(r)
+                    r["cause"] = (
+                        CAUSE_ACTIVE if active_exp <= idle_exp else CAUSE_IDLE
+                    )
+                rows.append(r)
+
+        if n_emit >= len(sessions):
+            state.remove()  # flows carry no per-key ordinal; nothing to keep
+        else:
+            s, e = sessions[-1].start, sessions[-1].end
+            state.update(tuple(
+                [[int(x) for x in merged[c][s:e]] for c in _PKT_STATE_COLS]
+                + [[bool(x) for x in merged["dir_a"][s:e]]]
+            ))
+            expiry_us = min(
+                cfg.idle_expiry_us(int(ts[e - 1])), cfg.active_expiry_us(int(ts[s]))
+            )
+            state.setTimeoutTimestamp(expiry_us // 1000)
+
+        if rows:
+            yield pd.DataFrame(rows).reindex(columns=FLOW_SUPERSET_COLUMNS)
+
+    keyed = with_canonical_key(events).withColumn(
+        "__event_time", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("__event_time", watermark_delay)
+
+    return keyed.groupBy(*key_cols).applyInPandasWithState(
+        func,
+        outputStructType=FLOW_SUPERSET_SCHEMA,
+        stateStructType=PACKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -171,3 +171,63 @@ def test_stream_event_time_timeout_flushes_trailing_session(spark, tmp_path):
     assert len(a) == 1, got
     assert a.iloc[0]["cause"] == "Idle Timeout", got
     assert a.iloc[0]["event_count"] == 2
+
+
+def test_packet_stream_matches_batch_closed_flows(spark, tmp_path):
+    """Streaming flow extraction must equal the batch path for every flow
+    that is provably closed within the data (successor-observed expiry or
+    TCP termination)."""
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+    from rustiflow_spark.sources.synth import generate_packet_events
+    from rustiflow_spark.streaming.sessionize_stream import sessionize_packets_stream
+    from test_sessionize_spark import make_events_df
+
+    pdf = generate_packet_events(n_flows=40, seed=11, long_flow_packets=150)
+    sdf_all = make_events_df(spark, pdf)
+    src = str(tmp_path / "pkt_src")
+    out_dir = str(tmp_path / "pkt_out")
+    ckpt = str(tmp_path / "pkt_ckpt")
+    sdf_all.write.mode("overwrite").parquet(src)
+
+    cfg = EngineConfig(active_timeout=3600, idle_timeout=120, scan_mode="none")
+    stream = spark.readStream.schema(sdf_all.schema).parquet(src)
+    flows = sessionize_packets_stream(stream, cfg)
+    q = (
+        flows.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas()
+    batch = sessionize_packets(sdf_all, cfg).toPandas()
+
+    key = ["flow_key", "first_ts_us", "last_ts_us"]
+    # closed = TCP-terminated, or not the last flow of its biflow key
+    batch["__last"] = (
+        batch.groupby("flow_key")["first_ts_us"].transform("max")
+        == batch["first_ts_us"]
+    )
+    closed = batch[
+        batch["cause"].isin(["TCP Normal Termination", "TCP Reset"])
+        | ~batch["__last"]
+    ].drop(columns="__last")
+    assert len(closed) > 0
+    got_k = got.sort_values(key).set_index(key)
+    for _, row in closed.iterrows():
+        k = (row["flow_key"], row["first_ts_us"], row["last_ts_us"])
+        assert k in got_k.index, f"closed flow missing from stream: {k}"
+        srow = got_k.loc[k]
+        for col in ("cause", "close_style", "duration_us", "subflow_count",
+                    "fwd_packet_len_count", "bwd_packet_len_count", "flags",
+                    "handshake_completed"):
+            assert srow[col] == row[col], (k, col, srow[col], row[col])
+        for col in ("iat_mean", "payload_len_total", "active_total",
+                    "fwd_bulk_bytes_total"):
+            assert np.isclose(float(srow[col]), float(row[col])), (k, col)
+    # stream emits nothing outside the batch flow set
+    batch_keys = set(map(tuple, batch[key].itertuples(index=False)))
+    got_keys = set(map(tuple, got[key].itertuples(index=False)))
+    assert got_keys <= batch_keys
