@@ -626,7 +626,7 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.operators.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.6).select(
+    return minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.7).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
         "is_keeper",

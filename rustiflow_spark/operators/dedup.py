@@ -61,7 +61,15 @@ def _drop_oversized_buckets(
     dedup, and the other (bands - 1) bands still catch genuine near-dups
     that happen to collide with a degenerate band. The size aggregate is
     map-side combinable on the same keys as the join; the exclusion join is
-    a broadcast anti-join (oversized buckets are few by construction)."""
+    a broadcast anti-join (oversized buckets are few by construction).
+
+    The banded input is materialized once (localCheckpoint): it feeds the
+    size aggregate AND both sides of the downstream self-join, and its
+    lineage contains the signature computation (64-permutation MinHash /
+    SimHash / hyperplane projections) — without the checkpoint Spark
+    recomputes the signatures ~4x (measured 363 s -> 17 s for
+    minhash_dedup on 5000 documents)."""
+    banded = banded.localCheckpoint(eager=True)
     sizes = banded.groupBy(*bucket_cols).count()
     oversized = sizes.filter(F.col("count") > max_bucket_size).select(*bucket_cols)
     return banded.join(F.broadcast(oversized), bucket_cols, "left_anti")
@@ -78,19 +86,60 @@ def _shingles(text_col: str, k: int):
 def minhash_signatures(
     df: DataFrame, text_col: str, num_perm: int = 64, shingle_k: int = 5
 ) -> DataFrame:
-    """Adds `minhash` array<long> of length num_perm.
+    """Adds `minhash` array<long> of length num_perm (all other columns
+    pass through).
 
-    MinHash permutation j is approximated by min over shingles of
-    xxhash64(shingle, j) — the standard one-hash-family construction; all
-    JVM-side whole-stage codegen."""
+    One-hash-family MinHash, Arrow-vectorized: per document, rolling k-byte
+    shingle hashes (unique), then permutation j = min over shingles of
+    (a_j * h + b_j) in wrapping uint64 arithmetic — one (S x num_perm)
+    matrix min per document instead of num_perm Catalyst lambda passes over
+    the shingle array (measured 110 s -> ~2 s for 5000 documents). A pure
+    Catalyst variant is kept as minhash_signatures_catalyst."""
+    import pyspark.sql.types as T2
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T2.StructField("minhash", T2.ArrayType(T2.LongType()))]
+    )
+    rng = np.random.RandomState(1729)
+    a = (rng.randint(1, 2**62, size=num_perm).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(1, 2**62, size=num_perm).astype(np.uint64)
+    powers = np.uint64(1099511628211) ** np.arange(shingle_k, dtype=np.uint64)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def batch(iterator):
+        for pdf in iterator:
+            sigs = []
+            for text in pdf[text_col].astype(str):
+                arr = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+                if arr.size < shingle_k:
+                    arr = np.pad(arr, (0, shingle_k - arr.size), constant_values=32)
+                win = np.lib.stride_tricks.sliding_window_view(arr, shingle_k)
+                h = np.unique(win.astype(np.uint64) @ powers) * mix
+                sig = (h[:, None] * a[None, :] + b[None, :]).min(axis=0)
+                sigs.append(sig.view(np.int64))
+            out = pdf.copy()
+            out["minhash"] = sigs
+            yield out
+
+    return df.mapInPandas(batch, schema=schema)
+
+
+def minhash_signatures_catalyst(
+    df: DataFrame, text_col: str, num_perm: int = 64, shingle_k: int = 5
+) -> DataFrame:
+    """Pure-Catalyst MinHash (xxhash64 per (shingle, permutation)) — JVM
+    whole-stage codegen, no Python workers; slower in wall-clock than the
+    Arrow kernel because the num_perm x shingles lambda evaluations
+    dominate, but useful where Python workers are unavailable."""
     sig = F.expr(
         f"transform(sequence(0, {num_perm - 1}),"
-        f" j -> array_min(transform(__shingles, s -> xxhash64(s, j))))"
+        f" j -> array_min(transform(__h, h -> xxhash64(h, j))))"
     )
     return (
         df.withColumn("__shingles", F.array_distinct(_shingles(text_col, shingle_k)))
+        .withColumn("__h", F.expr("transform(__shingles, s -> xxhash64(s))"))
         .withColumn("minhash", sig)
-        .drop("__shingles")
+        .drop("__shingles", "__h")
     )
 
 
@@ -227,17 +276,35 @@ def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: 
     return labels.select(F.col("src").alias(id_col), "cluster_id")
 
 
+def bands_for_threshold(num_perm: int, threshold: float) -> int:
+    """Band count whose LSH S-curve midpoint (1/b)^(1/r) is closest to the
+    target threshold — low thresholds need more, narrower bands."""
+    best, best_d = 1, float("inf")
+    b = 1
+    while b <= num_perm:
+        if num_perm % b == 0:
+            r = num_perm // b
+            d = abs((1.0 / b) ** (1.0 / r) - threshold)
+            if d < best_d:
+                best, best_d = b, d
+        b *= 2
+    return best
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int | None = None,
     shingle_k: int = 5,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact Jaccard
-    verify -> min-id clusters. Returns (id, cluster_id, is_keeper)."""
+    verify -> min-id clusters. Returns (id, cluster_id, is_keeper).
+    bands=None tunes the band count to the threshold (mis-tuned bands flood
+    the verify stage with below-threshold candidates)."""
+    bands = bands or bands_for_threshold(num_perm, threshold)
     sigs = minhash_signatures(df, text_col, num_perm, shingle_k)
     cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
     verified = ngram_jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
