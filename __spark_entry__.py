@@ -1886,6 +1886,41 @@ SELECT * FROM snapshots_out
 """
 
 
+def q_flow_custom_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined flow schema (the CustomFlow template analog,
+    flows/custom.py): runtime-composed column selection + derived Catalyst
+    expressions over the superset, applied to the ICMP flow table."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.flows.custom import example_custom_schema
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _packet_table(spark, sf_dir, tcp=False, icmp=True),
+        cfg,
+        flush_ts=_packet_flush_us(sf_dir),
+    )
+    return example_custom_schema().apply(flows)
+
+
+_Q_CUSTOM_SQL = f"""
+WITH base AS ({_Q_ICMP_SQL})
+SELECT flow_key AS flow_id,
+       CAST(1 AS BIGINT) AS protocol,
+       last_ts_us - first_ts_us AS duration_us,
+       cause AS flow_expire_cause,
+       icmp_type, icmp_code,
+       CASE WHEN icmp_echo_request_count > 0
+            THEN CAST(icmp_echo_reply_count AS DOUBLE)
+                 / CAST(icmp_echo_request_count AS DOUBLE)
+            ELSE 0.0 END AS echo_ratio
+FROM base
+"""
+
+
 def q_flow_tcp_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packet path, TCP with RST terminations: lifecycle state machine (T4,
     A8 flag stats + UAPRSF string, A9 init window, A14 close styles;
@@ -2345,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_cic_udp": q_flow_cic_udp,
         "flow_cic_derived": q_flow_cic_derived,
         "flow_icmp": q_flow_icmp,
+        "flow_custom_schema": q_flow_custom_schema,
         "flow_tcp_rst": q_flow_tcp_rst,
         "flow_tcp_fin": q_flow_tcp_fin,
         "flow_od_modules": q_flow_od_modules,
@@ -2380,6 +2416,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_cic_udp": _Q_CIC_UDP_SQL,
         "flow_cic_derived": _Q_CIC_DERIVED_SQL,
         "flow_icmp": _Q_ICMP_SQL,
+        "flow_custom_schema": _Q_CUSTOM_SQL,
         "flow_tcp_rst": _Q_TCP_RST_SQL,
         "flow_tcp_fin": _Q_TCP_FIN_SQL,
         "flow_od_modules": _Q_OD_SQL,
