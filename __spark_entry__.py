@@ -40,15 +40,31 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
     import tempfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    pkg = os.path.join(repo, "rustiflow_spark")
     zip_base = os.path.join(tempfile.gettempdir(), "rustiflow_spark_pkg")
     zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
+    # rebuild whenever any package source is newer than the cached zip —
+    # a stale cache would ship outdated code to the executors
+    src_mtime = max(
+        os.path.getmtime(os.path.join(root, f))
+        for root, _, files in os.walk(pkg)
+        for f in files
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
         staging = tempfile.mkdtemp()
         shutil.copytree(
-            os.path.join(repo, "rustiflow_spark"),
+            pkg,
             os.path.join(staging, "rustiflow_spark"),
+            ignore=shutil.ignore_patterns("__pycache__"),
         )
-        shutil.make_archive(zip_base, "zip", staging)
+        out_dir = tempfile.mkdtemp()
+        tmp_zip = shutil.make_archive(
+            os.path.join(out_dir, "rustiflow_spark_pkg"), "zip", staging
+        )
+        shutil.move(tmp_zip, zip_path)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
