@@ -18,14 +18,16 @@ import tempfile
 
 def build(out_dir: str = "dist") -> str:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    os.makedirs(os.path.join(repo, out_dir), exist_ok=True)
+    if not os.path.isabs(out_dir):
+        out_dir = os.path.join(repo, out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     staging = tempfile.mkdtemp()
     shutil.copytree(
         os.path.join(repo, "rustiflow_spark"),
         os.path.join(staging, "rustiflow_spark"),
         ignore=shutil.ignore_patterns("__pycache__"),
     )
-    base = os.path.join(repo, out_dir, "rustiflow_spark")
+    base = os.path.join(out_dir, "rustiflow_spark")
     path = shutil.make_archive(base, "zip", staging)
     shutil.rmtree(staging)
     return path
