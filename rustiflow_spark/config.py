@@ -83,6 +83,14 @@ class EngineConfig:
     early_export: int | None = None
     expiration_check_interval: int = 60
     scan_mode: str = "exact"
+    # Early-export snapshot featurization strategy (vectorized kernel only):
+    #   "prefix" — O(n) per-session prefix-cumulative arrays (the scale
+    #              path: cost is linear in session length, matching the
+    #              reference's O(1)-per-snapshot accumulator clone,
+    #              flow_table.rs:162-173).
+    #   "gather" — O(sum of prefix lengths) gather-expansion (quadratic on
+    #              long flows; kept only as the differential-test reference).
+    early_export_impl: str = "prefix"
 
     @property
     def active_timeout_us(self) -> int:

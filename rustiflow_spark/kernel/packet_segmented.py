@@ -283,13 +283,26 @@ def featurize_packet_block(
     reset_after = segd["reset_after"]
 
     snap_starts = segd.get("snap_starts")
+    snap_pending = None
+    if snap_starts is not None and getattr(cfg, "early_export_impl", "prefix") != "gather":
+        # Scale path: snapshot features are computed after the session pass
+        # from per-session prefix-cumulative arrays (O(n) total — the Spark
+        # analog of the reference's O(1)-per-snapshot accumulator clone,
+        # flow_table.rs:162-173). aux arrays are captured along the way.
+        snap_pending = (snap_starts, segd["snap_ends"], segd["snap_handshake"])
+        snap_aux: dict[str, object] = {}
+        snap_parent_set = set(
+            np.searchsorted(starts, snap_starts).tolist()
+        )
+        snap_starts = None
     if snap_starts is not None:
         # Early-export snapshots overlap their parent session, so they can't
         # share the tiling row->session map. Gather-expand instead: append
         # each snapshot's row range after the block as its own contiguous
         # segment; every segmented statistic below then treats snapshots
         # exactly like sessions (same code path the simple kernel uses,
-        # recomputed over the prefix rows).
+        # recomputed over the prefix rows). Quadratic on long flows — kept
+        # only as the differential-test reference (cfg.early_export_impl).
         s_ends = segd["snap_ends"]
         lens = s_ends - snap_starts
         total = int(lens.sum())
@@ -430,6 +443,12 @@ def featurize_packet_block(
         else:
             seg(name, np.empty(0), np.empty(0, np.int64))
 
+    if snap_pending is not None:
+        snap_aux["gaps"] = gaps
+        snap_aux["intra"] = intra
+        snap_aux["fwd_rows"] = fwd_rows
+        snap_aux["bwd_rows"] = bwd_rows
+
     # subflow (strict > 1s)
     sub_rows = intra[gaps[intra] > SUBFLOW_TIMEOUT_US]
     subflow_contig = 1 + np.bincount(seg_of_row[sub_rows], minlength=nsess)
@@ -437,6 +456,9 @@ def featurize_packet_block(
 
     # active/idle (strict > 5s) with close semantics
     big_rows = intra[gaps[intra] > ACTIVE_IDLE_TIMEOUT_US]
+    if snap_pending is not None:
+        snap_aux["sub_rows"] = sub_rows
+        snap_aux["big_rows"] = big_rows
     idle_vals = gaps[big_rows] / 1000.0
     idle_seg = seg_of_row[big_rows]
     closed_c = closed[order]  # contiguous order
@@ -480,6 +502,9 @@ def featurize_packet_block(
     seg("bwd_payload_len", data_len[bwd_rows], bwd_rows)
     nz_f = fwd_rows[data_len[fwd_rows] > 0]
     nz_b = bwd_rows[data_len[bwd_rows] > 0]
+    if snap_pending is not None:
+        snap_aux["nz_f"] = nz_f
+        snap_aux["nz_b"] = nz_b
     out["fwd_non_zero_payload_packets"] = np.bincount(
         seg_of_row[nz_f], minlength=nsess
     )[inv].astype(np.int64)
@@ -576,8 +601,9 @@ def featurize_packet_block(
     is_tcp_row = proto_row == PROTO_TCP
     for rows_dir, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
         rows = rows_dir[is_tcp_row[rows_dir]]
+        zw_rows = rows[win_i[rows] == 0]
         out[f"{pre}_zero_window_count"] = (
-            np.bincount(seg_of_row[rows[win_i[rows] == 0]], minlength=nsess)[inv]
+            np.bincount(seg_of_row[zw_rows], minlength=nsess)[inv]
             .astype(np.int64)
         )
         if rows.size > 1:
@@ -590,11 +616,16 @@ def featurize_packet_block(
                 & (ack_no[rows[1:]] == ack_no[rows[:-1]])
                 & (win_i[rows[1:]] == win_i[rows[:-1]])
             )
+            dup_rows = rows[1:][dup]
             out[f"{pre}_duplicate_ack_count"] = np.bincount(
-                seg_of_row[rows[1:][dup]], minlength=nsess
+                seg_of_row[dup_rows], minlength=nsess
             )[inv].astype(np.int64)
         else:
+            dup_rows = np.empty(0, dtype=np.int64)
             out[f"{pre}_duplicate_ack_count"] = np.zeros(nsess, dtype=np.int64)
+        if snap_pending is not None:
+            snap_aux[f"zw_{pre}"] = zw_rows
+            snap_aux[f"dup_{pre}"] = dup_rows
 
     # retransmissions: a vectorized necessary condition prunes the exact
     # per-session scan to sessions that can possibly overlap. A segment can
@@ -611,6 +642,7 @@ def featurize_packet_block(
     for rows_dir, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
         rows = rows_dir[eligible[rows_dir]]
         res = np.zeros(nsess, dtype=np.int64)
+        rt_event_rows: list[int] = []
         if rows.size:
             seg_r = seg_of_row[rows]
             start_v = seq[rows]
@@ -628,6 +660,7 @@ def featurize_packet_block(
             bounds = _seg_bounds(cnt)
             for si in multi:
                 rr = rows[bounds[si] : bounds[si] + cnt[si]]
+                want_rows = snap_pending is not None and int(si) in snap_parent_set
                 count = 0
                 ranges: list[tuple[int, int]] = []
                 for r in rr:
@@ -635,6 +668,8 @@ def featurize_packet_block(
                     end_ = min(start_ + int(seg_len[r]), U32_MAX)
                     if any(s_ < end_ and start_ < e_ for s_, e_ in ranges):
                         count += 1
+                        if want_rows:
+                            rt_event_rows.append(int(r))
                     ns_, ne_ = start_, end_
                     j = 0
                     while j < len(ranges):
@@ -650,6 +685,10 @@ def featurize_packet_block(
                     ranges.insert(j, (ns_, ne_))
                 res[si] = count
         out[f"{pre}_retransmission_count"] = res[inv]
+        if snap_pending is not None:
+            snap_aux[f"rt_{pre}"] = np.sort(
+                np.asarray(rt_event_rows, dtype=np.int64)
+            )
 
     # bulk transfers, fully vectorized. The reference's interleaved 2-state
     # machine (bulk_stats.rs:115-167; flow_kernel.compute_bulk) reduces to:
@@ -691,6 +730,16 @@ def featurize_packet_block(
         ).astype(np.int64)
         is_last_run = np.ones(run_start.size, dtype=bool)
         is_last_run[:-1] = r_sess[:-1] != r_sess[1:]
+        if snap_pending is not None:
+            snap_aux["bulk"] = {
+                "nzrows": nzrows,
+                "run_start": run_start,
+                "r_sess": r_sess,
+                "r_dir": r_dir,
+                "r_count": r_count,
+                "r_bytes": r_bytes,
+                "r_dur": r_dur,
+            }
         keep = (r_count >= MIN_BULK_PACKETS) & (~is_last_run | closed[r_sess])
         for d_val, d in ((True, "fwd"), (False, "bwd")):
             m = keep & (r_dir == d_val)
@@ -713,5 +762,332 @@ def featurize_packet_block(
             np.divide(b_tot, d_tot, out=rate, where=pos)
             rate[has & (d_tot == 0)] = np.inf
             out[f"{d}_bulk_rate"] = rate
+
+    if snap_pending is not None:
+        s_starts, s_ends, s_hs = snap_pending
+        snap_out = _snapshot_features(
+            g, cfg, ts, starts, ends, seg_of_row, fwd_row, out,
+            s_starts, s_ends, s_hs, snap_aux,
+        )
+        for col in out:
+            out[col] = np.concatenate((out[col], snap_out[col]))
+
+    return out
+
+def _snapshot_features(
+    g: dict[str, np.ndarray],
+    cfg: EngineConfig,
+    ts: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    seg_of_row: np.ndarray,
+    fwd_row: np.ndarray,
+    sess_out: dict[str, np.ndarray],
+    snap_starts: np.ndarray,
+    snap_ends: np.ndarray,
+    snap_hs: np.ndarray,
+    aux: dict,
+) -> dict[str, np.ndarray]:
+    """Early-export snapshot features from per-session prefix-cumulative
+    arrays (flow_table.rs:155-177): O(total session rows), not O(sum of
+    prefix lengths) — the vectorized analog of the reference's O(1)
+    accumulator clone per snapshot.
+
+    Every statistic of a snapshot (prefix [session start, snap_end)) is a
+    prefix reduction of per-row "arrival" events: a value v arriving at row
+    r contributes to snapshots with end row >= r. Totals/means come from
+    per-session-reset cumulative sums (fresh np.cumsum per session — bitwise
+    equal to the sequential reduceat sums of the session pass), max/min from
+    per-session cumulative extrema, and the population variance from the
+    shifted-moment identity m2 = sum((v - v0)^2) - (sum(v - v0))^2 / k with
+    v0 the session's first value, whose FP error is bounded by ~k*eps
+    relative to m2 itself. Counts are exact searchsorted prefix counts.
+    """
+    nsnap = snap_starts.size
+    parent = np.searchsorted(starts, snap_starts)
+    e_abs = snap_ends - 1
+    s_abs = snap_starts
+    n = ts.size
+    out: dict[str, np.ndarray] = {}
+
+    # --- identity / scalar columns (same first packet as the parent) -------
+    for col in (
+        "src_ip", "src_port", "dst_ip", "dst_port", "protocol", "ip_version",
+        "src_ip_scope", "dst_ip_scope", "path_locality", "flow_key",
+        "icmp_type", "icmp_code", "first_ts_us",
+    ):
+        out[col] = sess_out[col][parent]
+    out["last_ts_us"] = ts[e_abs]
+    out["duration_us"] = out["last_ts_us"] - out["first_ts_us"]
+    out["cause"] = np.full(nsnap, CAUSE_NONE, dtype=object)
+    proto = sess_out["protocol"][parent]
+    out["close_style"] = np.where(
+        proto == PROTO_TCP, CLOSE_NONE, CLOSE_NOT_APPLICABLE
+    ).astype(object)
+    out["handshake_completed"] = snap_hs.astype(np.int64)
+    out["reset_before_handshake"] = np.zeros(nsnap, dtype=np.int64)
+    out["reset_after_handshake"] = np.zeros(nsnap, dtype=np.int64)
+
+    # --- arrival-event family definitions -----------------------------------
+    gaps = aux["gaps"]
+    intra = aux["intra"]
+    fwd_rows = aux["fwd_rows"]
+    bwd_rows = aux["bwd_rows"]
+    big_rows = aux["big_rows"]
+    allrows = np.arange(n, dtype=np.int64)
+    data_len = g["data_length"].astype(np.float64)
+    hdr = g["header_length"].astype(np.float64)
+    length = g["length"].astype(np.float64)
+    win = g["window_size"].astype(np.float64)
+
+    stat_fams: list[tuple[str, np.ndarray, np.ndarray]] = []
+    stat_fams.append(("iat", intra, gaps[intra] / 1000.0))
+    for rows_d, nm in ((fwd_rows, "fwd_iat"), (bwd_rows, "bwd_iat")):
+        if rows_d.size > 1:
+            same = seg_of_row[rows_d[1:]] == seg_of_row[rows_d[:-1]]
+            arr = rows_d[1:][same]
+            vals = (ts[rows_d[1:]] - ts[rows_d[:-1]])[same] / 1000.0
+        else:
+            arr, vals = np.empty(0, np.int64), np.empty(0)
+        stat_fams.append((nm, arr, vals))
+    # active spans completed at each big-gap row (the big row starts the
+    # next span; the prefix-trailing span is dropped — snapshots are open)
+    if big_rows.size:
+        prev = np.empty(big_rows.size, dtype=np.int64)
+        prev[0] = starts[seg_of_row[big_rows[0]]]
+        same_s = seg_of_row[big_rows[1:]] == seg_of_row[big_rows[:-1]]
+        prev[1:] = np.where(
+            same_s, big_rows[:-1], starts[seg_of_row[big_rows[1:]]]
+        )
+        dur = (ts[big_rows - 1] - ts[prev]).astype(np.float64) / 1000.0
+        keep = dur > 0
+        stat_fams.append(("active", big_rows[keep], dur[keep]))
+    else:
+        stat_fams.append(("active", big_rows, np.empty(0)))
+    # idle gaps (no trailing idle: snapshots are never closed)
+    stat_fams.append(("idle", big_rows, gaps[big_rows] / 1000.0))
+    stat_fams.append(("payload_len", allrows, data_len))
+    stat_fams.append(("fwd_payload_len", fwd_rows, data_len[fwd_rows]))
+    stat_fams.append(("bwd_payload_len", bwd_rows, data_len[bwd_rows]))
+    stat_fams.append(("header_len", allrows, hdr))
+    stat_fams.append(("fwd_header_len", fwd_rows, hdr[fwd_rows]))
+    stat_fams.append(("bwd_header_len", bwd_rows, hdr[bwd_rows]))
+    stat_fams.append(("fwd_packet_len", fwd_rows, length[fwd_rows]))
+    stat_fams.append(("bwd_packet_len", bwd_rows, length[bwd_rows]))
+    stat_fams.append(("window_size", allrows, win))
+    stat_fams.append(("fwd_window_size", fwd_rows, win[fwd_rows]))
+    stat_fams.append(("bwd_window_size", bwd_rows, win[bwd_rows]))
+    # bulk runs: run i becomes visible exactly when run i+1 of the same
+    # session starts (prefix-trailing run dropped — snapshots are open)
+    bk = aux.get("bulk")
+    for d_val, d in ((True, "fwd"), (False, "bwd")):
+        if bk is not None and bk["run_start"].size > 1:
+            r_sess, r_dir = bk["r_sess"], bk["r_dir"]
+            r_count = bk["r_count"]
+            idx = np.flatnonzero(r_sess[1:] == r_sess[:-1])
+            q = idx[(r_dir[idx] == d_val) & (r_count[idx] >= MIN_BULK_PACKETS)]
+            arr = bk["nzrows"][bk["run_start"][q + 1]]
+            stat_fams.append(
+                (f"{d}_bulk_packets", arr, r_count[q].astype(np.float64))
+            )
+            stat_fams.append(
+                (f"{d}_bulk_bytes", arr, bk["r_bytes"][q].astype(np.float64))
+            )
+            stat_fams.append(
+                (f"{d}_bulk_duration", arr, bk["r_dur"][q].astype(np.float64))
+            )
+        else:
+            e_i, e_f = np.empty(0, np.int64), np.empty(0)
+            stat_fams.append((f"{d}_bulk_packets", e_i, e_f))
+            stat_fams.append((f"{d}_bulk_bytes", e_i, e_f))
+            stat_fams.append((f"{d}_bulk_duration", e_i, e_f))
+
+    # weighted prefix-sum families (flag / ICMP counters)
+    wfams: list[tuple[str, np.ndarray, np.ndarray]] = []
+    for name in ("urg", "ack", "psh", "rst", "syn", "fin", "cwr", "ece"):
+        col = g[name + "_flag"].astype(np.float64)
+        wfams.append((f"fwd_{name}_flag_count", fwd_rows, col[fwd_rows]))
+        wfams.append((f"bwd_{name}_flag_count", bwd_rows, col[bwd_rows]))
+    proto_row = g["protocol"]
+    icmp_rows = np.flatnonzero(
+        (proto_row == PROTO_ICMP) | (proto_row == PROTO_ICMPV6)
+    )
+    if icmp_rows.size:
+        v4 = proto_row[icmp_rows] == PROTO_ICMP
+        t_vals = g["icmp_type"][icmp_rows]
+        req = np.where(v4, t_vals == 8, t_vals == 128)
+        rep = np.where(v4, t_vals == 0, t_vals == 129)
+        dunr = np.where(v4, t_vals == 3, t_vals == 1)
+        err_x = np.where(
+            v4, np.isin(t_vals, (4, 5, 11, 12)), np.isin(t_vals, (2, 3, 4))
+        )
+    else:
+        req = rep = dunr = err_x = np.empty(0, dtype=bool)
+    wfams.append(("icmp_echo_request_count", icmp_rows, req.astype(np.float64)))
+    wfams.append(("icmp_echo_reply_count", icmp_rows, rep.astype(np.float64)))
+    wfams.append(
+        ("icmp_error_count", icmp_rows, (dunr | err_x).astype(np.float64))
+    )
+    wfams.append(
+        ("icmp_destination_unreachable_count", icmp_rows, dunr.astype(np.float64))
+    )
+
+    # --- exact prefix counts (searchsorted over event rows) -----------------
+    def prefix_count(rows: np.ndarray) -> np.ndarray:
+        return (
+            np.searchsorted(rows, e_abs, side="right")
+            - np.searchsorted(rows, s_abs, side="left")
+        ).astype(np.int64)
+
+    out["subflow_count"] = 1 + prefix_count(aux["sub_rows"])
+    out["fwd_non_zero_payload_packets"] = prefix_count(aux["nz_f"])
+    out["bwd_non_zero_payload_packets"] = prefix_count(aux["nz_b"])
+    for pre in ("fwd", "bwd"):
+        out[f"{pre}_zero_window_count"] = prefix_count(aux[f"zw_{pre}"])
+        out[f"{pre}_duplicate_ack_count"] = prefix_count(aux[f"dup_{pre}"])
+        out[f"{pre}_retransmission_count"] = prefix_count(aux[f"rt_{pre}"])
+
+    # per-family prefix counts (shared by stats assembly below)
+    kcounts = {nm: prefix_count(rows) for nm, rows, _ in stat_fams}
+
+    # --- timing + init window (first/last arrival value <= snapshot end) ----
+    for rows_d, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
+        kg = np.searchsorted(rows_d, e_abs, side="right")
+        f_i = np.searchsorted(rows_d, s_abs, side="left")
+        has = kg > f_i
+        if rows_d.size:
+            tv = ts[rows_d]
+            wv = g["window_size"][rows_d]
+            first = tv[np.minimum(f_i, rows_d.size - 1)]
+            last = tv[np.maximum(kg - 1, 0)]
+            init = wv[np.minimum(f_i, rows_d.size - 1)]
+        else:
+            first = last = init = np.zeros(nsnap, dtype=np.int64)
+        out[f"first_ts_{pre}_ms"] = np.where(has, first / 1000.0, 0.0)
+        out[f"last_ts_{pre}_ms"] = np.where(has, last / 1000.0, 0.0)
+        out[f"{pre}_duration_ms"] = np.where(has, (last - first) / 1000.0, 0.0)
+        out[f"{pre}_init_window_size"] = np.where(has, init, 0).astype(np.int64)
+
+    # --- chunked per-session cumulative matrices -----------------------------
+    nfam = len(stat_fams)
+    ncol_sum = 3 * nfam + len(wfams)
+    snap_sessions = np.unique(parent)
+    sess_lens = (ends - starts)[snap_sessions]
+    # greedy chunks of whole sessions, ~256k rows apiece
+    chunk_of = np.zeros(snap_sessions.size, dtype=np.int64)
+    if snap_sessions.size:
+        acc, cid = 0, 0
+        target = 1 << 18
+        for i_s in range(snap_sessions.size):
+            if acc >= target:
+                cid += 1
+                acc = 0
+            chunk_of[i_s] = cid
+            acc += int(sess_lens[i_s])
+    nchunks = int(chunk_of[-1]) + 1 if snap_sessions.size else 0
+    snap_local = np.searchsorted(snap_sessions, parent)
+    snap_chunk = chunk_of[snap_local]
+
+    g_sum = np.zeros((nsnap, ncol_sum))
+    g_max = np.zeros((nsnap, nfam))
+    g_min = np.zeros((nsnap, nfam))
+    row_to_sub = np.full(n, -1, dtype=np.int64)
+    for cid in range(nchunks):
+        c_sessions = np.flatnonzero(chunk_of == cid)
+        c_starts = starts[snap_sessions[c_sessions]]
+        c_lens = sess_lens[c_sessions]
+        n_sub = int(c_lens.sum())
+        sub_off = np.zeros(c_lens.size, dtype=np.int64)
+        np.cumsum(c_lens[:-1], out=sub_off[1:])
+        rows_of = (
+            np.arange(n_sub, dtype=np.int64)
+            - np.repeat(sub_off, c_lens)
+            + np.repeat(c_starts, c_lens)
+        )
+        row_to_sub[rows_of] = np.arange(n_sub, dtype=np.int64)
+
+        m_sum = np.zeros((n_sub, ncol_sum))
+        m_max = np.full((n_sub, nfam), -np.inf)
+        m_min = np.full((n_sub, nfam), np.inf)
+        for j, (nm, rows, vals) in enumerate(stat_fams):
+            if not rows.size:
+                continue
+            sel = row_to_sub[rows] >= 0
+            p = row_to_sub[rows[sel]]
+            if not p.size:
+                continue
+            v = vals[sel]
+            m_sum[p, 3 * j] = v
+            # shift by the session's first family value (exact 0 for v0)
+            grp = seg_of_row[rows[sel]]
+            gnew = np.ones(p.size, dtype=bool)
+            gnew[1:] = grp[1:] != grp[:-1]
+            gs = np.flatnonzero(gnew)
+            first_rep = np.repeat(v[gs], np.diff(np.append(gs, p.size)))
+            y = v - first_rep
+            m_sum[p, 3 * j + 1] = y
+            m_sum[p, 3 * j + 2] = y * y
+            m_max[p, j] = v
+            m_min[p, j] = v
+        for j, (nm, rows, w) in enumerate(wfams):
+            if not rows.size:
+                continue
+            sel = row_to_sub[rows] >= 0
+            p = row_to_sub[rows[sel]]
+            if p.size:
+                m_sum[p, 3 * nfam + j] = w[sel]
+
+        for off, ln in zip(sub_off.tolist(), c_lens.tolist()):
+            sl = slice(off, off + ln)
+            np.cumsum(m_sum[sl], axis=0, out=m_sum[sl])
+            np.maximum.accumulate(m_max[sl], axis=0, out=m_max[sl])
+            np.minimum.accumulate(m_min[sl], axis=0, out=m_min[sl])
+
+        in_chunk = snap_chunk == cid
+        p_snap = row_to_sub[e_abs[in_chunk]]
+        g_sum[in_chunk] = m_sum[p_snap]
+        g_max[in_chunk] = m_max[p_snap]
+        g_min[in_chunk] = m_min[p_snap]
+        row_to_sub[rows_of] = -1
+
+    # --- assemble stat families ---------------------------------------------
+    for j, (nm, _rows, _vals) in enumerate(stat_fams):
+        k = kcounts[nm]
+        has = k > 0
+        total = g_sum[:, 3 * j]
+        mean = np.divide(total, k, out=np.zeros(nsnap), where=has)
+        m2 = g_sum[:, 3 * j + 2] - np.divide(
+            g_sum[:, 3 * j + 1] ** 2, k, out=np.zeros(nsnap), where=has
+        )
+        np.maximum(m2, 0.0, out=m2)
+        std = np.sqrt(np.divide(m2, k, out=np.zeros(nsnap), where=has))
+        out[f"{nm}_total"] = total
+        out[f"{nm}_mean"] = mean
+        out[f"{nm}_std"] = std
+        out[f"{nm}_max"] = np.where(has, g_max[:, j], 0.0)
+        out[f"{nm}_min"] = np.where(has, g_min[:, j], 0.0)
+        out[f"{nm}_count"] = k
+    for j, (nm, _rows, _w) in enumerate(wfams):
+        out[nm] = g_sum[:, 3 * nfam + j].astype(np.int64)
+
+    # flags string from prefix flag presence
+    bits = np.zeros(nsnap, dtype=np.int64)
+    for name, b in (
+        ("urg", 5), ("ack", 4), ("psh", 3), ("rst", 2), ("syn", 1), ("fin", 0),
+    ):
+        tot = out[f"fwd_{name}_flag_count"] + out[f"bwd_{name}_flag_count"]
+        bits |= (tot > 0).astype(np.int64) << b
+    out["flags"] = _FLAGS_LUT[bits]
+
+    # bulk rate quirk (bulk_stats.rs:65-78)
+    for d in ("fwd", "bwd"):
+        b_tot = out[f"{d}_bulk_bytes_total"]
+        d_tot = out[f"{d}_bulk_duration_total"] / 1_000_000.0
+        has = out[f"{d}_bulk_packets_count"] > 0
+        rate = np.zeros(nsnap)
+        pos = has & (d_tot > 0)
+        np.divide(b_tot, d_tot, out=rate, where=pos)
+        rate[has & (d_tot == 0)] = np.inf
+        out[f"{d}_bulk_rate"] = rate
 
     return out

@@ -59,6 +59,8 @@ def run_vectorized(df: pd.DataFrame, cfg: EngineConfig) -> list[dict]:
         EngineConfig(active_timeout=30, idle_timeout=8, expiration_check_interval=5),
         EngineConfig(active_timeout=60, idle_timeout=10, early_export=3,
                      expiration_check_interval=15),
+        EngineConfig(active_timeout=60, idle_timeout=10, early_export=3,
+                     expiration_check_interval=15, early_export_impl="gather"),
     ],
 )
 def test_vectorized_matches_simple(seed, cfg):
@@ -66,6 +68,21 @@ def test_vectorized_matches_simple(seed, cfg):
     simple = run_kernel_all_groups(df, cfg)
     vec = run_vectorized(df, cfg)
     compare_flow_sets(simple, vec)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_prefix_snapshots_match_gather(seed):
+    """The O(n) prefix-cumulative snapshot path must equal the quadratic
+    gather-expansion reference on every superset column (same tolerance as
+    the simple-kernel parity)."""
+    df = generate_packet_events(n_flows=40, seed=seed, long_flow_packets=400)
+    cfg_p = EngineConfig(active_timeout=600, idle_timeout=30, early_export=2)
+    cfg_g = EngineConfig(active_timeout=600, idle_timeout=30, early_export=2,
+                         early_export_impl="gather")
+    prefix = run_vectorized(df, cfg_p)
+    gather = run_vectorized(df, cfg_g)
+    assert any(r["cause"] == "None" for r in prefix), "no snapshots produced"
+    compare_flow_sets(gather, prefix)
 
 
 def test_vectorized_spark_end_to_end(spark):
