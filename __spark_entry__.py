@@ -636,8 +636,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup clustering on documents (operators/dedup.py).
-    Not SQL-expressible (xxhash64 signature family) — rows-only check."""
+    """MinHash-LSH near-dup clustering on documents (operators/dedup.py):
+    signatures -> banded candidates -> exact Jaccard verify -> min-id
+    components. Oracled: the signature kernel is plain wrapping-uint64
+    arithmetic (DuckDB HUGEINT), band-hash equality == raw-slice equality,
+    and the components come from a recursive label-propagation CTE."""
     _ensure_package_shipped(spark)
     from rustiflow_spark.operators.dedup import minhash_lsh_dedup
 
@@ -650,13 +653,145 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures + near-dup pairs (rows-only check)."""
+    """SimHash signatures over documents (operators/dedup.py bit voting),
+    oracled bit-for-bit by a DuckDB HUGEINT replay of the kernel."""
     _ensure_package_shipped(spark)
     from rustiflow_spark.operators.dedup import simhash_signatures
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sigs = simhash_signatures(docs, "doc_id", "text")
     return sigs.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
+
+
+# --- DuckDB oracles for the MinHash / SimHash kernels -----------------------
+# The Arrow kernels (operators/dedup.py) are plain wrapping-uint64 FNV-style
+# arithmetic, so DuckDB can replay them exactly with HUGEINT intermediates:
+# 64-bit wrap = % 2^64, and the one multiply that can exceed INT128
+# (h * golden-ratio mix, both operands ~2^64) is split into 32-bit halves.
+
+_U64 = 1 << 64
+_MIX = 0x9E3779B97F4A7C15
+_MIX_HI, _MIX_LO = _MIX >> 32, _MIX & 0xFFFFFFFF
+_FNV = 1099511628211
+
+
+def _shingle_h0_sql(k: int) -> str:
+    """Rolling k-byte shingle hash (dedup.py: win @ powers, wrapping u64):
+    sum of byte i * FNV^i over the window starting at 1-based position i."""
+    powers = [pow(_FNV, i, _U64) for i in range(k)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(text, i + {j}, 1)) AS HUGEINT) * {powers[j]}"
+        for j in range(k)
+    )
+    return f"(({terms}) % {_U64})"
+
+
+_MIXMUL_SQL = (
+    f"((h0 * {_MIX_LO} + ((h0 * {_MIX_HI}) % 4294967296) * 4294967296) % {_U64})"
+)
+
+
+def _minhash_perm_rows() -> str:
+    """The kernel's permutation constants (dedup.py minhash_signatures:
+    RandomState(1729), a odd via <<1|1, b in [1, 2^62))."""
+    import numpy as _np
+
+    rng = _np.random.RandomState(1729)
+    a = (rng.randint(1, 2**62, size=64).astype(_np.uint64) << _np.uint64(1)) | _np.uint64(1)
+    b = rng.randint(1, 2**62, size=64).astype(_np.uint64)
+    return ",".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(64))
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH RECURSIVE d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 4)) AS i FROM d
+),
+h0t AS (SELECT doc_id, {_shingle_h0_sql(5)} AS h0 FROM pos),
+hh AS (SELECT DISTINCT doc_id, {_MIXMUL_SQL} AS h FROM h0t),
+perms(j, a, b) AS (VALUES {_minhash_perm_rows()}),
+sig AS (
+  SELECT doc_id, j, min((h * CAST(a AS HUGEINT) + b) % {_U64}) AS s
+  FROM hh CROSS JOIN perms GROUP BY doc_id, j
+),
+sigl AS (
+  SELECT doc_id,
+         list(CAST(CASE WHEN s >= {1 << 63} THEN s - {_U64} ELSE s END AS BIGINT)
+              ORDER BY j) AS sig
+  FROM sig GROUP BY doc_id
+),
+-- banded LSH: 8 bands x 8 rows (bands_for_threshold(64, 0.7)); equality on
+-- the raw signature slice == equality of its xxhash64 band key
+bandtab AS (
+  SELECT doc_id, band, list_slice(sig, band * 8 + 1, band * 8 + 8) AS sl
+  FROM sigl CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) bp
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandtab x JOIN bandtab y
+    ON x.band = y.band AND x.sl = y.sl AND x.doc_id < y.doc_id
+),
+shset AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, length(text) - 4),
+                                      i -> substr(text, i, 5))) AS sh
+  FROM d
+),
+ver AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN shset sa ON sa.doc_id = id_a
+  JOIN shset sb ON sb.doc_id = id_b
+  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        / len(list_distinct(sa.sh || sb.sh)) >= 0.7
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM ver
+          UNION SELECT id_b, id_a FROM ver),
+lab(id, lab) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.b, l.lab FROM lab l JOIN edges e ON l.id = e.a
+)
+SELECT id AS doc_id, min(lab) AS cluster_id, id = min(lab) AS is_keeper
+FROM lab GROUP BY id
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+pos AS (
+  SELECT doc_id, text, unnest(generate_series(1, length(text) - 3)) AS i FROM d
+),
+h0t AS (SELECT doc_id, {_shingle_h0_sql(4)} AS h0 FROM pos),
+hh AS (
+  SELECT DISTINCT doc_id, (({_MIXMUL_SQL}) + 3735928559) % {_U64} AS h
+  FROM h0t
+),
+hsplit AS (
+  SELECT doc_id,
+         CAST(h % 4294967296 AS BIGINT) AS h_lo,
+         CAST(h // 4294967296 AS BIGINT) AS h_hi
+  FROM hh
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN b < 32 THEN (h_lo >> b) & 1
+                  ELSE (h_hi >> (b - 32)) & 1 END) AS ones,
+         count(*) AS m
+  FROM hsplit CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bp
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN 2 * ones > m AND b < 63
+                     THEN CAST(CAST(1 AS BIGINT) << CAST(b AS INT) AS HUGEINT)
+                     ELSE 0 END)
+            - sum(CASE WHEN 2 * ones > m AND b = 63
+                       THEN CAST({1 << 63} AS HUGEINT) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2447,4 +2582,6 @@ def oracle_sql() -> dict[str, str]:
         "flow_scan_close": _Q_SCAN_SQL,
         "token_pipeline": _Q_TOKEN_SQL,
         "langid": _langid_sql(),
+        "minhash_dedup": _minhash_sql(),
+        "simhash": _simhash_sql(),
     }
