@@ -1101,6 +1101,162 @@ def _flow_key_sql(proto: int) -> str:
        END"""
 
 
+# --- pcap round-trip (S2-S5 decode chain, driver-visible) -------------------
+# Deterministic packets from `events` -> real classic-pcap capture files
+# (both byte orders, us+ns magic, Ethernet+SLL link types, VLAN tags,
+# IPv4+IPv6 w/ hop-by-hop extension, TCP options, injected undecodable
+# frames) -> read_pcap decode on executors -> compare with the synthesis
+# arithmetic replayed in DuckDB. pcap.rs:66-210, packet_features.rs:164-373.
+
+_RT_V6 = "user_id % 11 = 3"
+_RT_ICMP = "user_id % 13 = 7"
+_RT_TCP = f"(NOT ({_RT_ICMP}) AND event_id % 3 = 0)"
+_RT_C2S = "event_id % 2 = 0"
+_RT_SYN = f"({_RT_TCP} AND event_id % 29 = 0)"
+_RT_RST = f"({_RT_TCP} AND event_id % 23 = 0)"
+_RT_ACK = f"({_RT_TCP} AND event_id % 2 = 1)"
+_RT_OPT = f"CASE WHEN {_RT_TCP} THEN (event_id % 2) * 8 ELSE 0 END"
+
+
+def _rt_exprs(duck: bool) -> dict[str, str]:
+    """Synthesis fragments shared by the Spark query and the DuckDB oracle
+    (identical arithmetic; only function spellings differ)."""
+    cip6 = (
+        "'2001:db8::' || lower(to_hex(1000 + user_id % 40000))"
+        if duck
+        else "concat('2001:db8::', lower(hex(1000 + user_id % 40000)))"
+    )
+    cip4 = _CLIENT_IP_DUCK if duck else _CLIENT_IP_SPARK
+    cip = f"CASE WHEN {_RT_V6} THEN {cip6} ELSE {cip4} END"
+    sip = f"CASE WHEN {_RT_V6} THEN '2001:db8::1' ELSE '{_SERVER_IP}' END"
+    dlen = "CAST(floor(value) AS INT)"
+    psh = f"({_RT_TCP} AND floor(value) > 0)"
+    proto = (
+        f"CASE WHEN {_RT_ICMP} THEN (CASE WHEN {_RT_V6} THEN 58 ELSE 1 END) "
+        f"WHEN {_RT_TCP} THEN 6 ELSE 17 END"
+    )
+    transport = (
+        f"CASE WHEN {_RT_ICMP} THEN 4 + {dlen} "
+        f"WHEN {_RT_TCP} THEN 20 + ({_RT_OPT}) + {dlen} "
+        f"ELSE 8 + {dlen} END"
+    )
+    ext = f"({_RT_V6} AND event_id % 2 = 0)"
+    length = (
+        f"CASE WHEN {_RT_V6} THEN 40 + (CASE WHEN {ext} THEN 8 ELSE 0 END)"
+        f" + ({transport}) ELSE 20 + ({transport}) END"
+    )
+    return {
+        "cip": cip, "sip": sip, "dlen": dlen, "psh": psh, "proto": proto,
+        "transport": transport, "ext": ext, "length": length,
+        "cport": "1024 + user_id % 60000",
+    }
+
+
+def q_pcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pcap round-trip: synthesize packets, encode real capture files
+    (4 files: LE/us, LE/ns, BE/us, SLL), decode with the distributed
+    read_pcap source, project the packet-event columns."""
+    import shutil
+    import zlib
+
+    import pandas as pd
+
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.sources.pcap import read_pcap
+    from rustiflow_spark.sources.pcap_write import encode_pcap_bytes
+
+    x = _rt_exprs(duck=False)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    synth = ev.select(raw.alias("raw_us"), "user_id", "event_id", "value").selectExpr(
+        "(raw_us div 40000) * 1000 AS ts_us",
+        f"CAST({x['proto']} AS INT) AS proto",
+        f"{_RT_V6} AS v6",
+        "event_id % 5 = 0 AS vlan",
+        f"{x['ext']} AS ext",
+        f"CASE WHEN {_RT_C2S} THEN {x['cip']} ELSE {x['sip']} END AS src_ip",
+        f"CASE WHEN {_RT_C2S} THEN {x['sip']} ELSE {x['cip']} END AS dst_ip",
+        f"CAST(CASE WHEN {_RT_ICMP} THEN 0 WHEN {_RT_C2S} THEN {x['cport']} ELSE 443 END AS INT) AS src_port",
+        f"CAST(CASE WHEN {_RT_ICMP} THEN 0 WHEN {_RT_C2S} THEN 443 ELSE {x['cport']} END AS INT) AS dst_port",
+        f"{x['dlen']} AS dlen",
+        "CAST(0 AS INT) AS fin",
+        f"CAST(CASE WHEN {_RT_SYN} THEN 1 ELSE 0 END AS INT) AS syn",
+        f"CAST(CASE WHEN {_RT_RST} THEN 1 ELSE 0 END AS INT) AS rst",
+        f"CAST(CASE WHEN {x['psh']} THEN 1 ELSE 0 END AS INT) AS psh",
+        f"CAST(CASE WHEN {_RT_ACK} THEN 1 ELSE 0 END AS INT) AS ack",
+        f"CAST({_RT_OPT} AS INT) AS hdr_opt",
+        f"CAST(CASE WHEN {_RT_TCP} THEN (event_id % 1000000) * 3000 ELSE 0 END AS BIGINT) AS seq",
+        f"CAST(CASE WHEN {_RT_TCP} THEN (event_id % 7) * 1000 ELSE 0 END AS BIGINT) AS ack_seq",
+        f"CAST(CASE WHEN {_RT_TCP} THEN 1000 + (event_id % 97) * 7 ELSE 0 END AS INT) AS window",
+        f"CAST(CASE WHEN {_RT_ICMP} THEN {_ICMP_TYPE} ELSE 0 END AS INT) AS icmp_type",
+        f"CAST(CASE WHEN {_RT_ICMP} THEN event_id % 3 ELSE 0 END AS INT) AS icmp_code",
+        "event_id % 101 = 0 AS inject_frag",
+        "event_id % 211 = 0 AS inject_arp",
+        "CAST(user_id % 4 AS INT) AS file_id",
+    )
+
+    out_dir = f"/tmp/rustiflow_pcap_rt_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        fid = int(key[0])
+        data = encode_pcap_bytes(
+            pdf.sort_values(["ts_us", "seq", "src_ip"], kind="mergesort"),
+            endian=">" if fid == 2 else "<",
+            ns=fid == 1,
+            sll=fid == 3,
+        )
+        with open(f"{out_dir}/cap_{fid}.pcap", "wb") as f:
+            f.write(data)
+        return pd.DataFrame({"file_id": [fid], "n": [len(pdf)]})
+
+    synth.groupBy("file_id").applyInPandas(
+        write_group, "file_id int, n long"
+    ).collect()
+
+    decoded = read_pcap(spark, out_dir)
+    return decoded.select(
+        "src_ip", "src_port", "dst_ip", "dst_port", "protocol", "ts_us",
+        "fin_flag", "syn_flag", "rst_flag", "psh_flag", "ack_flag",
+        "urg_flag", "cwr_flag", "ece_flag", "flags", "data_length",
+        "header_length", "length", "window_size", "sequence_number",
+        "sequence_number_ack", "icmp_type", "icmp_code",
+    )
+
+
+def _pcap_roundtrip_sql() -> str:
+    x = _rt_exprs(duck=True)
+    b = lambda cond: f"CASE WHEN {cond} THEN 1 ELSE 0 END"  # noqa: E731
+    return f"""
+SELECT
+  CASE WHEN {_RT_C2S} THEN {x['cip']} ELSE {x['sip']} END AS src_ip,
+  CAST(CASE WHEN {_RT_ICMP} THEN 0 WHEN {_RT_C2S} THEN {x['cport']} ELSE 443 END AS INT) AS src_port,
+  CASE WHEN {_RT_C2S} THEN {x['sip']} ELSE {x['cip']} END AS dst_ip,
+  CAST(CASE WHEN {_RT_ICMP} THEN 0 WHEN {_RT_C2S} THEN 443 ELSE {x['cport']} END AS INT) AS dst_port,
+  CAST({x['proto']} AS INT) AS protocol,
+  (epoch_us(ts) // 40000) * 1000 AS ts_us,
+  CAST(0 AS INT) AS fin_flag,
+  CAST({b(_RT_SYN)} AS INT) AS syn_flag,
+  CAST({b(_RT_RST)} AS INT) AS rst_flag,
+  CAST({b(x['psh'])} AS INT) AS psh_flag,
+  CAST({b(_RT_ACK)} AS INT) AS ack_flag,
+  CAST(0 AS INT) AS urg_flag,
+  CAST(0 AS INT) AS cwr_flag,
+  CAST(0 AS INT) AS ece_flag,
+  CAST({b(_RT_SYN)} * 2 + {b(_RT_RST)} * 4 + {b(x['psh'])} * 8 + {b(_RT_ACK)} * 16 AS INT) AS flags,
+  {x['dlen']} AS data_length,
+  CAST(CASE WHEN {_RT_ICMP} THEN 8 WHEN {_RT_TCP} THEN 20 + ({_RT_OPT}) ELSE 8 END AS INT) AS header_length,
+  CAST({x['length']} AS INT) AS length,
+  CAST(CASE WHEN {_RT_TCP} THEN 1000 + (event_id % 97) * 7 ELSE 0 END AS INT) AS window_size,
+  CAST(CASE WHEN {_RT_TCP} THEN (event_id % 1000000) * 3000 ELSE 0 END AS BIGINT) AS sequence_number,
+  CAST(CASE WHEN {_RT_TCP} THEN (event_id % 7) * 1000 ELSE 0 END AS BIGINT) AS sequence_number_ack,
+  CAST(CASE WHEN {_RT_ICMP} THEN {_ICMP_TYPE} ELSE NULL END AS INT) AS icmp_type,
+  CAST(CASE WHEN {_RT_ICMP} THEN event_id % 3 ELSE NULL END AS INT) AS icmp_code
+FROM events
+"""
+
+
 def q_flow_cic_udp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packet path, UDP: idle-timeout sessionization + the CIC feature
     blocks with exactly-representable outputs (A1-A3, A5-A7, A13, A15,
@@ -2540,6 +2696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_scan_close": q_flow_scan_close,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
+        "pcap_roundtrip": q_pcap_roundtrip,
         "langid": q_langid,
         "ann_topk": q_ann_topk,
         "token_pipeline": q_token_pipeline,
@@ -2584,4 +2741,5 @@ def oracle_sql() -> dict[str, str]:
         "langid": _langid_sql(),
         "minhash_dedup": _minhash_sql(),
         "simhash": _simhash_sql(),
+        "pcap_roundtrip": _pcap_roundtrip_sql(),
     }
