@@ -2193,6 +2193,108 @@ SELECT * FROM snapshots_out
 """
 
 
+def q_flow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming flow extraction (S6, realtime.rs analog):
+    the UDP packet table replayed through readStream ->
+    sessionize_packets_stream (applyInPandasWithState, event-time timeouts)
+    under an availableNow trigger. A single micro-batch emits exactly the
+    successor-closed sessions (the trailing open flow per key stays in
+    state), so the oracle is the batch session SQL minus each key's last
+    session."""
+    import shutil
+    import zlib
+
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.streaming.sessionize_stream import sessionize_packets_stream
+
+    base = f"/tmp/rustiflow_stream_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    pk = _packet_table(spark, sf_dir, tcp=False)
+    pk.coalesce(1).write.mode("overwrite").parquet(src)
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    stream = spark.readStream.schema(pk.schema).parquet(src)
+    flows = sessionize_packets_stream(stream, cfg)
+    q = (
+        flows.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "flow_key",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
+        .cast("long")
+        .alias("packet_count"),
+        "payload_len_total",
+        F.col("subflow_count").cast("long").alias("subflow_count"),
+    )
+
+
+_Q_STREAM_SQL = f"""
+WITH pk AS ({_pk_sql(tcp=False)}),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                ELSE 0 END AS new_session,
+           ts_us - lag(ts_us) OVER w AS gap_us
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid,
+           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS ig
+    FROM flagged
+), rows2 AS (
+    SELECT *, first_value(is_c2s) OVER w2 AS first_c2s
+    FROM sess
+    WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY ts_us, event_seq
+                  ROWS UNBOUNDED PRECEDING)
+), agg AS (
+    SELECT user_id, sid,
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) AS last_ts_us,
+           CAST(count(*) AS BIGINT) AS packet_count,
+           CAST(sum(data_length) AS DOUBLE) AS payload_len_total,
+           CAST(1 + count(CASE WHEN ig > 1000000 THEN 1 END) AS BIGINT)
+               AS subflow_count
+    FROM rows2 GROUP BY user_id, sid
+), meta AS (
+    SELECT *,
+           lead(first_ts_us) OVER (PARTITION BY user_id ORDER BY sid) AS next_first
+    FROM agg
+)
+SELECT
+    {_flow_key_sql(17)} AS flow_key,
+    first_ts_us, last_ts_us, last_ts_us - first_ts_us AS duration_us,
+    'Idle Timeout' AS cause,
+    packet_count, payload_len_total, subflow_count
+FROM meta
+-- emitted = successor-closed sessions, plus trailing sessions whose
+-- event-time timeout fires before the stream's final watermark
+-- (timeout_ms < max_event_ms - delay_ms, both floor-divided like Spark's
+-- ms-precision watermark; active timeout is effectively infinite here so
+-- the flush cause is Idle Timeout too)
+WHERE next_first IS NOT NULL
+   OR (last_ts_us + {(IDLE_S + 1) * 1_000_000}) // 1000
+      < (SELECT max(ts_us) FROM pk) // 1000 - 10000
+"""
+
+
 def q_flow_custom_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-defined flow schema (the CustomFlow template analog,
     flows/custom.py): runtime-composed column selection + derived Catalyst
@@ -2697,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "pcap_roundtrip": q_pcap_roundtrip,
+        "flow_stream": q_flow_stream,
         "langid": q_langid,
         "ann_topk": q_ann_topk,
         "token_pipeline": q_token_pipeline,
@@ -2742,4 +2845,5 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_sql(),
         "simhash": _simhash_sql(),
         "pcap_roundtrip": _pcap_roundtrip_sql(),
+        "flow_stream": _Q_STREAM_SQL,
     }

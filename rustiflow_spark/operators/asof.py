@@ -80,10 +80,16 @@ def asof_join(
     # maps are not orderable in Spark — those fall back to tag-only order.
     from pyspark.sql import types as T
 
-    orderable = not any(
-        isinstance(f.dataType, T.MapType)
-        for f in r.schema["__payload"].dataType.fields
-    )
+    def _has_map(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        return False
+
+    orderable = not _has_map(r.schema["__payload"].dataType)
     tie = [F.asc("__payload")] if orderable else []
     if direction == "backward":
         w = (

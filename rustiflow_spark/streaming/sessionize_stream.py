@@ -68,13 +68,21 @@ def sessionize_stream(
     direction_col: str = "direction",
     terminator_col: str = "terminator",
     watermark_delay: str = "10 seconds",
+    ordinal_ttl_s: int = 3600,
 ) -> DataFrame:
     """Streaming session features. `events` must be a streaming DataFrame.
 
     Late data beyond `watermark_delay` is dropped by the watermark — the
     batch path has no such loss (it sorts globally), which is the standard
     streaming-vs-batch tradeoff.
-    """
+
+    ordinal_ttl_s bounds state for fully-flushed keys: the per-key session
+    ordinal is kept in an empty state entry so session_index stays
+    continuous across micro-batches, and that entry expires ordinal_ttl_s
+    of event time after the key's last event (past the horizon a returning
+    key restarts session_index at 0 — documented divergence; without the
+    TTL the state store would grow without bound on high-cardinality
+    ephemeral keys)."""
     cfg = cfg or EngineConfig()
     key_fields = [f for f in events.schema.fields if f.name in key_cols]
     out_schema = output_schema(key_fields)
@@ -135,14 +143,24 @@ def sessionize_stream(
                     r["cause"] = CAUSE_ACTIVE if active_exp <= idle_exp else CAUSE_IDLE
                 rows.append(r)
 
+        # event-time timeouts must land strictly past the current watermark
+        # (a backlog replay can make an expiry predate the stream head, and
+        # Spark rejects timestamps <= watermark with IllegalArgumentException)
+        def set_timeout(at_us: int) -> None:
+            state.setTimeoutTimestamp(
+                max(at_us // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+
         if n_emit >= len(sessions):
             # keep the per-key session ordinal across micro-batches: an
-            # empty buffer + the advanced base, with no timeout (an empty
-            # state never flushes). Removing state here would restart
-            # session_index at 0 for the key's next event and emit duplicate
-            # (key, session_index) rows, diverging from the batch path's
-            # continuous ordinal.
+            # empty buffer + the advanced base. Removing state here would
+            # restart session_index at 0 for the key's next event and emit
+            # duplicate (key, session_index) rows, diverging from the batch
+            # path's continuous ordinal. The entry expires after
+            # ordinal_ttl_s of event time (the timeout handler sees an
+            # empty buffer and removes it) so state stays bounded.
             state.update(([], [], [], [], base + n_emit))
+            set_timeout(int(ts[-1]) + ordinal_ttl_s * 1_000_000)
         else:
             s, e = sessions[-1][0], sessions[-1][1]
             state.update((
@@ -157,7 +175,7 @@ def sessionize_stream(
             expiry_us = min(
                 cfg.idle_expiry_us(int(ts[e - 1])), cfg.active_expiry_us(int(ts[s]))
             )
-            state.setTimeoutTimestamp(expiry_us // 1000)
+            set_timeout(expiry_us)
 
         if rows:
             out = pd.DataFrame(rows)
@@ -267,9 +285,15 @@ def sessionize_packets_stream(
                 "data_len": merged["data_length"],
             }
         flush_all = state.hasTimedOut
-        sessions = segment_biflow(
+        all_sessions = segment_biflow(
             ts, merged["dir_a"], protocol, tcp_ctl, cfg, no_scans, int(ts[-1])
         )
+        # early-export snapshots (snapshot_of >= 0) ride at the tail of the
+        # session list and must not drive the emit/keep logic: a snapshot is
+        # emitted exactly once, alongside the close of its parent session
+        # (snapshots of the still-open trailing flow regenerate next batch).
+        sessions = [x for x in all_sessions if x.snapshot_of < 0]
+        snaps = [x for x in all_sessions if x.snapshot_of >= 0]
         n_emit = len(sessions) if flush_all else len(sessions) - 1
         if not flush_all and sessions and sessions[-1].cause in (
             CAUSE_TCP_TERM, CAUSE_TCP_RESET,
@@ -283,6 +307,7 @@ def sessionize_packets_stream(
                 "src_ip_a": key[0], "src_port_a": int(key[1]),
                 "dst_ip_a": key[2], "dst_port_a": int(key[3]),
             })
+            emitted_end = sessions[n_emit - 1].end
             for i in range(n_emit):
                 r = compute_session_features(gm, sessions[i], cfg)
                 if (
@@ -298,6 +323,9 @@ def sessionize_packets_stream(
                         CAUSE_ACTIVE if active_exp <= idle_exp else CAUSE_IDLE
                     )
                 rows.append(r)
+            for snap in snaps:
+                if flush_all or snap.end <= emitted_end:
+                    rows.append(compute_session_features(gm, snap, cfg))
 
         if n_emit >= len(sessions):
             state.remove()  # flows carry no per-key ordinal; nothing to keep
@@ -310,7 +338,11 @@ def sessionize_packets_stream(
             expiry_us = min(
                 cfg.idle_expiry_us(int(ts[e - 1])), cfg.active_expiry_us(int(ts[s]))
             )
-            state.setTimeoutTimestamp(expiry_us // 1000)
+            # clamp strictly past the watermark (backlog replay can put an
+            # idle expiry behind the stream head; Spark rejects <= watermark)
+            state.setTimeoutTimestamp(
+                max(expiry_us // 1000, state.getCurrentWatermarkMs() + 1)
+            )
 
         if rows:
             yield pd.DataFrame(rows).reindex(columns=FLOW_SUPERSET_COLUMNS)

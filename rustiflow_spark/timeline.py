@@ -16,9 +16,13 @@ the trailing-idle statistic, never segmentation.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 
 from rustiflow_spark.config import EngineConfig
+
+logger = logging.getLogger(__name__)
 
 
 def scan_times_from_sorted(ts_sorted: np.ndarray, interval_us: int) -> np.ndarray:
@@ -110,6 +114,13 @@ def compute_timeline(
             df.select(ts_col).distinct().limit(EXACT_SCAN_MAX_TIMESTAMPS + 1).collect()
         )
         if len(rows) > EXACT_SCAN_MAX_TIMESTAMPS:
+            logger.warning(
+                "scan_mode='exact' fell back to the bucket approximation: "
+                "more than %d distinct timestamps. Scan-time close_ts/cause "
+                "near scan boundaries may differ from the exact timeline; "
+                "set scan_mode='bucket' explicitly to silence this.",
+                EXACT_SCAN_MAX_TIMESTAMPS,
+            )
             return bucket_timeline(), flush_ts
         ts_sorted = np.sort(np.asarray([r[0] for r in rows], dtype=np.int64))
         return scan_times_from_sorted(ts_sorted, cfg.check_interval_us), flush_ts

@@ -231,3 +231,78 @@ def test_packet_stream_matches_batch_closed_flows(spark, tmp_path):
     batch_keys = set(map(tuple, batch[key].itertuples(index=False)))
     got_keys = set(map(tuple, got[key].itertuples(index=False)))
     assert got_keys <= batch_keys
+
+
+def test_packet_stream_early_export_no_reemission(spark, tmp_path):
+    """Early-export snapshots must not drive the emit/keep logic: a snapshot
+    is emitted exactly once, alongside its parent flow's close, and
+    snapshots of the still-open trailing flow are not re-emitted per
+    micro-batch (ADVICE r2)."""
+    import time as _time
+
+    from rustiflow_spark.streaming.sessionize_stream import sessionize_packets_stream
+
+    src_dir = tmp_path / "ee_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "ee_out")
+    ckpt = str(tmp_path / "ee_ckpt")
+
+    def packets(ts_list, seq0):
+        n = len(ts_list)
+        return pd.DataFrame({
+            "src_ip": ["10.0.0.1"] * n, "dst_ip": ["10.0.0.2"] * n,
+            "src_port": [1234] * n, "dst_port": [443] * n,
+            "protocol": [17] * n,
+            "ts_us": np.asarray(ts_list, dtype=np.int64),
+            "fin_flag": [0] * n, "syn_flag": [0] * n, "rst_flag": [0] * n,
+            "psh_flag": [0] * n, "ack_flag": [0] * n, "urg_flag": [0] * n,
+            "cwr_flag": [0] * n, "ece_flag": [0] * n, "flags": [0] * n,
+            "data_length": [100] * n, "header_length": [8] * n,
+            "length": [128] * n, "window_size": [0] * n,
+            "sequence_number": [0] * n, "sequence_number_ack": [0] * n,
+            "icmp_type": [None] * n, "icmp_code": [None] * n,
+            "event_seq": np.arange(seq0, seq0 + n, dtype=np.int64),
+        })
+
+    base = 1_700_000_000_000_000
+    # batch 1: one flow spanning 8s -> snapshots past the 2s threshold,
+    # flow still open at end of batch
+    b1 = [base + i * 2_000_000 for i in range(5)]
+    # batch 2: a gap > idle timeout closes the first flow (successor packet)
+    b2 = [base + 200_000_000]
+    from test_sessionize_spark import make_events_df
+    make_events_df(spark, packets(b1, 0)).coalesce(1).write.mode(
+        "overwrite").parquet(str(src_dir / "f1.parquet"))
+    _time.sleep(1.1)
+    make_events_df(spark, packets(b2, 10)).coalesce(1).write.mode(
+        "overwrite").parquet(str(src_dir / "f2.parquet"))
+
+    cfg = EngineConfig(active_timeout=3600, idle_timeout=60, scan_mode="none",
+                       early_export=2)
+    schema = make_events_df(spark, packets(b1, 0)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    flows = sessionize_packets_stream(stream, cfg)
+    q = (
+        flows.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).toPandas()
+
+    snaps = got[got["cause"] == "None"]
+    closed = got[got["cause"] != "None"]
+    # first flow closed by the batch-2 successor; its snapshots (packets at
+    # +4s/+6s/+8s past the 2s threshold) emitted exactly once each
+    assert len(closed) == 1, got[["cause", "first_ts_us", "last_ts_us"]]
+    assert len(snaps) == 3, got[["cause", "first_ts_us", "last_ts_us"]]
+    assert snaps.duplicated(["flow_key", "first_ts_us", "last_ts_us"]).sum() == 0
+    # every snapshot spans a prefix of the closed flow
+    assert (snaps["first_ts_us"] == closed.iloc[0]["first_ts_us"]).all()
+    assert (snaps["last_ts_us"] <= closed.iloc[0]["last_ts_us"]).all()
