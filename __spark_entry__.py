@@ -1458,6 +1458,338 @@ FROM meta
 """
 
 
+def q_flow_rustiflow203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full RustiFlow-203 materialization (rusti_flow.rs:139-303): every
+    column of the reference's widest schema, produced by the production
+    flows/schemas.py projection over the UDP flow table, round(6) on float
+    stats so the DuckDB oracle hash-matches column order, headers and
+    values."""
+    _ensure_package_shipped(spark)
+    from pyspark.sql import types as T
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.flows.schemas import rustiflow_schema
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
+    )
+    full = rustiflow_schema(flows)
+    return full.select(
+        *[
+            F.round(F.col(f.name), 6).alias(f.name)
+            if isinstance(f.dataType, T.DoubleType)
+            else F.col(f.name)
+            for f in full.schema.fields
+        ]
+    )
+
+
+def _rustiflow203_sql() -> str:
+    """DuckDB oracle for the 203-column materialization: the UDP session
+    framework of _Q_CIC_UDP_SQL extended with population stds, pooled
+    packet stats, bulk-run aggregation, idle-set union (big gaps + trailing
+    idle), and the D1-D7 derived scalars — every column generated in
+    rusti_flow.rs order."""
+    from rustiflow_spark.flows.schemas import RUSTIFLOW_COLUMNS
+
+    def st5(vexpr: str, pred: str, out: str) -> str:
+        """total/mean/std/max/min aggregate fragments (FILTER'd, empty->0)."""
+        f = f"FILTER (WHERE {pred})"
+        return f"""
+           coalesce(CAST(sum({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_total,
+           coalesce(CAST(avg({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_mean,
+           coalesce(CAST(stddev_pop({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_std,
+           coalesce(CAST(max({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_max,
+           coalesce(CAST(min({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_min"""
+
+    bulk_aggs = []
+    for dval, d in ((1, "fwd"), (0, "bwd")):
+        pred = f"rdir = {dval} AND rcnt >= 4"
+        bulk_aggs.append(
+            f"CAST(count(*) FILTER (WHERE {pred}) AS BIGINT) AS {d}_bulk_count"
+        )
+        for vexpr, m in (("rcnt", "packets"), ("rbytes", "bytes"), ("rdur", "duration")):
+            bulk_aggs.append(st5(vexpr, pred, f"{d}_bulk_{m}"))
+    bulk_sql = ",\n".join(bulk_aggs)
+
+    sess_aggs = [
+        "max(cip) AS cip",
+        "max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s",
+        "min(ts_us) AS first_ts_us",
+        "max(ts_us) AS last_ts_us",
+        "max(ts_us) - min(ts_us) AS duration_us",
+        "CAST(count(*) AS BIGINT) AS n",
+        "CAST(count(*) FILTER (WHERE is_fwd) AS BIGINT) AS fn",
+        "CAST(count(*) FILTER (WHERE NOT is_fwd) AS BIGINT) AS bn",
+        "CAST(count(*) FILTER (WHERE is_fwd AND data_length > 0) AS BIGINT) AS fnz",
+        "CAST(count(*) FILTER (WHERE NOT is_fwd AND data_length > 0) AS BIGINT) AS bnz",
+        "CAST(1 + count(*) FILTER (WHERE ig > 1000000) AS BIGINT) AS subflow_count",
+        st5("CAST(ig AS DOUBLE) / 1000.0", "ig IS NOT NULL", "iat"),
+        st5("CAST(dir_gap AS DOUBLE) / 1000.0", "is_fwd AND dir_gap IS NOT NULL", "fwd_iat"),
+        st5("CAST(dir_gap AS DOUBLE) / 1000.0", "NOT is_fwd AND dir_gap IS NOT NULL", "bwd_iat"),
+        st5("length", "TRUE", "packet_len"),
+        st5("length", "is_fwd", "fwd_packet_len"),
+        st5("length", "NOT is_fwd", "bwd_packet_len"),
+        st5("header_length", "TRUE", "header_len"),
+        st5("header_length", "is_fwd", "fwd_header_len"),
+        st5("header_length", "NOT is_fwd", "bwd_header_len"),
+        st5("data_length", "TRUE", "payload_len"),
+        "coalesce(CAST(var_pop(data_length) AS DOUBLE), 0.0) AS payload_len_variance",
+        st5("data_length", "is_fwd", "fwd_payload_len"),
+        st5("data_length", "NOT is_fwd", "bwd_payload_len"),
+        """CASE WHEN count(*) FILTER (WHERE is_fwd) > 0
+                THEN CAST(min(ts_us) FILTER (WHERE is_fwd) AS DOUBLE) / 1000.0
+                ELSE 0.0 END AS first_timestamp_fwd""",
+        """CASE WHEN count(*) FILTER (WHERE NOT is_fwd) > 0
+                THEN CAST(min(ts_us) FILTER (WHERE NOT is_fwd) AS DOUBLE) / 1000.0
+                ELSE 0.0 END AS first_timestamp_bwd""",
+        """CASE WHEN count(*) FILTER (WHERE is_fwd) > 0
+                THEN CAST(max(ts_us) FILTER (WHERE is_fwd) AS DOUBLE) / 1000.0
+                ELSE 0.0 END AS last_timestamp_fwd""",
+        """CASE WHEN count(*) FILTER (WHERE NOT is_fwd) > 0
+                THEN CAST(max(ts_us) FILTER (WHERE NOT is_fwd) AS DOUBLE) / 1000.0
+                ELSE 0.0 END AS last_timestamp_bwd""",
+        """CASE WHEN count(*) FILTER (WHERE is_fwd) > 0
+                THEN CAST(max(ts_us) FILTER (WHERE is_fwd)
+                          - min(ts_us) FILTER (WHERE is_fwd) AS DOUBLE) / 1000.0
+                ELSE 0.0 END AS fwd_duration_ms""",
+        """CASE WHEN count(*) FILTER (WHERE NOT is_fwd) > 0
+                THEN CAST(max(ts_us) FILTER (WHERE NOT is_fwd)
+                          - min(ts_us) FILTER (WHERE NOT is_fwd) AS DOUBLE) / 1000.0
+                ELSE 0.0 END AS bwd_duration_ms""",
+    ]
+    agg_sql = ",\n".join(sess_aggs)
+
+    # outer-select expression per output column
+    dur_s = "(CAST(duration_us AS DOUBLE) / 1000000.0)"
+
+    def safe_div(num: str, den: str) -> str:
+        return f"CASE WHEN {den} != 0 THEN CAST({num} AS DOUBLE) / ({den}) ELSE 0.0 END"
+
+    def rate(num: str) -> str:
+        return safe_div(num, dur_s)
+
+    expr: dict[str, str] = {
+        "flow_id": _flow_key_sql(17),
+        "source_ip": f"CASE WHEN fc2s = 1 THEN cip ELSE '{_SERVER_IP}' END",
+        "source_port": "CAST(CASE WHEN fc2s = 1 THEN 1024 + user_id % 60000 ELSE 443 END AS INT)",
+        "destination_ip": f"CASE WHEN fc2s = 1 THEN '{_SERVER_IP}' ELSE cip END",
+        "destination_port": "CAST(CASE WHEN fc2s = 1 THEN 443 ELSE 1024 + user_id % 60000 END AS INT)",
+        "protocol": "CAST(17 AS INT)",
+        "ip_version": "CAST(4 AS INT)",
+        "source_ip_scope": "'private'",
+        "destination_ip_scope": "'private'",
+        "path_locality": "'private'",
+        "timestamp_first": "first_ts_us",
+        "timestamp_last": "last_ts_us",
+        "flow_duration_us": "duration_us",
+        "flow_expire_cause": (
+            "CASE WHEN next_first IS NULL THEN 'Exporter Shutdown'"
+            " ELSE 'Idle Timeout' END"
+        ),
+        "tcp_handshake_completed": "CAST(0 AS INT)",
+        "tcp_reset_before_handshake": "CAST(0 AS INT)",
+        "tcp_reset_after_handshake": "CAST(0 AS INT)",
+        "tcp_close_style": "'not_applicable'",
+        "packet_count": "n",
+        "fwd_packet_count": "fn",
+        "bwd_packet_count": "bn",
+        "fwd_non_zero_payload_packets": "fnz",
+        "bwd_non_zero_payload_packets": "bnz",
+        "subflow_count": "subflow_count",
+        "icmp_type": "CAST(-1 AS INT)",
+        "icmp_code": "CAST(-1 AS INT)",
+        "flags": "'......'",
+        "fwd_init_window_size": "CAST(0 AS BIGINT)",
+        "bwd_init_window_size": "CAST(0 AS BIGINT)",
+        "flow_bytes_s": rate("payload_len_total"),
+        "flow_packets_s": rate("n"),
+        "fwd_bytes_s": rate("fwd_payload_len_total"),
+        "fwd_packets_s": rate("fn"),
+        "bwd_bytes_s": rate("bwd_payload_len_total"),
+        "bwd_packets_s": rate("bn"),
+        "fwd_subflow_packets_mean": safe_div("fn", "subflow_count"),
+        "fwd_subflow_bytes_mean": safe_div("fwd_payload_len_total", "subflow_count"),
+        "bwd_subflow_packets_mean": safe_div("bn", "subflow_count"),
+        "bwd_subflow_bytes_mean": safe_div("bwd_payload_len_total", "subflow_count"),
+        "up_down_ratio": safe_div("bn", "fn"),
+        "fwd_bulk_rate_s": (
+            "CASE WHEN fwd_bulk_count > 0 AND fwd_bulk_duration_total > 0"
+            " THEN fwd_bulk_bytes_total / (fwd_bulk_duration_total / 1000000.0)"
+            " WHEN fwd_bulk_count > 0 THEN CAST('infinity' AS DOUBLE)"
+            " ELSE 0.0 END"
+        ),
+        "bwd_bulk_rate_s": (
+            "CASE WHEN bwd_bulk_count > 0 AND bwd_bulk_duration_total > 0"
+            " THEN bwd_bulk_bytes_total / (bwd_bulk_duration_total / 1000000.0)"
+            " WHEN bwd_bulk_count > 0 THEN CAST('infinity' AS DOUBLE)"
+            " ELSE 0.0 END"
+        ),
+    }
+    # zero-valued TCP/window/ICMP counters (UDP table)
+    for name in (
+        "icmp_echo_request_count", "icmp_echo_reply_count", "icmp_error_count",
+        "icmp_destination_unreachable_count", "flow_retransmission_count",
+        "fwd_retransmission_count", "bwd_retransmission_count",
+        "flow_duplicate_ack_count", "fwd_duplicate_ack_count",
+        "bwd_duplicate_ack_count", "flow_zero_window_count",
+        "fwd_zero_window_count", "bwd_zero_window_count",
+    ):
+        expr[name] = "CAST(0 AS BIGINT)"
+    for d in ("fwd", "bwd"):
+        for fl in ("fin", "syn", "rst", "psh", "ack", "urg", "cwr", "ece"):
+            expr[f"{d}_{fl}_flag_count"] = "CAST(0 AS INT)"
+    for fl in ("fin", "syn", "rst", "psh", "ack", "urg", "cwr", "ece"):
+        expr[f"total_{fl}_flag_count"] = "CAST(0 AS INT)"
+    for block in ("window_size", "fwd_window_size", "bwd_window_size"):
+        for s in ("total", "mean", "std", "max", "min"):
+            expr[f"{block}_{s}"] = "0.0"
+    # passthrough aggregates (already named correctly in the joined CTEs)
+    for block in (
+        "iat", "fwd_iat", "bwd_iat", "packet_len", "fwd_packet_len",
+        "bwd_packet_len", "header_len", "fwd_header_len", "bwd_header_len",
+        "payload_len", "fwd_payload_len", "bwd_payload_len",
+        "fwd_bulk_packets", "bwd_bulk_packets", "fwd_bulk_bytes",
+        "bwd_bulk_bytes", "fwd_bulk_duration", "bwd_bulk_duration",
+    ):
+        for s in ("total", "mean", "std", "max", "min"):
+            expr[f"{block}_{s}"] = f"{block}_{s}"
+    expr["payload_len_variance"] = "payload_len_variance"
+    expr["fwd_bulk_count"] = "fwd_bulk_count"
+    expr["bwd_bulk_count"] = "bwd_bulk_count"
+    for block in ("active", "idle"):
+        for s in ("total", "mean", "std", "max", "min"):
+            expr[f"{block}_{s}"] = f"coalesce({block}_{s}, 0.0)"
+    for name in (
+        "first_timestamp_fwd", "first_timestamp_bwd", "last_timestamp_fwd",
+        "last_timestamp_bwd", "fwd_duration_ms", "bwd_duration_ms",
+    ):
+        expr[name] = name
+
+    # round(6) on float columns, mirroring the Spark projection
+    int_like = {
+        "source_port", "destination_port", "protocol", "ip_version",
+        "timestamp_first", "timestamp_last", "flow_duration_us",
+        "tcp_handshake_completed", "tcp_reset_before_handshake",
+        "tcp_reset_after_handshake", "packet_count", "fwd_packet_count",
+        "bwd_packet_count", "fwd_non_zero_payload_packets",
+        "bwd_non_zero_payload_packets", "subflow_count", "icmp_type",
+        "icmp_code", "fwd_init_window_size", "bwd_init_window_size",
+        "fwd_bulk_count", "bwd_bulk_count",
+    } | {
+        n for n in RUSTIFLOW_COLUMNS
+        if n.endswith("_flag_count") or n.endswith("ack_count")
+        or n.endswith("window_count") or n.endswith("retransmission_count")
+        or n.startswith("icmp_") and n.endswith("_count")
+    }
+    str_like = {
+        "flow_id", "source_ip", "destination_ip", "source_ip_scope",
+        "destination_ip_scope", "path_locality", "flow_expire_cause",
+        "tcp_close_style", "flags",
+    }
+    outs = []
+    for name in RUSTIFLOW_COLUMNS:
+        e = expr[name]
+        if name not in int_like and name not in str_like:
+            e = f"round(CAST({e} AS DOUBLE), 6)"
+        outs.append(f"  {e} AS {name}")
+    select_sql = ",\n".join(outs)
+
+    return f"""
+WITH pk AS ({_pk_sql(tcp=False)}),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                ELSE 0 END AS new_session,
+           ts_us - lag(ts_us) OVER w AS gap_us
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid,
+           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS ig
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s,
+           sum(CASE WHEN ig IS NULL OR ig > 5000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_seq
+                     ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM sess
+), rows3 AS (
+    SELECT *, (is_c2s = first_c2s) AS is_fwd,
+           ts_us - lag(ts_us) OVER (PARTITION BY user_id, sid, is_c2s = first_c2s
+                                    ORDER BY ts_us, event_seq) AS dir_gap,
+           28 + data_length AS length,
+           8 AS header_length
+    FROM rows2
+), spans AS (
+    SELECT user_id, sid, span_id, max(ts_us) - min(ts_us) AS dur
+    FROM rows3 GROUP BY user_id, sid, span_id
+), span_agg AS (
+    SELECT user_id, sid,
+           {st5("CAST(dur AS DOUBLE) / 1000.0", "dur > 0", "active")}
+    FROM spans GROUP BY user_id, sid
+), runsrc AS (
+    SELECT user_id, sid, is_fwd, ts_us, event_seq, length,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN is_fwd != lag(is_fwd) OVER w THEN 1
+                WHEN ts_us - lag(ts_us) OVER w > 1000000 THEN 1
+                ELSE 0 END AS newrun
+    FROM rows3 WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts_us, event_seq)
+), runm AS (
+    SELECT *, sum(newrun) OVER (PARTITION BY user_id, sid
+                                ORDER BY ts_us, event_seq
+                                ROWS UNBOUNDED PRECEDING) AS rid
+    FROM runsrc
+), run_agg AS (
+    SELECT user_id, sid, rid,
+           max(CASE WHEN is_fwd THEN 1 ELSE 0 END) AS rdir,
+           count(*) AS rcnt,
+           CAST(sum(length) AS DOUBLE) AS rbytes,
+           CAST((max(ts_us) - min(ts_us)) // 1000 AS DOUBLE) AS rdur
+    FROM runm GROUP BY user_id, sid, rid
+), bulk_agg AS (
+    SELECT user_id, sid,
+{bulk_sql}
+    FROM run_agg GROUP BY user_id, sid
+), agg AS (
+    SELECT user_id, sid,
+{agg_sql}
+    FROM rows3 GROUP BY user_id, sid
+), meta AS (
+    SELECT a.*, s.* EXCLUDE (user_id, sid), b.* EXCLUDE (user_id, sid),
+           lead(a.first_ts_us) OVER (PARTITION BY a.user_id ORDER BY a.sid)
+               AS next_first
+    FROM agg a
+    JOIN span_agg s USING (user_id, sid)
+    JOIN bulk_agg b USING (user_id, sid)
+), idle_vals AS (
+    SELECT user_id, sid, CAST(ig AS DOUBLE) / 1000.0 AS v
+    FROM sess WHERE ig > 5000000
+    UNION ALL
+    SELECT user_id, sid, CAST(next_first - last_ts_us AS DOUBLE) / 1000.0
+    FROM meta WHERE next_first IS NOT NULL
+), idle_agg AS (
+    SELECT user_id, sid,
+           {st5("v", "TRUE", "idle")}
+    FROM idle_vals GROUP BY user_id, sid
+), final AS (
+    SELECT m.*, i.* EXCLUDE (user_id, sid)
+    FROM meta m LEFT JOIN idle_agg i USING (user_id, sid)
+)
+SELECT
+{select_sql}
+FROM final
+"""
+
+
 def q_flow_cic_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived scalar features (SURVEY §2.5 D1-D7) computed by the SAME
     Catalyst expressions the production schemas use (flows/schemas.py:
@@ -2788,6 +3120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_features": q_rolling_features,
         "flow_cic_udp": q_flow_cic_udp,
         "flow_cic_derived": q_flow_cic_derived,
+        "flow_rustiflow203": q_flow_rustiflow203,
         "flow_icmp": q_flow_icmp,
         "flow_custom_schema": q_flow_custom_schema,
         "flow_tcp_rst": q_flow_tcp_rst,
@@ -2846,4 +3179,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "pcap_roundtrip": _pcap_roundtrip_sql(),
         "flow_stream": _Q_STREAM_SQL,
+        "flow_rustiflow203": _rustiflow203_sql(),
     }
