@@ -48,8 +48,39 @@ def exact_dedup(
     )
 
 
+def _materialize(df: DataFrame, mode: str) -> DataFrame:
+    """Break lineage on a reused intermediate (signatures, edge lists).
+
+    mode:
+      "local"      — localCheckpoint: fastest (executor-memory blocks), but
+                     the lineage is discarded and the blocks are NOT
+                     fault-tolerant: with dynamic allocation or executor
+                     loss the job fails instead of recomputing. Right for
+                     single-node and static-executor runs.
+      "disk"       — persist(StorageLevel.DISK_ONLY) + materializing count:
+                     lineage kept, lost blocks recompute — the cluster
+                     default for long dedup jobs.
+      "checkpoint" — reliable checkpoint (requires
+                     spark.sparkContext.setCheckpointDir on shared storage);
+                     survives executor loss with zero recompute, highest
+                     write cost.
+    """
+    if mode == "disk":
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.DISK_ONLY)
+        out.count()
+        return out
+    if mode == "checkpoint":
+        return df.checkpoint(eager=True)
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    raise ValueError(f"unknown persist mode: {mode!r}")
+
+
 def _drop_oversized_buckets(
-    banded: DataFrame, bucket_cols: list[str], max_bucket_size: int
+    banded: DataFrame, bucket_cols: list[str], max_bucket_size: int,
+    persist: str = "local",
 ) -> DataFrame:
     """Remove rows whose LSH bucket exceeds max_bucket_size members.
 
@@ -68,8 +99,9 @@ def _drop_oversized_buckets(
     lineage contains the signature computation (64-permutation MinHash /
     SimHash / hyperplane projections) — without the checkpoint Spark
     recomputes the signatures ~4x (measured 363 s -> 17 s for
-    minhash_dedup on 5000 documents)."""
-    banded = banded.localCheckpoint(eager=True)
+    minhash_dedup on 5000 documents); see _materialize for the
+    fault-tolerance tradeoff of the persist modes."""
+    banded = _materialize(banded, persist)
     sizes = banded.groupBy(*bucket_cols).count()
     oversized = sizes.filter(F.col("count") > max_bucket_size).select(*bucket_cols)
     return banded.join(F.broadcast(oversized), bucket_cols, "left_anti")
@@ -149,6 +181,7 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket_size: int = 1000,
+    persist: str = "local",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH over `minhash`.
 
@@ -223,17 +256,53 @@ def ngram_jaccard_verify(
     )
 
 
-def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: int = 10) -> DataFrame:
+def cluster_min_id(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    max_iter: int = 10,
+    persist: str = "local",
+    pointer_jump: bool = False,
+) -> DataFrame:
     """Connected components by iterative min-id label propagation over the
     duplicate-pair graph. Each iteration is one join+groupBy; converges in
     O(diameter) rounds (near-dup clusters are tiny, so 2-3 in practice).
 
+    pointer_jump=True adds one shortcutting join per round
+    (cluster_id <- label(cluster_id)), the path-doubling step of
+    Shiloach-Vishkin-style CC: convergence drops from O(diameter) to
+    O(log diameter) rounds — worth it only for degenerate chain-shaped
+    components, hence off by default (no plan change locally).
+
+    persist: see _materialize — "local" (default) for single-node runs,
+    "disk"/"checkpoint" for fault-tolerant cluster runs. Inside the
+    iteration, persist alone cannot be used: each round's labels plan
+    embeds the previous round's twice, so without lineage truncation the
+    logical plan grows exponentially and the driver OOMs planning round
+    ~10. "disk" therefore uses the reliable checkpoint for the loop when a
+    checkpoint dir is configured (falling back to localCheckpoint with a
+    warning when not), and plain persist for the non-iterative edge list.
+
     Returns (id, cluster_id) where cluster_id = min id in the component."""
-    edges = (
+    loop_mode = persist
+    if persist == "disk":
+        sc = pairs.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            loop_mode = "checkpoint"
+        else:
+            logger.warning(
+                "cluster_min_id(persist='disk'): no checkpoint dir configured;"
+                " falling back to localCheckpoint inside the iteration"
+                " (executor loss will fail the job). Call"
+                " spark.sparkContext.setCheckpointDir(...) for full fault"
+                " tolerance."
+            )
+            loop_mode = "local"
+    edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        persist,
     )
     labels = all_ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("cluster_id"))
     if edges.limit(1).count() == 0:
@@ -254,6 +323,23 @@ def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: 
                 ),
             )
         )
+        if pointer_jump:
+            # shortcut: follow the label's own label (path doubling)
+            parent = new_labels.select(
+                F.col("src").alias("p_src"), F.col("cluster_id").alias("p_label")
+            )
+            new_labels = (
+                new_labels.join(
+                    parent, new_labels.cluster_id == F.col("p_src"), "left"
+                )
+                .select(
+                    "src",
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce("p_label", F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                )
+            )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "src")
@@ -261,7 +347,7 @@ def cluster_min_id(pairs: DataFrame, all_ids: DataFrame, id_col: str, max_iter: 
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True) if changed else new_labels
+        labels = _materialize(new_labels, loop_mode) if changed else new_labels
         if not changed:
             break
     else:
@@ -299,6 +385,8 @@ def minhash_lsh_dedup(
     bands: int | None = None,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    persist: str = "local",
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """Full near-dup pipeline: signatures -> LSH candidates -> exact Jaccard
     verify -> min-id clusters. Returns (id, cluster_id, is_keeper).
@@ -306,9 +394,10 @@ def minhash_lsh_dedup(
     the verify stage with below-threshold candidates)."""
     bands = bands or bands_for_threshold(num_perm, threshold)
     sigs = minhash_signatures(df, text_col, num_perm, shingle_k)
-    cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands)
+    cands = minhash_lsh_candidates(sigs, id_col, num_perm, bands, persist=persist)
     verified = ngram_jaccard_verify(df, cands, id_col, text_col, shingle_k, threshold)
-    clusters = cluster_min_id(verified, df.select(id_col), id_col)
+    clusters = cluster_min_id(verified, df.select(id_col), id_col,
+                              persist=persist, pointer_jump=pointer_jump)
     return clusters.withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
 
 
@@ -363,6 +452,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket_size: int = 1000,
+    persist: str = "local",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming via banded
     16-bit chunks (pigeonhole: <=3 differing bits means >=1 of 4 bands
@@ -380,7 +470,7 @@ def simhash_neardup_pairs(
             )
         ).alias("bb"),
     ).select("__id", "simhash", "bb.band", "bb.chunk")
-    banded = _drop_oversized_buckets(banded, ["band", "chunk"], max_bucket_size)
+    banded = _drop_oversized_buckets(banded, ["band", "chunk"], max_bucket_size, persist)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

@@ -246,3 +246,43 @@ def test_exact_dedup_member_cap(spark):
     big = out[out.copies == 20].iloc[0]
     assert big["keeper_id"] == 0 and len(big["member_ids"]) == 5
     assert list(big["member_ids"]) == [0, 1, 2, 3, 4]
+
+
+def test_cluster_min_id_persist_modes_and_pointer_jump(spark, tmp_path):
+    """Fault-tolerance knobs must not change results: localCheckpoint,
+    persist(DISK_ONLY) and reliable checkpoint produce identical components,
+    and pointer jumping converges to the same labels on a chain graph whose
+    diameter exceeds what plain propagation covers per round."""
+    from rustiflow_spark.operators.dedup import cluster_min_id
+
+    # a 12-node chain (worst case for label propagation) + a triangle + isolates
+    chain = [(i, i + 1) for i in range(11)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in chain + tri], ["id_a", "id_b"]
+    )
+    all_ids = spark.createDataFrame([(i,) for i in range(25)], ["doc_id"])
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    results = {}
+    for mode in ("local", "disk", "checkpoint"):
+        got = (
+            cluster_min_id(pairs, all_ids, "doc_id", max_iter=20, persist=mode)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        results[mode] = got
+    jump = (
+        cluster_min_id(pairs, all_ids, "doc_id", max_iter=20, pointer_jump=True)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    base = results["local"]
+    # chain collapses to 0, triangle to 20, isolates to themselves
+    expect = {i: 0 for i in range(12)}
+    expect.update({20: 20, 21: 20, 22: 20})
+    expect.update({i: i for i in (12, 13, 14, 15, 16, 17, 18, 19, 23, 24)})
+    got_map = dict(zip(base["doc_id"], base["cluster_id"]))
+    assert got_map == expect, got_map
+    for mode in ("disk", "checkpoint"):
+        pd.testing.assert_frame_equal(base, results[mode])
+    pd.testing.assert_frame_equal(base, jump)
