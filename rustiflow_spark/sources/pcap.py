@@ -23,8 +23,10 @@ natural unit; a RustiFlow user's `rustiflow pcap` analog is
 
 from __future__ import annotations
 
+import os
 import struct
 
+import numpy as np
 import pandas as pd
 
 FIN, SYN, RST, PSH, ACK, URG, ECE, CWR = 1, 2, 4, 8, 16, 32, 64, 128
@@ -171,7 +173,8 @@ def decode_pcap(path: str) -> pd.DataFrame:
     return decode_pcap_bytes(data)
 
 
-def decode_pcap_bytes(data: bytes) -> pd.DataFrame:
+def parse_pcap_header(data: bytes) -> tuple[str, bool, int]:
+    """(endian, is_ns, link_type) from a classic pcap global header."""
     magic = data[:4]
     if magic == b"\xd4\xc3\xb2\xa1":
         endian, ns = "<", False
@@ -184,9 +187,25 @@ def decode_pcap_bytes(data: bytes) -> pd.DataFrame:
     else:
         raise ValueError(f"not a classic pcap: {magic!r}")
     link_type = struct.unpack(endian + "I", data[20:24])[0]
-    rows = []
-    off = 24
-    while off + 16 <= len(data):
+    return endian, ns, link_type
+
+
+def _decode_records(
+    data: bytes,
+    off: int,
+    endian: str,
+    ns: bool,
+    link_type: int,
+    stop_before: int | None = None,
+    offsets_out: list[int] | None = None,
+) -> list[dict]:
+    """Decode records starting at byte `off`. A record whose header starts
+    at >= stop_before is left for the next split (its body may still be
+    read from this buffer past stop_before — splits read with overlap)."""
+    rows: list[dict] = []
+    n = len(data)
+    while off + 16 <= n and (stop_before is None or off < stop_before):
+        rec_off = off
         ts_sec, ts_frac, incl_len, _orig = struct.unpack(
             endian + "IIII", data[off : off + 16]
         )
@@ -202,6 +221,14 @@ def decode_pcap_bytes(data: bytes) -> pd.DataFrame:
             row = None
         if row is not None:
             rows.append(row)
+            if offsets_out is not None:
+                offsets_out.append(rec_off)
+    return rows
+
+
+def decode_pcap_bytes(data: bytes) -> pd.DataFrame:
+    endian, ns, link_type = parse_pcap_header(data)
+    rows = _decode_records(data, 24, endian, ns, link_type)
     df = pd.DataFrame(rows)
     if len(df):
         df = df.sort_values("ts_us", kind="mergesort").reset_index(drop=True)
@@ -209,21 +236,140 @@ def decode_pcap_bytes(data: bytes) -> pd.DataFrame:
     return df
 
 
-def read_pcap(spark, path: str):
+MAX_SANE_FRAME = 262_144  # resync validity bound on incl/orig length
+_RESYNC_SCAN = 1 << 20  # max bytes scanned for a record boundary
+_TS_SEC_MIN = 315_532_800  # 1980-01-01 — sanity bound for resync only
+_TS_SEC_MAX = 4_102_444_800  # 2100-01-01
+
+
+def resync_offset(
+    data: bytes, start: int, endian: str, ns: bool, chain: int = 5
+) -> int | None:
+    """First plausible record-header offset at or after `start`.
+
+    Classic pcap has no sync markers, so a byte-range split must find its
+    first record boundary heuristically: an offset qualifies when `chain`
+    consecutive records starting there all carry a sane timestamp
+    (1980..2100, frac within unit), a sane length (1..MAX_SANE_FRAME), and
+    chain to each other (the standard distributed-pcap technique; 5-deep
+    validation makes a payload-byte false positive vanishingly unlikely).
+    Returns None when no boundary exists within _RESYNC_SCAN bytes."""
+    frac_lim = 1_000_000_000 if ns else 1_000_000
+    n = len(data)
+    limit = min(n - 16, start + _RESYNC_SCAN)
+    for o in range(start, limit + 1):
+        p = o
+        ok = 0
+        while ok < chain and p + 16 <= n:
+            ts_sec, ts_frac, incl, orig = struct.unpack(
+                endian + "IIII", data[p : p + 16]
+            )
+            if not (_TS_SEC_MIN <= ts_sec <= _TS_SEC_MAX):
+                break
+            if ts_frac >= frac_lim or incl == 0:
+                break
+            if incl > MAX_SANE_FRAME or orig > MAX_SANE_FRAME:
+                break
+            p += 16 + incl
+            ok += 1
+        if ok == chain or (ok >= 1 and p + 16 > n):
+            return o
+    return None
+
+
+def decode_pcap_split(
+    path: str, start: int, end: int, endian: str, ns: bool, link_type: int
+) -> pd.DataFrame:
+    """Decode the records whose headers start in [start, end) of one capture.
+
+    Reads [start, end + overrun) so a record spanning the split boundary is
+    completed by the split that owns its header; the first split (start=24)
+    needs no resync. event_seq = absolute byte offset of the record — a
+    stable arrival-order tiebreaker that needs no global packet index."""
+    overrun = _RESYNC_SCAN + MAX_SANE_FRAME + 16
+    with open(path, "rb") as f:
+        f.seek(start)
+        data = f.read(end - start + overrun)
+    local = 0 if start == 24 else resync_offset(data, 0, endian, ns)
+    if local is None:
+        return pd.DataFrame()
+    offs: list[int] = []
+    rows = _decode_records(
+        data, local, endian, ns, link_type,
+        stop_before=end - start, offsets_out=offs,
+    )
+    df = pd.DataFrame(rows)
+    if len(df):
+        df["event_seq"] = np.asarray(offs, dtype=np.int64) + start
+        df = df.sort_values(
+            ["ts_us", "event_seq"], kind="mergesort"
+        ).reset_index(drop=True)
+    return df
+
+
+def read_pcap(spark, path: str, split_size: int | None = None):
     """Distributed pcap source: path/glob of .pcap files -> packet-event
     DataFrame (schema.PACKET_EVENT_SCHEMA), decoded on the executors.
 
-    Each capture file is one task (binaryFile rows carry the whole file;
-    pcap framing is sequential within a file). event_seq is globally unique
+    Default mode (split_size=None): each capture file is one task
+    (binaryFile rows carry the whole file). event_seq is globally unique
     and deterministic: a 31-bit hash of the file path in the high bits,
     the within-file packet index in the low 32 — it only serves as the
     stable arrival-order tiebreaker inside one capture's timeline.
+
+    split_size=N: byte-range splits with record-boundary resync
+    (resync_offset), so ONE multi-gigabyte capture parallelizes across
+    tasks and never materializes as a single >2 GB row. Each split decodes
+    the records whose headers start inside it (reading past its end for a
+    boundary-spanning body). In split mode event_seq is
+    (path-hash << 34) | absolute-record-offset — a different value from the
+    default mode's packet index but the identical (ts_us, event_seq) sort
+    order. Splits read byte ranges directly from the file path, so the
+    path must be visible from the executors (local/NFS; on object stores
+    keep the default whole-file mode or mount the bucket).
     """
+    import glob as globmod
     import zlib
 
     from rustiflow_spark.schema import PACKET_EVENT_SCHEMA
 
     cols = [f.name for f in PACKET_EVENT_SCHEMA.fields]
+
+    if split_size is not None:
+        if os.path.isdir(path):
+            files = sorted(globmod.glob(os.path.join(path, "*.pcap")))
+        else:
+            files = sorted(globmod.glob(path))
+        specs = []
+        for fp in files:
+            with open(fp, "rb") as f:
+                endian, ns, link = parse_pcap_header(f.read(24))
+            size = os.path.getsize(fp)
+            start = 24
+            while start < size:
+                end = min(start + split_size, size)
+                specs.append((fp, start, end, endian, ns, link))
+                start = end
+        if not specs:
+            return spark.createDataFrame([], schema=PACKET_EVENT_SCHEMA)
+
+        def decode_splits(batches):
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    out = decode_pcap_split(
+                        r.path, int(r.start), int(r.end),
+                        r.endian, bool(r.ns), int(r.link),
+                    )
+                    if not len(out):
+                        continue
+                    base = (zlib.crc32(r.path.encode()) & 0x1FFFFFFF) << 34
+                    out["event_seq"] = base + out["event_seq"].astype("int64")
+                    yield out.reindex(columns=cols)
+
+        spec_df = spark.createDataFrame(
+            specs, schema="path string, start long, end long, endian string, ns boolean, link int"
+        ).repartition(len(specs))
+        return spec_df.mapInPandas(decode_splits, schema=PACKET_EVENT_SCHEMA)
 
     def decode(batches):
         for pdf in batches:
