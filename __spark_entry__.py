@@ -794,6 +794,95 @@ FROM bits GROUP BY doc_id
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH + exact cosine verify
+    (operators/dedup.py:embedding_neardup). The embeddings table has no
+    near-dups (max pairwise cosine ~0.51), so the query plants one
+    perturbed copy per vector (vec_id+10000, e_i + 0.05*e_{i+1 mod d});
+    the oracle replays the hyperplane projections (inlined seed-7 plane
+    constants), the sign-bucket fold, the bucket join and the cosine
+    verify in SQL — bucket recall < 1 is LSH semantics and shows
+    identically on both sides."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.dedup import embedding_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"),
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 10000).cast("long").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> CAST(embedding[i - 1] AS DOUBLE)"
+            " + 0.05 * CAST(embedding[i % 64] AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    pairs = embedding_neardup(
+        base.unionByName(pert), "vec_id", "embedding",
+        threshold=0.95, n_planes=16, seed=7, dim=64,
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _embedding_neardup_sql() -> str:
+    import numpy as _np
+
+    planes = _np.random.RandomState(7).randn(16, 64)
+    plane_rows = ",".join(
+        f"({j}, {i + 1}, {planes[j, i]!r})" for j in range(16) for i in range(64)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+pert AS (
+  SELECT CAST(vec_id + 10000 AS BIGINT) AS id,
+         list_transform(generate_series(1, 64),
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             + 0.05 * CAST(embedding[(i % 64) + 1] AS DOUBLE)) AS e
+  FROM embeddings
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+ex AS (
+  SELECT id, i, e[i] AS x
+  FROM allv CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+),
+planes(j, i, w) AS (VALUES {plane_rows}),
+proj AS (
+  SELECT id, j, sum(x * w) AS d
+  FROM ex JOIN planes USING (i) GROUP BY id, j
+),
+bucket AS (
+  SELECT id,
+         sum(CASE WHEN d >= 0
+                  THEN CAST(1 AS BIGINT) << CAST(15 - j AS INT)
+                  ELSE 0 END) AS bucket
+  FROM proj GROUP BY id
+),
+withb AS (SELECT a.id, a.e, b.bucket FROM allv a JOIN bucket b ON a.id = b.id),
+pairs AS (
+  SELECT x.id AS id_a, y.id AS id_b, x.e AS ea, y.e AS eb
+  FROM withb x JOIN withb y ON x.bucket = y.bucket AND x.id < y.id
+),
+cos AS (
+  SELECT id_a, id_b,
+         list_dot_product(ea, eb)
+         / (sqrt(list_dot_product(ea, ea)) * sqrt(list_dot_product(eb, eb)))
+             AS cosine
+  FROM pairs
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine
+FROM cos WHERE cosine >= 0.95
+"""
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID over documents (pure Catalyst argmax over
     stopword-marker hits; operators/textstats.py)."""
@@ -3134,6 +3223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcap_roundtrip": q_pcap_roundtrip,
         "flow_stream": q_flow_stream,
         "langid": q_langid,
+        "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
@@ -3180,4 +3270,5 @@ def oracle_sql() -> dict[str, str]:
         "pcap_roundtrip": _pcap_roundtrip_sql(),
         "flow_stream": _Q_STREAM_SQL,
         "flow_rustiflow203": _rustiflow203_sql(),
+        "embedding_neardup": _embedding_neardup_sql(),
     }
