@@ -934,8 +934,10 @@ FROM h
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbors (rows-only check; the
-    exact-top-k variant `similarity_topk` carries the SQL oracle)."""
+    """LSH-bucketed approximate nearest neighbors. Oracled: the multi-table
+    random-hyperplane buckets are deterministic seed-11 projections, so the
+    DuckDB oracle replays every table's sign-bucket fold, the bucket
+    equi-join, the exact cosine on candidates, and the ranked top-k."""
     _ensure_package_shipped(spark)
     from rustiflow_spark.operators.similarity import ann_topk_lsh
 
@@ -947,6 +949,66 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         F.round("cosine", 4).alias("cos"),
     )
+
+
+def _ann_topk_sql() -> str:
+    import numpy as _np
+
+    rng = _np.random.RandomState(11)
+    rows = []
+    for t in range(6):
+        planes = rng.randn(6, 64)
+        rows += [
+            f"({t}, {j}, {i + 1}, {planes[j, i]!r})"
+            for j in range(6)
+            for i in range(64)
+        ]
+    plane_rows = ",".join(rows)
+    return f"""
+WITH allv AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+ex AS (
+  SELECT id, i, e[i] AS x
+  FROM allv CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+),
+planes(t, j, i, w) AS (VALUES {plane_rows}),
+proj AS (
+  SELECT id, t, j, sum(x * w) AS d
+  FROM ex JOIN planes USING (i) GROUP BY id, t, j
+),
+bucket AS (
+  SELECT id, t,
+         sum(CASE WHEN d >= 0
+                  THEN CAST(1 AS BIGINT) << CAST(5 - j AS INT)
+                  ELSE 0 END) AS bucket
+  FROM proj GROUP BY id, t
+),
+cand AS (
+  SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+  FROM bucket q JOIN bucket c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.id < 8 AND q.id != c.id
+),
+cos AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+             AS cosine
+  FROM cand
+  JOIN allv a ON a.id = query_id
+  JOIN allv b ON b.id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cos
+)
+SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cos
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3271,4 +3333,5 @@ def oracle_sql() -> dict[str, str]:
         "flow_stream": _Q_STREAM_SQL,
         "flow_rustiflow203": _rustiflow203_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
+        "ann_topk": _ann_topk_sql(),
     }
