@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="pcap: decode .pcap capture files on the executors "
         "(the reference CLI's `rustiflow pcap` analog)",
     )
+    e.add_argument(
+        "--pcap-split-size",
+        type=int,
+        default=None,
+        metavar="BYTES",
+        help="decode captures in byte-range splits of this size with "
+        "record-boundary resync (one multi-GB capture fans out across "
+        "tasks; default: one file per task)",
+    )
 
     t = sub.add_parser("tokens", help="token/event stream -> session features")
     common(t)
@@ -93,7 +102,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "extract" and getattr(args, "input_format", "parquet") == "pcap":
         from rustiflow_spark.sources.pcap import read_pcap
 
-        df = read_pcap(spark, args.input)
+        df = read_pcap(spark, args.input, split_size=args.pcap_split_size)
     else:
         df = spark.read.parquet(args.input)
         # flush timestamp from parquet footer statistics — saves one full

@@ -87,3 +87,34 @@ def test_fuzz_kernels_match_oracle(pdf, active, idle, interval):
     compare_flow_sets(expected, simple)
     vec = run_vectorized(pdf, cfg)
     compare_flow_sets(expected, vec)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(
+    pdf=packet_stream(),
+    active=st.sampled_from([5, 3600]),
+    idle=st.sampled_from([2, 120]),
+    early=st.sampled_from([0, 1, 3]),
+)
+def test_fuzz_early_export_prefix_path(pdf, active, idle, early):
+    """For ANY packet stream the O(n) prefix-cumulative snapshot path must
+    match both the oracle (with early export) and the quadratic
+    gather-expansion reference."""
+    cfg = EngineConfig(
+        active_timeout=active, idle_timeout=idle, early_export=early,
+        expiration_check_interval=60,
+    )
+    oracle = OracleFlowTable(active, idle, early, 60)
+    expected = oracle.run(df_to_packets(pdf))
+    prefix = run_vectorized(pdf, cfg)
+    compare_flow_sets(expected, prefix)
+    cfg_g = EngineConfig(
+        active_timeout=active, idle_timeout=idle, early_export=early,
+        expiration_check_interval=60, early_export_impl="gather",
+    )
+    gather = run_vectorized(pdf, cfg_g)
+    compare_flow_sets(gather, prefix)
