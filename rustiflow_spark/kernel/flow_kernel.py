@@ -279,6 +279,31 @@ def segment_biflow(
     ts_l = ts.tolist()
     dir_l = dir_a.tolist()
 
+    # Fast-forward jump tables (worth building when control packets are
+    # sparse): when the handshake is settled (complete, or no pending
+    # SYN-ACK, so it cannot progress without another control packet) and no
+    # FIN is in flight, a packet can only matter if it carries a control
+    # flag, arrives after an idle-expiry gap, or crosses the active limit.
+    # Those stop points are tracked with ROLLING pointers into ascending
+    # index arrays (amortized O(1) per jump; i is monotone across the
+    # group), plus one searchsorted per session for the active limit.
+    # Skipped stretches still emit their early-export snapshots (state is
+    # constant across a stretch). Control-dense traffic (> 1 control packet
+    # per 32 rows) skips the machinery entirely — short sessions pay the
+    # per-session active-limit lookup and the jump stops every few packets,
+    # so it only adds overhead there (measured -13% on RST-every-23 groups
+    # at a gate of 8).
+    ctlf = tcp_ctl["fin"] | tcp_ctl["rst"] | tcp_ctl["syn"]
+    n_ctl = int(np.count_nonzero(ctlf))
+    jump = n >= 64 and n_ctl * 32 < n
+    if jump:
+        ctl_idx = ctlf.nonzero()[0].tolist()
+        idle_idx = (np.flatnonzero(ts[1:] - ts[:-1] >= idle_us) + 1).tolist()
+        nc_ptr = 0
+        ni_ptr = 0
+        n_ctl_idx = len(ctl_idx)
+        n_idle_idx = len(idle_idx)
+
     snapshots: list[Session] = []
     s = 0
     while s < n:
@@ -290,7 +315,43 @@ def segment_biflow(
         term_cause = ""
         prev_t = first
         act_lim = first + active_us
+        # first index whose ts crosses the active limit (fixed per session)
+        ja = int(np.searchsorted(ts, act_lim)) if jump else n
         while i < n:
+            if (
+                jump
+                and i > s
+                and not st.state_fwd
+                and not st.state_bwd
+                # handshake state can only change on a control packet
+                # unless a SYN-ACK is pending (then any fwd ACK completes)
+                and (st.handshake or not st.saw_syn_ack_bwd)
+            ):
+                while nc_ptr < n_ctl_idx and ctl_idx[nc_ptr] < i:
+                    nc_ptr += 1
+                j = ctl_idx[nc_ptr] if nc_ptr < n_ctl_idx else n
+                while ni_ptr < n_idle_idx and idle_idx[ni_ptr] < i:
+                    ni_ptr += 1
+                if ni_ptr < n_idle_idx and idle_idx[ni_ptr] < j:
+                    j = idle_idx[ni_ptr]
+                # clamp to i so an already-active-expired packet i falls
+                # through to the slow path's break
+                if ja < j:
+                    j = ja if ja > i else i
+                if j > i:
+                    if early_us is not None:
+                        thr = first + (early_us + 1) * US_PER_S
+                        k0 = max(int(np.searchsorted(ts, thr)), i)
+                        for k in range(k0, j):
+                            snap = Session(
+                                s, k + 1, "None", ts_l[k],
+                                closed=False, snapshot_of=k,
+                            )
+                            snap.handshake_completed = st.handshake
+                            snapshots.append(snap)
+                    prev_t = ts_l[j - 1]
+                    i = j
+                    continue
             t = ts_l[i]
             if i > s:
                 # expiry check before applying packet (flow_table.rs:132-153)
