@@ -766,13 +766,14 @@ def featurize_packet_block(
     if snap_pending is not None:
         s_starts, s_ends, s_hs = snap_pending
         snap_out = _snapshot_features(
-            g, cfg, ts, starts, ends, seg_of_row, fwd_row, out,
+            g, cfg, ts, starts, ends, seg_of_row, out,
             s_starts, s_ends, s_hs, snap_aux,
         )
         for col in out:
             out[col] = np.concatenate((out[col], snap_out[col]))
 
     return out
+
 
 def _snapshot_features(
     g: dict[str, np.ndarray],
@@ -781,7 +782,6 @@ def _snapshot_features(
     starts: np.ndarray,
     ends: np.ndarray,
     seg_of_row: np.ndarray,
-    fwd_row: np.ndarray,
     sess_out: dict[str, np.ndarray],
     snap_starts: np.ndarray,
     snap_ends: np.ndarray,
