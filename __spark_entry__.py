@@ -251,6 +251,37 @@ def q_session_features_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_features_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst fast path for the same sessionization: windows +
+    aggregations only, zero Python workers in the plan (asserted by
+    tests/test_catalyst_sessionize.py). Must produce EXACTLY the
+    session_features output — same DuckDB oracle."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.event_features import sessionize_events_catalyst
+
+    feats = sessionize_events_catalyst(
+        _events(spark, sf_dir), ["user_id"], _engine_cfg(), value_col="value"
+    )
+    return feats.select(
+        "user_id",
+        "first_ts_us",
+        "last_ts_us",
+        "duration_us",
+        "cause",
+        F.col("event_count").cast("long").alias("event_count"),
+        F.col("fwd_event_count").cast("long").alias("fwd_event_count"),
+        F.col("bwd_event_count").cast("long").alias("bwd_event_count"),
+        F.round("n_tok_total", 6).alias("value_total"),
+        F.round("n_tok_mean", 6).alias("value_mean"),
+        F.round("n_tok_max", 6).alias("value_max"),
+        F.round("n_tok_min", 6).alias("value_min"),
+        F.round("iat_total", 4).alias("iat_total_ms"),
+        F.round("iat_max", 4).alias("iat_max_ms"),
+        F.round("iat_min", 4).alias("iat_min_ms"),
+        F.col("subflow_count").cast("long").alias("subflow_count"),
+    )
+
+
 def q_welford_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-invariant Welford feature block (A5/A6/A7 analog) as pure
     Catalyst aggregation — whole-stage codegen, no Python."""
@@ -3293,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": q_neardup_jaccard,
         "salted_stats": q_salted_stats,
         "session_features_split": q_session_features_split,
+        "session_features_catalyst": q_session_features_catalyst,
     }
 
 
@@ -3323,6 +3355,9 @@ def oracle_sql() -> dict[str, str]:
         # identical expected output to session_features: the episode split
         # is exact, so the same oracle applies
         "session_features_split": _Q_SESSION_SQL,
+        # identical expected output again: the pure-Catalyst (zero-Python)
+        # fast path must match the kernel bit-for-bit
+        "session_features_catalyst": _Q_SESSION_SQL,
         "flow_active_timeout": _Q_ACTIVE_SQL,
         "flow_scan_close": _Q_SCAN_SQL,
         "token_pipeline": _Q_TOKEN_SQL,

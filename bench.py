@@ -23,6 +23,7 @@ from rustiflow_spark.session import get_spark
 
 BENCH_QUERIES = [
     "session_features",
+    "session_features_catalyst",
     "session_annotation",
     "welford_stats",
     "iat_window",

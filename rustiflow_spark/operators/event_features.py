@@ -29,6 +29,10 @@ from rustiflow_spark.timeline import compute_timeline
 
 _BLOCK_OF_COLUMN = {}
 
+# active timeouts at/above this (seconds) are treated as "disabled" by
+# strategy='auto' — ~116 days of continuous single-session activity
+_ACTIVE_DISABLED_S = 10_000_000
+
 
 def _column_block(name: str) -> str | None:
     """Feature block owning a column (None = always-on core column)."""
@@ -83,6 +87,7 @@ def sessionize_events(
     features: list[str] | None = None,
     next_ts_col: str | None = None,
     flush_ts: int | None = None,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """One row per session with the event feature vector (EVENT_FEATURE_COLUMNS).
 
@@ -97,10 +102,48 @@ def sessionize_events(
     both computation and the Arrow-returned columns (the session output can
     exceed the input volume for sparse keys; see the module docstring of
     kernel/segmented.py).
+
+    strategy: 'kernel' (default) always runs the Arrow block kernel;
+    'catalyst' forces the zero-Python windows+aggregations plan
+    (sessionize_events_catalyst, same output, raises if the configuration
+    needs the kernel); 'auto' picks the Catalyst plan when the
+    configuration permits it — scan_mode 'none', no episode handoff
+    (next_ts_col), and the active timeout effectively disabled
+    (>= _ACTIVE_DISABLED_S). Either way the result is identical; the
+    Catalyst path additionally carries a runtime guard that fails loudly
+    (rather than diverging) if a session ever reaches the active cut.
     """
     from rustiflow_spark.kernel.segmented import featurize_block
 
     cfg = cfg or EngineConfig()
+    if strategy not in ("kernel", "catalyst", "auto"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "kernel":
+        eligible = cfg.scan_mode == "none" and next_ts_col is None
+        if strategy == "catalyst" and not eligible:
+            raise ValueError(
+                "strategy='catalyst' requires scan_mode='none' and no "
+                "next_ts_col (episode handoff); use the kernel path"
+            )
+        if eligible and (
+            strategy == "catalyst" or cfg.active_timeout >= _ACTIVE_DISABLED_S
+        ):
+            out = sessionize_events_catalyst(
+                df,
+                key_cols,
+                cfg,
+                ts_col=ts_col,
+                value_col=value_col,
+                direction_col=direction_col,
+                terminator_col=terminator_col,
+                order_col=order_col,
+            )
+            schema = _feature_schema(
+                df, key_cols, None if features is None else frozenset(features)
+            )
+            return out.select(
+                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
     blocks = None if features is None else frozenset(features)
     scan_times, flush_ts = compute_timeline(df, ts_col, cfg, flush_ts=flush_ts)
     schema = _feature_schema(df, key_cols, blocks)
@@ -253,3 +296,259 @@ def assign_sessions(
 
     keyed = df.repartition(*key_cols).sortWithinPartitions(*sort_cols)
     return keyed.mapInPandas(run_partition, schema=schema)
+
+
+def sessionize_events_catalyst(
+    df: DataFrame,
+    key_cols: list[str],
+    cfg: EngineConfig | None = None,
+    ts_col: str = "ts_us",
+    value_col: str = "n_tok",
+    direction_col: str | None = "direction",
+    terminator_col: str | None = "terminator",
+    order_col: str | None = "event_seq",
+) -> DataFrame:
+    """Pure-Catalyst sessionization fast path — no Python workers at all.
+
+    When the configuration allows it, the whole operator is windows +
+    aggregations that stay inside whole-stage codegen: the Arrow round trip
+    (the single largest cost of the kernel path at high core counts, see
+    BENCH.md round 3) disappears. Output schema and values match
+    ``sessionize_events`` (asserted by tests/test_catalyst_sessionize.py).
+
+    Restrictions (use the kernel path otherwise):
+      * ``scan_mode`` must be 'none' (the periodic-scan close timestamps
+        are a sequential construct);
+      * the active timeout must never trigger — sessions are cut at idle
+        gaps and terminators only. Guarded at runtime: any session whose
+        duration reaches the active cut raises rather than returning rows
+        the kernel would have split (active-timeout recursion is inherently
+        sequential and not window-expressible).
+    """
+    from pyspark.sql import Window
+
+    from rustiflow_spark.config import (
+        ACTIVE_IDLE_TIMEOUT_US,
+        CAUSE_IDLE,
+        CAUSE_SHUTDOWN,
+        CAUSE_TCP_TERM,
+        SUBFLOW_TIMEOUT_US,
+    )
+
+    cfg = cfg or EngineConfig()
+    if cfg.scan_mode != "none":
+        raise ValueError(
+            "sessionize_events_catalyst requires scan_mode='none'; the "
+            "periodic expiry scan needs the kernel path"
+        )
+    idle_cut = (cfg.idle_timeout + 1) * 1_000_000
+    active_cut = (cfg.active_timeout + 1) * 1_000_000
+
+    order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
+    wk = Window.partitionBy(*key_cols).orderBy(*order)
+    gap = F.col(ts_col) - F.lag(ts_col).over(wk)
+    prev_term = (
+        F.lag(terminator_col).over(wk) if terminator_col else F.lit(None)
+    )
+    new_sess = (
+        F.when(gap.isNull() | (gap >= idle_cut), 1)
+        .when(prev_term > 0, 1)
+        .otherwise(0)
+        if terminator_col
+        else F.when(gap.isNull() | (gap >= idle_cut), 1).otherwise(0)
+    )
+    fwd = (F.col(direction_col) == 0) if direction_col else F.lit(True)
+    rows = (
+        df.withColumn("__gap", gap)
+        .withColumn("__new", new_sess)
+        .withColumn("__fwd", fwd)
+        .withColumn(
+            "__sid",
+            F.sum("__new").over(
+                wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    rows = rows.withColumn(
+        "__ig", F.when(F.col("__new") == 1, F.lit(None)).otherwise(F.col("__gap"))
+    )
+    ws = Window.partitionBy(*key_cols, "__sid").orderBy(*order)
+    ws_all = ws.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rows = (
+        rows.withColumn(
+            "__span",
+            F.sum(
+                F.when(
+                    F.col("__ig").isNull()
+                    | (F.col("__ig") > ACTIVE_IDLE_TIMEOUT_US),
+                    1,
+                ).otherwise(0)
+            ).over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .withColumn("__span_max", F.max("__span").over(ws_all))
+        .withColumn(
+            "__term_last",
+            F.last(terminator_col).over(ws_all) if terminator_col else F.lit(0),
+        )
+        .withColumn(
+            "__dgap",
+            F.col(ts_col)
+            - F.lag(ts_col).over(
+                Window.partitionBy(*key_cols, "__sid", "__fwd").orderBy(*order)
+            ),
+        )
+    )
+
+    # active spans: one row per (session, span); the trailing span counts
+    # only when the session is closed (every non-terminator session here)
+    spans = rows.groupBy(*key_cols, "__sid", "__span").agg(
+        ((F.max(ts_col) - F.min(ts_col)) / 1000.0).alias("__dur"),
+        F.max("__term_last").alias("__t"),
+        F.max((F.col("__span") == F.col("__span_max")).cast("int")).alias("__tr"),
+    )
+    keep = (F.col("__dur") > 0) & ((F.col("__tr") == 0) | (F.col("__t") == 0))
+    dk = F.when(keep, F.col("__dur"))
+    span_agg = spans.groupBy(*key_cols, "__sid").agg(
+        F.count(dk).alias("__a_n"),
+        F.coalesce(F.sum(dk), F.lit(0.0)).alias("active_total"),
+        F.coalesce(F.avg(dk), F.lit(0.0)).alias("active_mean"),
+        F.coalesce(F.stddev_pop(dk), F.lit(0.0)).alias("active_std"),
+        F.coalesce(F.max(dk), F.lit(0.0)).alias("active_max"),
+        F.coalesce(F.min(dk), F.lit(0.0)).alias("active_min"),
+    )
+
+    val = F.col(value_col).cast("double")
+    vf = F.when(F.col("__fwd"), val)
+    vb = F.when(~F.col("__fwd"), val)
+    ig_ms = F.col("__ig") / 1000.0
+    dg_f = F.when(F.col("__fwd"), F.col("__dgap") / 1000.0)
+    dg_b = F.when(~F.col("__fwd"), F.col("__dgap") / 1000.0)
+    big = F.when(F.col("__ig") > ACTIVE_IDLE_TIMEOUT_US, F.col("__ig") / 1000.0)
+
+    def st(x, pre: str) -> list:
+        return [
+            F.coalesce(F.sum(x), F.lit(0.0)).alias(f"{pre}_total"),
+            F.coalesce(F.avg(x), F.lit(0.0)).alias(f"{pre}_mean"),
+            F.coalesce(F.stddev_pop(x), F.lit(0.0)).alias(f"{pre}_std"),
+            F.coalesce(F.max(x), F.lit(0.0)).alias(f"{pre}_max"),
+            F.coalesce(F.min(x), F.lit(0.0)).alias(f"{pre}_min"),
+        ]
+
+    ts_f = F.when(F.col("__fwd"), F.col(ts_col))
+    ts_b = F.when(~F.col("__fwd"), F.col(ts_col))
+    agg = rows.groupBy(*key_cols, "__sid").agg(
+        F.min(ts_col).alias("first_ts_us"),
+        F.max(ts_col).alias("last_ts_us"),
+        F.count("*").alias("event_count"),
+        F.count(vf).alias("fwd_event_count"),
+        F.count(vb).alias("bwd_event_count"),
+        F.max("__term_last").alias("__term"),
+        *st(val, "n_tok"),
+        *st(vf, "fwd_n_tok"),
+        *st(vb, "bwd_n_tok"),
+        *st(ig_ms, "iat"),
+        *st(dg_f, "fwd_iat"),
+        *st(dg_b, "bwd_iat"),
+        (1 + F.count(F.when(F.col("__ig") > SUBFLOW_TIMEOUT_US, 1))).alias(
+            "subflow_count"
+        ),
+        F.count(big).alias("__b_n"),
+        F.coalesce(F.sum(big), F.lit(0.0)).alias("__b_s"),
+        F.coalesce(F.avg(big), F.lit(0.0)).alias("__b_mean"),
+        (F.coalesce(F.var_pop(big), F.lit(0.0)) * F.count(big)).alias("__b_m2"),
+        F.max(big).alias("__b_max"),
+        F.min(big).alias("__b_min"),
+        (F.max(ts_f) - F.min(ts_f)).alias("__f_dur"),
+        (F.max(ts_b) - F.min(ts_b)).alias("__b_dur"),
+    )
+
+    wkey = Window.partitionBy(*key_cols).orderBy("__sid")
+    agg = agg.withColumn("__next_first", F.lead("first_ts_us").over(wkey))
+    agg = agg.join(span_agg, [*key_cols, "__sid"])
+
+    dur_us = F.col("last_ts_us") - F.col("first_ts_us")
+    is_term = F.col("__term") > 0
+    has_next = F.col("__next_first").isNotNull()
+    cause = (
+        F.when(
+            dur_us >= active_cut,
+            F.raise_error(
+                "sessionize_events_catalyst: a session reached the active "
+                "timeout; active-timeout recursion needs the kernel path "
+                "(sessionize_events)"
+            ),
+        )
+        .when(is_term, F.lit(CAUSE_TCP_TERM))
+        .when(has_next, F.lit(CAUSE_IDLE))
+        .otherwise(F.lit(CAUSE_SHUTDOWN))
+    )
+    # trailing idle gap (closed idle-cause sessions): merge ONE value into
+    # the big-gap moments with the exact Chan single-element update
+    tr = F.when(is_term | ~has_next, F.lit(None)).otherwise(
+        (F.col("__next_first") - F.col("last_ts_us")) / 1000.0
+    )
+    n1 = F.col("__b_n").cast("double")
+    n = n1 + 1
+    i_total = F.col("__b_s") + tr
+    i_mean = i_total / n
+    i_m2 = F.col("__b_m2") + (tr - F.col("__b_mean")) * (tr - F.col("__b_mean")) * n1 / n
+    idle_total = F.when(tr.isNotNull(), i_total).otherwise(F.col("__b_s"))
+    idle_mean = F.when(tr.isNotNull(), i_mean).otherwise(F.col("__b_mean"))
+    idle_std = F.when(
+        tr.isNotNull(), F.sqrt(F.greatest(i_m2 / n, F.lit(0.0)))
+    ).otherwise(
+        F.sqrt(
+            F.greatest(
+                F.when(n1 > 0, F.col("__b_m2") / n1).otherwise(F.lit(0.0)),
+                F.lit(0.0),
+            )
+        )
+    )
+    idle_max = F.when(
+        tr.isNotNull(), F.greatest(F.coalesce(F.col("__b_max"), tr), tr)
+    ).otherwise(F.coalesce(F.col("__b_max"), F.lit(0.0)))
+    idle_min = F.when(
+        tr.isNotNull(), F.least(F.coalesce(F.col("__b_min"), tr), tr)
+    ).otherwise(F.coalesce(F.col("__b_min"), F.lit(0.0)))
+
+    dur_s = dur_us.cast("double") / 1_000_000.0
+    nonzero = dur_us > 0
+
+    def rate(x):
+        return F.when(nonzero, x / dur_s).otherwise(F.lit(0.0))
+
+    nf = F.col("fwd_event_count").cast("double")
+    out_cols = [
+        *[F.col(c) for c in key_cols],
+        (F.col("__sid") - 1).cast("int").alias("session_index"),
+        F.col("first_ts_us"),
+        F.col("last_ts_us"),
+        dur_us.alias("duration_us"),
+        cause.alias("cause"),
+        F.col("event_count").cast("int").alias("event_count"),
+        F.col("fwd_event_count").cast("int").alias("fwd_event_count"),
+        F.col("bwd_event_count").cast("int").alias("bwd_event_count"),
+        *[F.col(f"{b}_{s}")
+          for b in ("n_tok", "fwd_n_tok", "bwd_n_tok", "iat", "fwd_iat", "bwd_iat")
+          for s in ("total", "mean", "std", "max", "min")],
+        F.col("active_total"), F.col("active_mean"), F.col("active_std"),
+        F.col("active_max"), F.col("active_min"),
+        idle_total.alias("idle_total"),
+        idle_mean.alias("idle_mean"),
+        idle_std.alias("idle_std"),
+        idle_max.alias("idle_max"),
+        idle_min.alias("idle_min"),
+        F.col("subflow_count").cast("int").alias("subflow_count"),
+        rate(F.col("n_tok_total")).alias("tok_per_s"),
+        rate(F.col("event_count").cast("double")).alias("events_per_s"),
+        rate(F.col("fwd_n_tok_total")).alias("fwd_tok_per_s"),
+        rate(F.col("bwd_n_tok_total")).alias("bwd_tok_per_s"),
+        F.when(nf > 0, F.col("bwd_event_count") / nf)
+        .otherwise(F.lit(0.0))
+        .alias("down_up_ratio"),
+        F.coalesce(F.col("__f_dur") / 1000.0, F.lit(0.0)).alias("fwd_duration_ms"),
+        F.coalesce(F.col("__b_dur") / 1000.0, F.lit(0.0)).alias("bwd_duration_ms"),
+    ]
+    return agg.select(*out_cols)

@@ -1,0 +1,100 @@
+"""The pure-Catalyst sessionizer must equal the kernel path exactly
+(idle-only + terminator configurations), and its plan must contain no
+Python stage at all."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rustiflow_spark.config import EngineConfig
+from rustiflow_spark.operators.event_features import (
+    sessionize_events,
+    sessionize_events_catalyst,
+)
+from rustiflow_spark.sources.synth import generate_token_sequences
+
+KEY = ["source", "doc_id"]
+
+
+def _compare(kernel: pd.DataFrame, catalyst: pd.DataFrame) -> None:
+    sort = KEY + ["session_index"]
+    a = kernel.sort_values(sort).reset_index(drop=True)
+    b = catalyst[a.columns].sort_values(sort).reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
+    for col in a.columns:
+        if a[col].dtype.kind == "f":
+            assert np.allclose(
+                a[col].to_numpy(), b[col].to_numpy(), rtol=1e-9, atol=1e-6
+            ), col
+        else:
+            assert (a[col] == b[col]).all(), col
+
+
+@pytest.mark.parametrize("seed", [14, 3])
+def test_catalyst_matches_kernel(spark, seed):
+    pdf = generate_token_sequences(n_docs=60, seed=seed)
+    sdf = spark.createDataFrame(pdf.drop(columns=["tokens"]))
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=60, scan_mode="none")
+    kernel = sessionize_events(sdf, KEY, cfg).toPandas()
+    catalyst = sessionize_events_catalyst(sdf, KEY, cfg).toPandas()
+    assert (kernel["cause"] == "TCP Normal Termination").any()
+    _compare(kernel, catalyst)
+
+
+def test_catalyst_plan_has_no_python(spark):
+    pdf = generate_token_sequences(n_docs=10, seed=1)
+    sdf = spark.createDataFrame(pdf.drop(columns=["tokens"]))
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=60, scan_mode="none")
+    plan = sessionize_events_catalyst(sdf, KEY, cfg)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "Python" not in plan, plan[:2000]
+
+
+def test_auto_strategy_dispatch(spark):
+    pdf = generate_token_sequences(n_docs=20, seed=5)
+    sdf = spark.createDataFrame(pdf.drop(columns=["tokens"]))
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=60, scan_mode="none")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # eligible config -> auto takes the zero-Python plan, with the kernel's
+    # exact (pruned) schema, and values equal to the kernel path
+    feats = ["value", "iat", "subflow", "direction"]
+    auto = sessionize_events(sdf, KEY, cfg, features=feats, strategy="auto")
+    assert "Python" not in plan_of(auto)
+    kernel = sessionize_events(sdf, KEY, cfg, features=feats)
+    assert [f.name for f in auto.schema.fields] == [
+        f.name for f in kernel.schema.fields
+    ]
+    assert [(f.name, f.dataType) for f in auto.schema.fields] == [
+        (f.name, f.dataType) for f in kernel.schema.fields
+    ]
+    _compare(kernel.toPandas(), auto.toPandas())
+
+    # finite active timeout -> auto falls back to the kernel path
+    finite = EngineConfig(active_timeout=120, idle_timeout=60, scan_mode="none")
+    assert "MapInPandas" in plan_of(
+        sessionize_events(sdf, KEY, finite, strategy="auto")
+    )
+
+    # forcing catalyst under an unsupported config raises
+    with pytest.raises(ValueError, match="catalyst"):
+        sessionize_events(
+            sdf, KEY, EngineConfig(idle_timeout=60, scan_mode="exact"),
+            strategy="catalyst",
+        )
+
+
+def test_catalyst_guards(spark):
+    pdf = generate_token_sequences(n_docs=10, seed=2)
+    sdf = spark.createDataFrame(pdf.drop(columns=["tokens"]))
+    with pytest.raises(ValueError, match="scan_mode"):
+        sessionize_events_catalyst(
+            sdf, KEY, EngineConfig(idle_timeout=60, scan_mode="exact")
+        )
+    # a session reaching the active cut must raise, not silently differ
+    cfg = EngineConfig(active_timeout=1, idle_timeout=3600, scan_mode="none")
+    with pytest.raises(Exception, match="active"):
+        sessionize_events_catalyst(sdf, KEY, cfg).collect()
