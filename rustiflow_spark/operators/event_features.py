@@ -372,51 +372,48 @@ def sessionize_events_catalyst(
     rows = rows.withColumn(
         "__ig", F.when(F.col("__new") == 1, F.lit(None)).otherwise(F.col("__gap"))
     )
+    # Everything below rides the SAME (key, ts, seq) sort order as wk, so
+    # Catalyst plans exactly one Exchange + one Sort for all window exprs.
     ws = Window.partitionBy(*key_cols, "__sid").orderBy(*order)
     ws_all = ws.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    ws_run = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ws_prev = ws.rowsBetween(Window.unboundedPreceding, -1)
+
+    span_start = F.col("__ig").isNull() | (F.col("__ig") > ACTIVE_IDLE_TIMEOUT_US)
+    prev_f = F.last(F.when(F.col("__fwd"), F.col(ts_col)), ignorenulls=True).over(ws_prev)
+    prev_b = F.last(F.when(~F.col("__fwd"), F.col(ts_col)), ignorenulls=True).over(ws_prev)
     rows = (
-        rows.withColumn(
-            "__span",
-            F.sum(
-                F.when(
-                    F.col("__ig").isNull()
-                    | (F.col("__ig") > ACTIVE_IDLE_TIMEOUT_US),
-                    1,
-                ).otherwise(0)
-            ).over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        rows.withColumn("__sstart", span_start)
+        .withColumn(
+            "__span_ts",
+            F.last(F.when(span_start, F.col(ts_col)), ignorenulls=True).over(ws_run),
         )
-        .withColumn("__span_max", F.max("__span").over(ws_all))
         .withColumn(
             "__term_last",
             F.last(terminator_col).over(ws_all) if terminator_col else F.lit(0),
         )
         .withColumn(
             "__dgap",
-            F.col(ts_col)
-            - F.lag(ts_col).over(
-                Window.partitionBy(*key_cols, "__sid", "__fwd").orderBy(*order)
+            F.when(F.col("__fwd"), F.col(ts_col) - prev_f).otherwise(
+                F.col(ts_col) - prev_b
             ),
         )
+        .withColumn("__send", F.coalesce(F.lead("__sstart").over(ws), F.lit(True)))
+        .withColumn("__strail", F.lead("__sstart").over(ws).isNull())
     )
 
-    # active spans: one row per (session, span); the trailing span counts
-    # only when the session is closed (every non-terminator session here)
-    spans = rows.groupBy(*key_cols, "__sid", "__span").agg(
-        ((F.max(ts_col) - F.min(ts_col)) / 1000.0).alias("__dur"),
-        F.max("__term_last").alias("__t"),
-        F.max((F.col("__span") == F.col("__span_max")).cast("int")).alias("__tr"),
-    )
-    keep = (F.col("__dur") > 0) & ((F.col("__tr") == 0) | (F.col("__t") == 0))
-    dk = F.when(keep, F.col("__dur"))
-    span_agg = spans.groupBy(*key_cols, "__sid").agg(
-        F.count(dk).alias("__a_n"),
-        F.coalesce(F.sum(dk), F.lit(0.0)).alias("active_total"),
-        F.coalesce(F.avg(dk), F.lit(0.0)).alias("active_mean"),
-        F.coalesce(F.stddev_pop(dk), F.lit(0.0)).alias("active_std"),
-        F.coalesce(F.max(dk), F.lit(0.0)).alias("active_max"),
-        F.coalesce(F.min(dk), F.lit(0.0)).alias("active_min"),
+    # active spans, evaluated on span-end rows (no extra grouping level or
+    # join): span duration = ts - running span-start ts; the trailing span
+    # counts only when the session is closed (every non-terminator session
+    # here, since scan_mode is 'none')
+    span_dur = (F.col(ts_col) - F.col("__span_ts")) / 1000.0
+    dk = F.when(
+        F.col("__send")
+        & (span_dur > 0)
+        & (~F.col("__strail") | (F.col("__term_last") == 0)),
+        span_dur,
     )
 
     val = F.col(value_col).cast("double")
@@ -445,6 +442,7 @@ def sessionize_events_catalyst(
         F.count(vf).alias("fwd_event_count"),
         F.count(vb).alias("bwd_event_count"),
         F.max("__term_last").alias("__term"),
+        *st(dk, "active"),
         *st(val, "n_tok"),
         *st(vf, "fwd_n_tok"),
         *st(vb, "bwd_n_tok"),
@@ -466,7 +464,6 @@ def sessionize_events_catalyst(
 
     wkey = Window.partitionBy(*key_cols).orderBy("__sid")
     agg = agg.withColumn("__next_first", F.lead("first_ts_us").over(wkey))
-    agg = agg.join(span_agg, [*key_cols, "__sid"])
 
     dur_us = F.col("last_ts_us") - F.col("first_ts_us")
     is_term = F.col("__term") > 0

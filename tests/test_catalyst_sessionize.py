@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from rustiflow_spark.config import EngineConfig
 from rustiflow_spark.operators.event_features import (
@@ -98,3 +99,45 @@ def test_catalyst_guards(spark):
     cfg = EngineConfig(active_timeout=1, idle_timeout=3600, scan_mode="none")
     with pytest.raises(Exception, match="active"):
         sessionize_events_catalyst(sdf, KEY, cfg).collect()
+
+
+@st.composite
+def event_stream(draw):
+    """Adversarial keyed event streams: equal timestamps, mid-stream
+    terminators, single-direction keys, 1-event keys, tiny/huge gaps."""
+    rows = []
+    seq = 0
+    for key in range(draw(st.integers(min_value=1, max_value=3))):
+        n = draw(st.integers(min_value=1, max_value=25))
+        ts = 1_000_000
+        one_dir = draw(st.booleans())
+        for _ in range(n):
+            ts += draw(st.sampled_from([0, 1, 500_000, 5_000_001, 61_000_001]))
+            rows.append({
+                "source": "s",
+                "doc_id": f"k{key}",
+                "ts_us": ts,
+                "n_tok": draw(st.integers(min_value=0, max_value=500)),
+                "direction": 0 if one_dir else draw(st.integers(0, 1)),
+                "terminator": draw(st.sampled_from([0, 0, 0, 1])),
+                "event_seq": seq,
+            })
+            seq += 1
+    return pd.DataFrame(rows)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(pdf=event_stream(), idle=st.sampled_from([5, 60]))
+def test_fuzz_catalyst_matches_kernel(spark, pdf, idle):
+    sdf = spark.createDataFrame(pdf)
+    cfg = EngineConfig(
+        active_timeout=10_000_000, idle_timeout=idle, scan_mode="none"
+    )
+    kernel = sessionize_events(sdf, KEY, cfg).toPandas()
+    catalyst = sessionize_events_catalyst(sdf, KEY, cfg).toPandas()
+    _compare(kernel, catalyst)

@@ -68,11 +68,13 @@ def run(path: str, cores: int, variant: str) -> float:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     path = build_input(n)
+    print(f"input built: {n} events", file=sys.stderr, flush=True)
     out = {"n_events": n}
     for variant in ("kernel", "catalyst"):
         sec = run(path, 32, variant)
         out[f"{variant}_32_sec"] = round(sec, 3)
         out[f"{variant}_32_meps"] = round(n / sec / 1e6, 3)
+        print(f"{variant}@32: {sec:.2f}s", file=sys.stderr, flush=True)
     sec8 = run(path, 8, "catalyst")
     out["catalyst_8_sec"] = round(sec8, 3)
     out["catalyst_8_meps"] = round(n / sec8 / 1e6, 3)
