@@ -413,6 +413,25 @@ def q_session_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_annotation_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-Python variant of session annotation (assign_sessions_catalyst):
+    window expressions only, so payload columns never cross Arrow. Must
+    equal the kernel path exactly — same DuckDB oracle."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.event_features import assign_sessions_catalyst
+
+    ann = assign_sessions_catalyst(
+        _events(spark, sf_dir), ["user_id"], _engine_cfg()
+    )
+    return ann.select(
+        "user_id",
+        F.col("event_seq").alias("event_id"),
+        "ts_us",
+        F.col("session_index").cast("long").alias("session_index"),
+        "session_cause",
+    )
+
+
 _Q_ANNOTATION_SQL = f"""
 WITH ev AS (
     SELECT user_id, epoch_us(ts) AS ts_us,
@@ -3294,6 +3313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iat_window": q_iat_window,
         "flag_counts": q_flag_counts,
         "session_annotation": q_session_annotation,
+        "session_annotation_catalyst": q_session_annotation_catalyst,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
@@ -3335,6 +3355,9 @@ def oracle_sql() -> dict[str, str]:
         "iat_window": _Q_IAT_SQL,
         "flag_counts": _Q_FLAGS_SQL,
         "session_annotation": _Q_ANNOTATION_SQL,
+        # identical expected output: the zero-Python annotation plan must
+        # match the kernel bit-for-bit
+        "session_annotation_catalyst": _Q_ANNOTATION_SQL,
         "dedup_exact": _Q_DEDUP_SQL,
         "text_stats": _Q_TEXT_SQL,
         "similarity_topk": _Q_SIM_SQL,

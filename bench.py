@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "session_features",
     "session_features_catalyst",
     "session_annotation",
+    "session_annotation_catalyst",
     "welford_stats",
     "iat_window",
     "flag_counts",

@@ -227,10 +227,17 @@ def assign_sessions(
     terminator_col: str | None = "terminator",
     order_col: str | None = "event_seq",
     flush_ts: int | None = None,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """Annotate events with (session_index, session_cause); every input
     column — including array payloads like ``tokens`` — passes through
-    unchanged (exact-equality invariant, BASELINE.json input_hint)."""
+    unchanged (exact-equality invariant, BASELINE.json input_hint).
+
+    strategy: as in sessionize_events — 'auto' takes the zero-Python
+    window plan (assign_sessions_catalyst) when scan is off and the active
+    timeout is effectively disabled, which keeps the payload bytes out of
+    the Arrow round trip entirely.
+    """
     from rustiflow_spark.kernel.segmented import (
         _CAUSE_STRINGS,
         _per_key_ordinal,
@@ -239,6 +246,26 @@ def assign_sessions(
     )
 
     cfg = cfg or EngineConfig()
+    if strategy not in ("kernel", "catalyst", "auto"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "kernel":
+        eligible = cfg.scan_mode == "none"
+        if strategy == "catalyst" and not eligible:
+            raise ValueError(
+                "strategy='catalyst' requires scan_mode='none'; use the "
+                "kernel path"
+            )
+        if eligible and (
+            strategy == "catalyst" or cfg.active_timeout >= _ACTIVE_DISABLED_S
+        ):
+            return assign_sessions_catalyst(
+                df,
+                key_cols,
+                cfg,
+                ts_col=ts_col,
+                terminator_col=terminator_col,
+                order_col=order_col,
+            )
     scan_times, flush_ts = compute_timeline(df, ts_col, cfg, flush_ts=flush_ts)
     schema = T.StructType(
         list(df.schema.fields)
@@ -549,3 +576,85 @@ def sessionize_events_catalyst(
         F.coalesce(F.col("__b_dur") / 1000.0, F.lit(0.0)).alias("bwd_duration_ms"),
     ]
     return agg.select(*out_cols)
+
+
+def assign_sessions_catalyst(
+    df: DataFrame,
+    key_cols: list[str],
+    cfg: EngineConfig | None = None,
+    ts_col: str = "ts_us",
+    terminator_col: str | None = "terminator",
+    order_col: str | None = "event_seq",
+) -> DataFrame:
+    """Pure-Catalyst row-level session annotation — payload stays JVM-side.
+
+    The kernel path (assign_sessions) ships EVERY column — including array
+    payloads like ``tokens`` — through Arrow to Python and back; this plan
+    annotates (session_index, session_cause) with window expressions over
+    one (key, ts, seq) sort, so the payload bytes never leave Tungsten
+    rows. Output equals assign_sessions exactly (tests).
+
+    Same restrictions as sessionize_events_catalyst: scan_mode 'none', and
+    a runtime guard raises if any session reaches the active cut.
+    """
+    from pyspark.sql import Window
+
+    from rustiflow_spark.config import (
+        CAUSE_IDLE,
+        CAUSE_SHUTDOWN,
+        CAUSE_TCP_TERM,
+    )
+
+    cfg = cfg or EngineConfig()
+    if cfg.scan_mode != "none":
+        raise ValueError(
+            "assign_sessions_catalyst requires scan_mode='none'; the "
+            "periodic expiry scan needs the kernel path"
+        )
+    idle_cut = (cfg.idle_timeout + 1) * 1_000_000
+    active_cut = (cfg.active_timeout + 1) * 1_000_000
+
+    order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
+    wk = Window.partitionBy(*key_cols).orderBy(*order)
+    wk_all = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    gap = F.col(ts_col) - F.lag(ts_col).over(wk)
+    prev_term = (
+        F.lag(terminator_col).over(wk) if terminator_col else F.lit(None)
+    )
+    new_sess = (
+        F.when(gap.isNull() | (gap >= idle_cut), 1)
+        .when(prev_term > 0, 1)
+        .otherwise(0)
+    )
+    sid = F.sum(new_sess).over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ann = df.withColumn("__sid", sid)
+    ws_all = (
+        Window.partitionBy(*key_cols, "__sid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    has_term = (
+        F.max(terminator_col).over(ws_all) if terminator_col else F.lit(0)
+    )
+    max_sid = F.max("__sid").over(wk_all)
+    dur = F.max(ts_col).over(ws_all) - F.min(ts_col).over(ws_all)
+    cause = (
+        F.when(
+            dur >= active_cut,
+            F.raise_error(
+                "assign_sessions_catalyst: a session reached the active "
+                "timeout; use assign_sessions (kernel path)"
+            ),
+        )
+        .when(has_term > 0, F.lit(CAUSE_TCP_TERM))
+        .when(F.col("__sid") < max_sid, F.lit(CAUSE_IDLE))
+        .otherwise(F.lit(CAUSE_SHUTDOWN))
+    )
+    in_cols = [f.name for f in df.schema.fields]
+    return ann.select(
+        *in_cols,
+        (F.col("__sid") - 1).cast("int").alias("session_index"),
+        cause.alias("session_cause"),
+    )

@@ -141,3 +141,39 @@ def test_fuzz_catalyst_matches_kernel(spark, pdf, idle):
     kernel = sessionize_events(sdf, KEY, cfg).toPandas()
     catalyst = sessionize_events_catalyst(sdf, KEY, cfg).toPandas()
     _compare(kernel, catalyst)
+
+
+def test_assign_sessions_catalyst_matches_kernel(spark):
+    from rustiflow_spark.operators.event_features import (
+        assign_sessions,
+        assign_sessions_catalyst,
+    )
+
+    pdf = generate_token_sequences(n_docs=40, seed=21)
+    sdf = spark.createDataFrame(pdf)
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=60, scan_mode="none")
+    kernel = assign_sessions(sdf, KEY, cfg).toPandas()
+    catalyst = assign_sessions_catalyst(sdf, KEY, cfg).toPandas()
+    sort = ["event_seq"]
+    a = kernel.sort_values(sort).reset_index(drop=True)
+    b = catalyst[a.columns].sort_values(sort).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert (a["session_index"] == b["session_index"]).all()
+    assert (a["session_cause"] == b["session_cause"]).all()
+    # payload arrays pass through byte-identical on BOTH paths
+    for x, y in zip(a["tokens"], b["tokens"]):
+        assert list(x) == list(y)
+
+    # zero-Python plan, and auto dispatch picks it
+    plan = (
+        assign_sessions(sdf, KEY, cfg, strategy="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan and "Python" not in plan
+    # finite active timeout falls back to the kernel
+    finite = EngineConfig(active_timeout=120, idle_timeout=60, scan_mode="none")
+    plan_k = (
+        assign_sessions(sdf, KEY, finite, strategy="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan_k
