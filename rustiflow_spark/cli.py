@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--value-col", default="n_tok")
     t.add_argument("--direction-col", default="direction")
     t.add_argument("--terminator-col", default="terminator")
+    t.add_argument(
+        "--strategy", default="kernel", choices=["kernel", "catalyst", "auto"],
+        help="auto: zero-Python Catalyst plan when the config permits "
+             "(scan off, active timeout disabled); kernel: Arrow block kernel",
+    )
     return p
 
 
@@ -145,6 +150,7 @@ def main(argv: list[str] | None = None) -> int:
                 direction_col=args.direction_col,
                 terminator_col=args.terminator_col,
                 flush_ts=flush_ts,
+                strategy=args.strategy,
             )
 
     if args.checkpoint_dir:

@@ -29,6 +29,7 @@ def token_feature_pipeline(
     features: list[str] | None = None,
     lags: list[int] = (1, 2),
     flush_ts: int | None = None,
+    strategy: str = "kernel",
 ) -> DataFrame:
     """Session feature vectors with lag + optional as-of enrichment.
 
@@ -41,7 +42,10 @@ def token_feature_pipeline(
     """
     cfg = cfg or EngineConfig()
     key = ["source", "doc_id"]
-    sessions = sessionize_events(tokens, key, cfg, features=features, flush_ts=flush_ts)
+    sessions = sessionize_events(
+        tokens, key, cfg, features=features, flush_ts=flush_ts,
+        strategy=strategy,
+    )
     enriched = add_lag_lead_features(
         sessions,
         key,
