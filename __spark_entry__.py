@@ -75,15 +75,15 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # TIMESTAMP_NTZ -> epoch µs, independent of the session time zone
-    # (matches DuckDB's epoch_us on naive timestamps)
-    ts_us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
-    return df.select(
+    # (matches DuckDB's epoch_us on naive timestamps); selectExpr keeps
+    # plan construction to a handful of py4j round trips
+    return df.selectExpr(
         "user_id",
-        ts_us.alias("ts_us"),
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) as ts_us",
         "value",
-        (F.col("event_id") % 2).cast("int").alias("direction"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).cast("int").alias("terminator"),
-        F.col("event_id").alias("event_seq"),
+        "cast(event_id % 2 as int) as direction",
+        "cast(case when event_type = 'purchase' then 1 else 0 end as int) as terminator",
+        "event_id as event_seq",
         "event_type",
     )
 
@@ -255,30 +255,35 @@ def q_session_features_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-Catalyst fast path for the same sessionization: windows +
     aggregations only, zero Python workers in the plan (asserted by
     tests/test_catalyst_sessionize.py). Must produce EXACTLY the
-    session_features output — same DuckDB oracle."""
+    session_features output — same DuckDB oracle. Routed through the
+    strategy dispatch with the same feature-block pruning as the kernel
+    query: Catalyst's column pruning then drops the unused window/agg
+    expressions (1.7× at sf0.1)."""
     _ensure_package_shipped(spark)
-    from rustiflow_spark.operators.event_features import sessionize_events_catalyst
+    from rustiflow_spark.operators.event_features import sessionize_events
 
-    feats = sessionize_events_catalyst(
-        _events(spark, sf_dir), ["user_id"], _engine_cfg(), value_col="value"
+    feats = sessionize_events(
+        _events(spark, sf_dir), ["user_id"], _engine_cfg(), value_col="value",
+        features=["value", "iat", "subflow", "direction"],
+        strategy="catalyst",
     )
-    return feats.select(
+    return feats.selectExpr(
         "user_id",
         "first_ts_us",
         "last_ts_us",
         "duration_us",
         "cause",
-        F.col("event_count").cast("long").alias("event_count"),
-        F.col("fwd_event_count").cast("long").alias("fwd_event_count"),
-        F.col("bwd_event_count").cast("long").alias("bwd_event_count"),
-        F.round("n_tok_total", 6).alias("value_total"),
-        F.round("n_tok_mean", 6).alias("value_mean"),
-        F.round("n_tok_max", 6).alias("value_max"),
-        F.round("n_tok_min", 6).alias("value_min"),
-        F.round("iat_total", 4).alias("iat_total_ms"),
-        F.round("iat_max", 4).alias("iat_max_ms"),
-        F.round("iat_min", 4).alias("iat_min_ms"),
-        F.col("subflow_count").cast("long").alias("subflow_count"),
+        "cast(event_count as bigint) as event_count",
+        "cast(fwd_event_count as bigint) as fwd_event_count",
+        "cast(bwd_event_count as bigint) as bwd_event_count",
+        "round(n_tok_total, 6) as value_total",
+        "round(n_tok_mean, 6) as value_mean",
+        "round(n_tok_max, 6) as value_max",
+        "round(n_tok_min, 6) as value_min",
+        "round(iat_total, 4) as iat_total_ms",
+        "round(iat_max, 4) as iat_max_ms",
+        "round(iat_min, 4) as iat_min_ms",
+        "cast(subflow_count as bigint) as subflow_count",
     )
 
 
@@ -423,11 +428,11 @@ def q_session_annotation_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame
     ann = assign_sessions_catalyst(
         _events(spark, sf_dir), ["user_id"], _engine_cfg()
     )
-    return ann.select(
+    return ann.selectExpr(
         "user_id",
-        F.col("event_seq").alias("event_id"),
+        "event_seq as event_id",
         "ts_us",
-        F.col("session_index").cast("long").alias("session_index"),
+        "cast(session_index as bigint) as session_index",
         "session_cause",
     )
 

@@ -141,8 +141,11 @@ def sessionize_events(
             schema = _feature_schema(
                 df, key_cols, None if features is None else frozenset(features)
             )
-            return out.select(
-                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
+            return out.selectExpr(
+                *[
+                    f"cast(`{f.name}` as {f.dataType.simpleString()}) as `{f.name}`"
+                    for f in schema.fields
+                ]
             )
     blocks = None if features is None else frozenset(features)
     scan_times, flush_ts = compute_timeline(df, ts_col, cfg, flush_ts=flush_ts)
@@ -371,211 +374,183 @@ def sessionize_events_catalyst(
     idle_cut = (cfg.idle_timeout + 1) * 1_000_000
     active_cut = (cfg.active_timeout + 1) * 1_000_000
 
-    order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
-    wk = Window.partitionBy(*key_cols).orderBy(*order)
-    gap = F.col(ts_col) - F.lag(ts_col).over(wk)
-    prev_term = (
-        F.lag(terminator_col).over(wk) if terminator_col else F.lit(None)
+    # The whole plan is built from SQL strings (one py4j round trip per
+    # expression) rather than Column trees: Column-by-Column construction
+    # of this many expressions costs ~1 s of pure driver-side py4j latency
+    # per query invocation. Every window rides the SAME (key, ts, seq)
+    # sort order, so Catalyst plans exactly one Exchange + one Sort for
+    # all of them.
+    AIT = ACTIVE_IDLE_TIMEOUT_US
+    SFT = SUBFLOW_TIMEOUT_US
+    kq = ", ".join(f"`{c}`" for c in key_cols)
+    keysel = [f"`{c}`" for c in key_cols]
+    wk_in = f"PARTITION BY {kq} ORDER BY `{ts_col}`" + (
+        f", `{order_col}`" if order_col else ""
     )
+    fwd = f"(`{direction_col}` = 0)" if direction_col else "true"
+    term = f"`{terminator_col}`" if terminator_col else "0"
+    rows = df.selectExpr(
+        *keysel,
+        f"`{ts_col}` as __ts",
+        *([f"`{order_col}` as __seq"] if order_col else []),
+        f"cast(`{value_col}` as double) as __val",
+        f"{fwd} as __fwd",
+        f"{term} as __t",
+        f"`{ts_col}` - lag(`{ts_col}`) OVER ({wk_in}) as __gap",
+    )
+
+    ob = "__ts" + (", __seq" if order_col else "")
+    wk = f"PARTITION BY {kq} ORDER BY {ob}"
     new_sess = (
-        F.when(gap.isNull() | (gap >= idle_cut), 1)
-        .when(prev_term > 0, 1)
-        .otherwise(0)
-        if terminator_col
-        else F.when(gap.isNull() | (gap >= idle_cut), 1).otherwise(0)
+        f"case when __gap is null or __gap >= {idle_cut}L then 1 "
+        + (f"when lag(__t) OVER ({wk}) > 0 then 1 " if terminator_col else "")
+        + "else 0 end"
     )
-    fwd = (F.col(direction_col) == 0) if direction_col else F.lit(True)
-    rows = (
-        df.withColumn("__gap", gap)
-        .withColumn("__new", new_sess)
-        .withColumn("__fwd", fwd)
-        .withColumn(
-            "__sid",
-            F.sum("__new").over(
-                wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
-        )
+    rows = rows.selectExpr("*", f"{new_sess} as __new")
+    run = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    rows = rows.selectExpr(
+        "*",
+        f"sum(__new) OVER ({wk} {run}) as __sid",
+        "case when __new = 1 then null else __gap end as __ig",
+        # span start: first event of the session, or a big (>5s) gap;
+        # __gap is null only on session-opening rows, where __new = 1
+        f"(__new = 1 or __gap > {AIT}L) as __sstart",
     )
-    rows = rows.withColumn(
-        "__ig", F.when(F.col("__new") == 1, F.lit(None)).otherwise(F.col("__gap"))
-    )
-    # Everything below rides the SAME (key, ts, seq) sort order as wk, so
-    # Catalyst plans exactly one Exchange + one Sort for all window exprs.
-    ws = Window.partitionBy(*key_cols, "__sid").orderBy(*order)
-    ws_all = ws.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ws_run = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ws_prev = ws.rowsBetween(Window.unboundedPreceding, -1)
-
-    span_start = F.col("__ig").isNull() | (F.col("__ig") > ACTIVE_IDLE_TIMEOUT_US)
-    prev_f = F.last(F.when(F.col("__fwd"), F.col(ts_col)), ignorenulls=True).over(ws_prev)
-    prev_b = F.last(F.when(~F.col("__fwd"), F.col(ts_col)), ignorenulls=True).over(ws_prev)
-    rows = (
-        rows.withColumn("__sstart", span_start)
-        .withColumn(
-            "__span_ts",
-            F.last(F.when(span_start, F.col(ts_col)), ignorenulls=True).over(ws_run),
-        )
-        .withColumn(
-            "__term_last",
-            F.last(terminator_col).over(ws_all) if terminator_col else F.lit(0),
-        )
-        .withColumn(
-            "__dgap",
-            F.when(F.col("__fwd"), F.col(ts_col) - prev_f).otherwise(
-                F.col(ts_col) - prev_b
-            ),
-        )
-        .withColumn("__send", F.coalesce(F.lead("__sstart").over(ws), F.lit(True)))
-        .withColumn("__strail", F.lead("__sstart").over(ws).isNull())
+    ws = f"PARTITION BY {kq}, __sid ORDER BY {ob}"
+    allf = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    prev = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    rows = rows.selectExpr(
+        "*",
+        f"last(case when __sstart then __ts end, true) OVER ({ws} {run}) as __span_ts",
+        f"last(__t) OVER ({ws} {allf}) as __term_last",
+        f"last(case when __fwd then __ts end, true) OVER ({ws} {prev}) as __pf",
+        f"last(case when not __fwd then __ts end, true) OVER ({ws} {prev}) as __pb",
+        f"lead(__sstart) OVER ({ws}) as __lead_sstart",
+    ).selectExpr(
+        "*",
+        "case when __fwd then __ts - __pf else __ts - __pb end as __dgap",
+        "coalesce(__lead_sstart, true) as __send",
+        "__lead_sstart is null as __strail",
     )
 
+    aggs: list[str] = []
+
+    def st(x: str, pre: str) -> None:
+        aggs.extend([
+            f"coalesce(sum({x}), 0.0D) as {pre}_total",
+            f"coalesce(avg({x}), 0.0D) as {pre}_mean",
+            f"coalesce(stddev_pop({x}), 0.0D) as {pre}_std",
+            f"coalesce(max({x}), 0.0D) as {pre}_max",
+            f"coalesce(min({x}), 0.0D) as {pre}_min",
+        ])
+
+    vf = "(case when __fwd then __val end)"
+    vb = "(case when not __fwd then __val end)"
     # active spans, evaluated on span-end rows (no extra grouping level or
-    # join): span duration = ts - running span-start ts; the trailing span
-    # counts only when the session is closed (every non-terminator session
-    # here, since scan_mode is 'none')
-    span_dur = (F.col(ts_col) - F.col("__span_ts")) / 1000.0
-    dk = F.when(
-        F.col("__send")
-        & (span_dur > 0)
-        & (~F.col("__strail") | (F.col("__term_last") == 0)),
-        span_dur,
+    # join): span duration = __ts - running span-start ts; the trailing
+    # span counts only when the session is closed (every non-terminator
+    # session here, since scan_mode is 'none')
+    dk = (
+        "(case when __send and ((__ts - __span_ts) / 1000.0D) > 0.0D "
+        "and ((not __strail) or __term_last = 0) "
+        "then (__ts - __span_ts) / 1000.0D end)"
     )
+    big = f"(case when __ig > {AIT} then __ig / 1000.0D end)"
+    aggs.extend([
+        "min(__ts) as first_ts_us",
+        "max(__ts) as last_ts_us",
+        "count(*) as event_count",
+        f"count({vf}) as fwd_event_count",
+        f"count({vb}) as bwd_event_count",
+        "max(__term_last) as __term",
+    ])
+    st(dk, "active")
+    st("__val", "n_tok")
+    st(vf, "fwd_n_tok")
+    st(vb, "bwd_n_tok")
+    st("(__ig / 1000.0D)", "iat")
+    st("(case when __fwd then __dgap / 1000.0D end)", "fwd_iat")
+    st("(case when not __fwd then __dgap / 1000.0D end)", "bwd_iat")
+    aggs.extend([
+        f"1 + count(case when __ig > {SFT} then 1 end) as subflow_count",
+        f"count({big}) as __b_n",
+        f"coalesce(sum({big}), 0.0D) as __b_s",
+        f"coalesce(avg({big}), 0.0D) as __b_mean",
+        f"coalesce(var_pop({big}), 0.0D) * count({big}) as __b_m2",
+        f"max({big}) as __b_max",
+        f"min({big}) as __b_min",
+        "max(case when __fwd then __ts end) - min(case when __fwd then __ts end) as __f_dur",
+        "max(case when not __fwd then __ts end) - min(case when not __fwd then __ts end) as __b_dur",
+    ])
+    agg = rows.groupBy(*key_cols, "__sid").agg(*[F.expr(s) for s in aggs])
 
-    val = F.col(value_col).cast("double")
-    vf = F.when(F.col("__fwd"), val)
-    vb = F.when(~F.col("__fwd"), val)
-    ig_ms = F.col("__ig") / 1000.0
-    dg_f = F.when(F.col("__fwd"), F.col("__dgap") / 1000.0)
-    dg_b = F.when(~F.col("__fwd"), F.col("__dgap") / 1000.0)
-    big = F.when(F.col("__ig") > ACTIVE_IDLE_TIMEOUT_US, F.col("__ig") / 1000.0)
-
-    def st(x, pre: str) -> list:
-        return [
-            F.coalesce(F.sum(x), F.lit(0.0)).alias(f"{pre}_total"),
-            F.coalesce(F.avg(x), F.lit(0.0)).alias(f"{pre}_mean"),
-            F.coalesce(F.stddev_pop(x), F.lit(0.0)).alias(f"{pre}_std"),
-            F.coalesce(F.max(x), F.lit(0.0)).alias(f"{pre}_max"),
-            F.coalesce(F.min(x), F.lit(0.0)).alias(f"{pre}_min"),
-        ]
-
-    ts_f = F.when(F.col("__fwd"), F.col(ts_col))
-    ts_b = F.when(~F.col("__fwd"), F.col(ts_col))
-    agg = rows.groupBy(*key_cols, "__sid").agg(
-        F.min(ts_col).alias("first_ts_us"),
-        F.max(ts_col).alias("last_ts_us"),
-        F.count("*").alias("event_count"),
-        F.count(vf).alias("fwd_event_count"),
-        F.count(vb).alias("bwd_event_count"),
-        F.max("__term_last").alias("__term"),
-        *st(dk, "active"),
-        *st(val, "n_tok"),
-        *st(vf, "fwd_n_tok"),
-        *st(vb, "bwd_n_tok"),
-        *st(ig_ms, "iat"),
-        *st(dg_f, "fwd_iat"),
-        *st(dg_b, "bwd_iat"),
-        (1 + F.count(F.when(F.col("__ig") > SUBFLOW_TIMEOUT_US, 1))).alias(
-            "subflow_count"
-        ),
-        F.count(big).alias("__b_n"),
-        F.coalesce(F.sum(big), F.lit(0.0)).alias("__b_s"),
-        F.coalesce(F.avg(big), F.lit(0.0)).alias("__b_mean"),
-        (F.coalesce(F.var_pop(big), F.lit(0.0)) * F.count(big)).alias("__b_m2"),
-        F.max(big).alias("__b_max"),
-        F.min(big).alias("__b_min"),
-        (F.max(ts_f) - F.min(ts_f)).alias("__f_dur"),
-        (F.max(ts_b) - F.min(ts_b)).alias("__b_dur"),
-    )
-
-    wkey = Window.partitionBy(*key_cols).orderBy("__sid")
-    agg = agg.withColumn("__next_first", F.lead("first_ts_us").over(wkey))
-
-    dur_us = F.col("last_ts_us") - F.col("first_ts_us")
-    is_term = F.col("__term") > 0
-    has_next = F.col("__next_first").isNotNull()
-    cause = (
-        F.when(
-            dur_us >= active_cut,
-            F.raise_error(
-                "sessionize_events_catalyst: a session reached the active "
-                "timeout; active-timeout recursion needs the kernel path "
-                "(sessionize_events)"
-            ),
-        )
-        .when(is_term, F.lit(CAUSE_TCP_TERM))
-        .when(has_next, F.lit(CAUSE_IDLE))
-        .otherwise(F.lit(CAUSE_SHUTDOWN))
-    )
     # trailing idle gap (closed idle-cause sessions): merge ONE value into
     # the big-gap moments with the exact Chan single-element update
-    tr = F.when(is_term | ~has_next, F.lit(None)).otherwise(
-        (F.col("__next_first") - F.col("last_ts_us")) / 1000.0
+    agg = agg.selectExpr(
+        "*",
+        f"lead(first_ts_us) OVER (PARTITION BY {kq} ORDER BY __sid) as __next_first",
+    ).selectExpr(
+        "*",
+        "case when __term > 0 or __next_first is null then null "
+        "else (__next_first - last_ts_us) / 1000.0D end as __tr",
     )
-    n1 = F.col("__b_n").cast("double")
-    n = n1 + 1
-    i_total = F.col("__b_s") + tr
-    i_mean = i_total / n
-    i_m2 = F.col("__b_m2") + (tr - F.col("__b_mean")) * (tr - F.col("__b_mean")) * n1 / n
-    idle_total = F.when(tr.isNotNull(), i_total).otherwise(F.col("__b_s"))
-    idle_mean = F.when(tr.isNotNull(), i_mean).otherwise(F.col("__b_mean"))
-    idle_std = F.when(
-        tr.isNotNull(), F.sqrt(F.greatest(i_m2 / n, F.lit(0.0)))
-    ).otherwise(
-        F.sqrt(
-            F.greatest(
-                F.when(n1 > 0, F.col("__b_m2") / n1).otherwise(F.lit(0.0)),
-                F.lit(0.0),
-            )
+
+    terr = (
+        "raise_error('sessionize_events_catalyst: a session reached the "
+        "active timeout; active-timeout recursion needs the kernel path "
+        "(sessionize_events)')"
+    )
+    cause = (
+        f"case when last_ts_us - first_ts_us >= {active_cut}L then {terr} "
+        f"when __term > 0 then '{CAUSE_TCP_TERM}' "
+        f"when __next_first is not null then '{CAUSE_IDLE}' "
+        f"else '{CAUSE_SHUTDOWN}' end as cause"
+    )
+    i_m2 = "(__b_m2 + (__tr - __b_mean) * (__tr - __b_mean) * __b_n / (__b_n + 1))"
+    dur_s = "((last_ts_us - first_ts_us) / 1000000.0D)"
+
+    def rate(x: str, name: str) -> str:
+        return (
+            f"case when last_ts_us - first_ts_us > 0 then {x} / {dur_s} "
+            f"else 0.0D end as {name}"
         )
-    )
-    idle_max = F.when(
-        tr.isNotNull(), F.greatest(F.coalesce(F.col("__b_max"), tr), tr)
-    ).otherwise(F.coalesce(F.col("__b_max"), F.lit(0.0)))
-    idle_min = F.when(
-        tr.isNotNull(), F.least(F.coalesce(F.col("__b_min"), tr), tr)
-    ).otherwise(F.coalesce(F.col("__b_min"), F.lit(0.0)))
 
-    dur_s = dur_us.cast("double") / 1_000_000.0
-    nonzero = dur_us > 0
-
-    def rate(x):
-        return F.when(nonzero, x / dur_s).otherwise(F.lit(0.0))
-
-    nf = F.col("fwd_event_count").cast("double")
-    out_cols = [
-        *[F.col(c) for c in key_cols],
-        (F.col("__sid") - 1).cast("int").alias("session_index"),
-        F.col("first_ts_us"),
-        F.col("last_ts_us"),
-        dur_us.alias("duration_us"),
-        cause.alias("cause"),
-        F.col("event_count").cast("int").alias("event_count"),
-        F.col("fwd_event_count").cast("int").alias("fwd_event_count"),
-        F.col("bwd_event_count").cast("int").alias("bwd_event_count"),
-        *[F.col(f"{b}_{s}")
+    out_exprs = [
+        *[f"`{c}`" for c in key_cols],
+        "cast(__sid - 1 as int) as session_index",
+        "first_ts_us",
+        "last_ts_us",
+        "last_ts_us - first_ts_us as duration_us",
+        cause,
+        "cast(event_count as int) as event_count",
+        "cast(fwd_event_count as int) as fwd_event_count",
+        "cast(bwd_event_count as int) as bwd_event_count",
+        *[f"{b}_{s}"
           for b in ("n_tok", "fwd_n_tok", "bwd_n_tok", "iat", "fwd_iat", "bwd_iat")
           for s in ("total", "mean", "std", "max", "min")],
-        F.col("active_total"), F.col("active_mean"), F.col("active_std"),
-        F.col("active_max"), F.col("active_min"),
-        idle_total.alias("idle_total"),
-        idle_mean.alias("idle_mean"),
-        idle_std.alias("idle_std"),
-        idle_max.alias("idle_max"),
-        idle_min.alias("idle_min"),
-        F.col("subflow_count").cast("int").alias("subflow_count"),
-        rate(F.col("n_tok_total")).alias("tok_per_s"),
-        rate(F.col("event_count").cast("double")).alias("events_per_s"),
-        rate(F.col("fwd_n_tok_total")).alias("fwd_tok_per_s"),
-        rate(F.col("bwd_n_tok_total")).alias("bwd_tok_per_s"),
-        F.when(nf > 0, F.col("bwd_event_count") / nf)
-        .otherwise(F.lit(0.0))
-        .alias("down_up_ratio"),
-        F.coalesce(F.col("__f_dur") / 1000.0, F.lit(0.0)).alias("fwd_duration_ms"),
-        F.coalesce(F.col("__b_dur") / 1000.0, F.lit(0.0)).alias("bwd_duration_ms"),
+        "active_total", "active_mean", "active_std", "active_max", "active_min",
+        "case when __tr is not null then __b_s + __tr else __b_s end as idle_total",
+        "case when __tr is not null then (__b_s + __tr) / (__b_n + 1) "
+        "else __b_mean end as idle_mean",
+        f"case when __tr is not null then sqrt(greatest({i_m2} / (__b_n + 1), 0.0D)) "
+        "else sqrt(greatest(case when __b_n > 0 then __b_m2 / __b_n else 0.0D end, 0.0D)) "
+        "end as idle_std",
+        "case when __tr is not null then greatest(coalesce(__b_max, __tr), __tr) "
+        "else coalesce(__b_max, 0.0D) end as idle_max",
+        "case when __tr is not null then least(coalesce(__b_min, __tr), __tr) "
+        "else coalesce(__b_min, 0.0D) end as idle_min",
+        "cast(subflow_count as int) as subflow_count",
+        rate("n_tok_total", "tok_per_s"),
+        rate("cast(event_count as double)", "events_per_s"),
+        rate("fwd_n_tok_total", "fwd_tok_per_s"),
+        rate("bwd_n_tok_total", "bwd_tok_per_s"),
+        "case when fwd_event_count > 0 "
+        "then bwd_event_count / cast(fwd_event_count as double) "
+        "else 0.0D end as down_up_ratio",
+        "coalesce(__f_dur / 1000.0D, 0.0D) as fwd_duration_ms",
+        "coalesce(__b_dur / 1000.0D, 0.0D) as bwd_duration_ms",
     ]
-    return agg.select(*out_cols)
+    return agg.selectExpr(*out_exprs)
 
 
 def assign_sessions_catalyst(
