@@ -354,9 +354,15 @@ def sessionize_events_catalyst(
         duration reaches the active cut raises rather than returning rows
         the kernel would have split (active-timeout recursion is inherently
         sequential and not window-expressible).
-    """
-    from pyspark.sql import Window
 
+    Skew: a heavy-hitter key serializes inside one window task here, same
+    as it would in any partitionBy(key) plan. For skewed keyspaces use the
+    kernel path with the episode pre-split
+    (operators/skew.py:with_episodes + next_ts_col), which this plan
+    deliberately does not attempt — the cross-episode ordinal/cause
+    handoff would reintroduce a join against the single-sort shape that
+    makes this path fast.
+    """
     from rustiflow_spark.config import (
         ACTIVE_IDLE_TIMEOUT_US,
         CAUSE_IDLE,
