@@ -50,27 +50,41 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
 
+    # Built from SQL strings end-to-end: one py4j round trip per
+    # expression instead of a Column-constructor call per node (~0.3 s of
+    # driver-side plan-construction latency on wide payloads, BENCH.md
+    # round 3).
     payload_cols = [c for c in right.columns if c not in by and c != right_ts]
-    payload = F.struct(
-        F.col(right_ts).alias("__asof_ts"), *[F.col(c) for c in payload_cols]
-    )
+    payload = "struct(" + ", ".join(
+        [f"`{right_ts}` as __asof_ts"] + [f"`{c}`" for c in payload_cols]
+    ) + ")"
 
-    r = right.select(
-        *by,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__tag"),
-        payload.alias("__payload"),
+    r = right.selectExpr(
+        *[f"`{c}`" for c in by],
+        f"`{right_ts}` as __ts",
+        "0 as __tag",
+        f"{payload} as __payload",
     )
     left_cols = left.columns
-    l = left.select(
-        "*",
-        F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__tag"),
-        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+    payload_ddl = r.schema["__payload"].dataType.simpleString()
+    nonkey = [c for c in left_cols if c not in by]
+    l = left.selectExpr(
+        *[f"`{c}`" for c in by],
+        f"`{left_ts}` as __ts",
+        "1 as __tag",
+        f"cast(null as {payload_ddl}) as __payload",
+        *[f"`{c}`" for c in nonkey],
     )
-    # align schemas for union
-    l = l.select(*by, "__ts", "__tag", "__payload", *[c for c in left_cols if c not in by])
-    r = r.select(*by, "__ts", "__tag", "__payload", *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in by])
+    r = r.selectExpr(
+        *[f"`{c}`" for c in by],
+        "__ts",
+        "__tag",
+        "__payload",
+        *[
+            f"cast(null as {left.schema[c].dataType.simpleString()}) as `{c}`"
+            for c in nonkey
+        ],
+    )
     unioned = l.unionByName(r)
 
     # Deterministic tiebreak for multiple right rows at the same (key, ts):
@@ -89,38 +103,33 @@ def asof_join(
             return _has_map(dt.elementType)
         return False
 
-    orderable = not _has_map(r.schema["__payload"].dataType)
-    tie = [F.asc("__payload")] if orderable else []
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.asc("__ts"), F.asc("__tag"), *tie)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.desc("__ts"), F.asc("__tag"), *tie)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    matched = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
-    out = matched.filter(F.col("__tag") == 1)
+    tie = ", __payload ASC" if not _has_map(r.schema["__payload"].dataType) else ""
+    kq = ", ".join(f"`{c}`" for c in by)
+    ts_dir = "ASC" if direction == "backward" else "DESC"
+    matched = unioned.selectExpr(
+        "*",
+        f"last(__payload, true) OVER (PARTITION BY {kq} "
+        f"ORDER BY __ts {ts_dir}, __tag ASC{tie} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as __match",
+    )
+    out = matched.where("__tag = 1")
 
     if tolerance_us is not None:
         delta = (
-            F.col("__ts") - F.col("__match.__asof_ts")
+            "__ts - __match.__asof_ts"
             if direction == "backward"
-            else F.col("__match.__asof_ts") - F.col("__ts")
+            else "__match.__asof_ts - __ts"
         )
         out = out.withColumn(
-            "__match", F.when(delta <= F.lit(tolerance_us), F.col("__match"))
+            "__match",
+            F.expr(f"case when {delta} <= {int(tolerance_us)}L then __match end"),
         )
 
-    sel = [F.col(c) for c in left_cols]
-    sel.append(F.col("__match.__asof_ts").alias(f"{right_ts}{suffix}"))
-    for c in payload_cols:
-        sel.append(F.col(f"__match.{c}").alias(f"{c}{suffix}"))
-    return out.select(*sel)
+    return out.selectExpr(
+        *[f"`{c}`" for c in left_cols],
+        f"__match.__asof_ts as `{right_ts}{suffix}`",
+        *[f"__match.`{c}` as `{c}{suffix}`" for c in payload_cols],
+    )
 
 
 def asof_join_kernel(

@@ -55,16 +55,21 @@ def with_canonical_key(df: DataFrame) -> DataFrame:
     """Add canonical (order-independent) biflow key columns + orientation.
 
     dir_a is True when the packet's directed key matches the canonical
-    orientation (src endpoint sorts <= dst endpoint)."""
-    a_first = (F.col("src_ip") < F.col("dst_ip")) | (
-        (F.col("src_ip") == F.col("dst_ip")) & (F.col("src_port") <= F.col("dst_port"))
+    orientation (src endpoint sorts <= dst endpoint).
+
+    Built from SQL strings: one py4j round trip per expression instead of
+    ~50 Column-constructor calls (plan-construction latency, BENCH.md
+    round 3)."""
+    a_first = (
+        "(src_ip < dst_ip or (src_ip = dst_ip and src_port <= dst_port))"
     )
-    return (
-        df.withColumn("dir_a", a_first)
-        .withColumn("key_ip_a", F.when(a_first, F.col("src_ip")).otherwise(F.col("dst_ip")))
-        .withColumn("key_port_a", F.when(a_first, F.col("src_port")).otherwise(F.col("dst_port")))
-        .withColumn("key_ip_b", F.when(a_first, F.col("dst_ip")).otherwise(F.col("src_ip")))
-        .withColumn("key_port_b", F.when(a_first, F.col("dst_port")).otherwise(F.col("src_port")))
+    return df.selectExpr(
+        "*",
+        f"{a_first} as dir_a",
+        f"case when {a_first} then src_ip else dst_ip end as key_ip_a",
+        f"case when {a_first} then src_port else dst_port end as key_port_a",
+        f"case when {a_first} then dst_ip else src_ip end as key_ip_b",
+        f"case when {a_first} then dst_port else src_port end as key_port_b",
     )
 
 
