@@ -520,40 +520,40 @@ FROM documents
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over the embedding column
-    (training-data op; JVM-side F.aggregate/zip_with dot products)."""
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    (training-data op; JVM-side aggregate/zip_with dot products, built as
+    SQL-string lambdas — one parse per expression)."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
     )
-    queries = df.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    queries = df.where("vec_id < 8").selectExpr(
+        "vec_id as query_id", "embedding as q_emb"
     )
-    joined = queries.crossJoin(df.select("vec_id", "embedding")).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    dot = F.aggregate(
-        F.zip_with("q_emb", "embedding", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-    )
-    sims = joined.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (dot / (norm(F.col("q_emb")) * norm(F.col("embedding")))).alias("cos"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
+    sims = (
+        queries.crossJoin(df)
+        .where("vec_id != query_id")
+        .selectExpr(
             "query_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.col("neighbor_id").cast("long").alias("neighbor_id"),
-            F.round("cos", 4).alias("cos"),
+            "vec_id as neighbor_id",
+            "aggregate(zip_with(q_emb, embedding, (a, b) -> a * b), 0.0D,"
+            " (acc, x) -> acc + x)"
+            " / (sqrt(aggregate(transform(q_emb, x -> x * x), 0.0D,"
+            " (a, x) -> a + x))"
+            " * sqrt(aggregate(transform(embedding, x -> x * x), 0.0D,"
+            " (a, x) -> a + x))) as cos",
+        )
+    )
+    return (
+        sims.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id"
+            " ORDER BY cos DESC, neighbor_id ASC) as rank",
+        )
+        .where("rank <= 5")
+        .selectExpr(
+            "query_id",
+            "cast(rank as bigint) as rank",
+            "cast(neighbor_id as bigint) as neighbor_id",
+            "round(cos, 4) as cos",
         )
     )
 
@@ -584,24 +584,24 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.operators.asof import asof_join
 
     ev = _events(spark, sf_dir)
-    left = ev.select("user_id", "ts_us", F.col("event_seq").alias("event_id"), "value")
+    left = ev.selectExpr("user_id", "ts_us", "event_seq as event_id", "value")
     right = (
-        ev.filter(F.col("event_type") == "signup")
+        ev.where("event_type = 'signup'")
         .groupBy("user_id", "ts_us")
-        .agg(F.round(F.max("value"), 6).alias("signup_value"))
+        .agg(F.expr("round(max(value), 6) as signup_value"))
     )
     out = asof_join(left, right, by="user_id", suffix="_sig")
-    return out.select(
+    return out.selectExpr(
         "user_id",
         "event_id",
         "ts_us",
-        F.col("ts_us_sig").alias("signup_ts_us"),
-        F.round("signup_value_sig", 6).alias("signup_value"),
+        "ts_us_sig as signup_ts_us",
+        "round(signup_value_sig, 6) as signup_value",
         # integer µs difference (exact in both engines; a rounded-seconds
         # double lands on exact .00005 ties that Spark and DuckDB break
         # differently — CORRECTNESS_r01). Cast to double so the null-able
         # column serializes identically on both sides.
-        (F.col("ts_us") - F.col("ts_us_sig")).cast("double").alias("us_since_signup"),
+        "cast(ts_us - ts_us_sig as double) as us_since_signup",
     )
 
 
