@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # in local mode the driver JVM IS the executor: its heap must hold
+        # the shuffle/sort working set for all cores. 8g silently hung
+        # 64M-row runs on a 128 GiB box (workers idle, JVM thrashing in
+        # spill) — size it like an executor, not like a driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

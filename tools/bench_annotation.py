@@ -51,7 +51,11 @@ def run(path: str, cores: int, strategy: str) -> float:
     ev = spark.read.parquet(path)
     ann = assign_sessions(ev, ["user_id"], EngineConfig(**CFG),
                           strategy=strategy)
-    ann.limit(1).write.mode("overwrite").format("noop").save()
+    # warmup = one FULL materialization: a limit(1) warmup interrupts
+    # mapInPandas tasks mid-stream and a reused Python worker can come
+    # back desynced on pyspark 4.1's single-threaded runner (observed as
+    # a both-sides-reading deadlock at 64M rows; tools/bench_catalyst.py)
+    ann.write.mode("overwrite").format("noop").save()
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()

@@ -30,12 +30,22 @@ from rustiflow_spark.session import get_spark
 CFG = dict(active_timeout=10_000_000, idle_timeout=1800, scan_mode="none")
 
 
-def build_input(n: int) -> str:
+def build_input(n: int, layout: str = "singleton") -> str:
+    """layout='singleton': hashed keys, same-key gaps >> idle cut — every
+    event its own session (stresses per-session overhead; output volume ==
+    input volume, the documented pathology at large n). layout='blocked':
+    200 consecutive events per key at 40 ms gaps — multi-event sessions cut
+    by terminators (realistic featurization; output ~1% of input)."""
     spark = get_spark("gen", cores=8, shuffle_partitions=32)
-    path = "/tmp/catalyst_bench_events.parquet"
+    path = f"/tmp/catalyst_bench_events_{layout}.parquet"
     n_keys = max(200, n // 200)
+    key = (
+        F.pmod(F.xxhash64("id"), F.lit(n_keys))
+        if layout == "singleton"
+        else F.expr("id div 200")
+    )
     ev = spark.range(n).select(
-        F.pmod(F.xxhash64("id"), F.lit(n_keys)).alias("user_id"),
+        key.alias("user_id"),
         (F.col("id") * 40_000).alias("ts_us"),
         F.col("id").alias("event_seq"),
         F.pmod(F.col("id"), F.lit(977)).cast("double").alias("n_tok"),
@@ -55,7 +65,11 @@ def run(path: str, cores: int, variant: str) -> float:
     cfg = EngineConfig(**CFG)
     fn = sessionize_events if variant == "kernel" else sessionize_events_catalyst
     feats = fn(ev, ["user_id"], cfg)
-    feats.limit(1).write.mode("overwrite").format("noop").save()
+    # warmup = one FULL materialization: a limit(1) warmup interrupts the
+    # mapInPandas tasks mid-stream, and a reused Python worker can come
+    # back desynced on pyspark 4.1's single-threaded runner (observed as a
+    # both-sides-reading deadlock on 64M-row runs)
+    feats.write.mode("overwrite").format("noop").save()
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
@@ -67,9 +81,10 @@ def run(path: str, cores: int, variant: str) -> float:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
-    path = build_input(n)
-    print(f"input built: {n} events", file=sys.stderr, flush=True)
-    out = {"n_events": n}
+    layout = sys.argv[2] if len(sys.argv) > 2 else "singleton"
+    path = build_input(n, layout)
+    print(f"input built: {n} events ({layout})", file=sys.stderr, flush=True)
+    out = {"n_events": n, "layout": layout}
     for variant in ("kernel", "catalyst"):
         sec = run(path, 32, variant)
         out[f"{variant}_32_sec"] = round(sec, 3)

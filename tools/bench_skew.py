@@ -80,7 +80,11 @@ def main() -> None:
                                  value_col="value", features=feats,
                                  next_ts_col="next_key_ts")
     # warm up Python workers / codegen
-    mat(unsplit_df.limit(1))
+    # warmup = one FULL materialization: a limit(1) warmup interrupts
+    # mapInPandas tasks mid-stream and a reused Python worker can come
+    # back desynced on pyspark 4.1's single-threaded runner (observed as
+    # a both-sides-reading deadlock at 64M rows; tools/bench_catalyst.py)
+    mat(unsplit_df)
     t_unsplit = min(mat(unsplit_df) for _ in range(2))
     t_split = min(mat(split_df) for _ in range(2))
     t_salted = min(mat(salted_welford_agg(ev, ["user_id"], "value")) for _ in range(2))

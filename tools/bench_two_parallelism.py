@@ -50,7 +50,11 @@ def run(path: str, cores: int, n: int) -> float:
     feats = sessionize_events(ev, ["user_id"], cfg, value_col="value",
                               features=["value", "iat", "subflow"])
     # warm up codegen + Python workers, then best-of-2
-    feats.limit(1).write.mode("overwrite").format("noop").save()
+    # warmup = one FULL materialization: a limit(1) warmup interrupts
+    # mapInPandas tasks mid-stream and a reused Python worker can come
+    # back desynced on pyspark 4.1's single-threaded runner (observed as
+    # a both-sides-reading deadlock at 64M rows; tools/bench_catalyst.py)
+    feats.write.mode("overwrite").format("noop").save()
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
