@@ -355,6 +355,11 @@ def sessionize_events_catalyst(
         the kernel would have split (active-timeout recursion is inherently
         sequential and not window-expressible).
 
+    Sizing: the window sorts must fit execution memory — over-provision
+    spark.sql.shuffle.partitions (AQE coalesces small partitions but never
+    splits large ones) or this path goes spill-bound below the kernel
+    (BENCH.md 64M table: 5.5M ev/s at 256 partitions, 1.7M at 64).
+
     Skew: a heavy-hitter key serializes inside one window task here, same
     as it would in any partitionBy(key) plan. For skewed keyspaces use the
     kernel path with the episode pre-split
