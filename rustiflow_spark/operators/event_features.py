@@ -33,6 +33,110 @@ _BLOCK_OF_COLUMN = {}
 # strategy='auto' — ~116 days of continuous single-session activity
 _ACTIVE_DISABLED_S = 10_000_000
 
+# Auto partition sizing for the Catalyst window path: target bytes of
+# (optimizer-estimated) input per sort partition. AQE coalesces partitions
+# that are too small but can never split an oversized sort partition, so
+# under-provisioning silently goes 2-3x slow/spill-bound (BENCH.md 64M
+# table) — over-provision from plan statistics instead. The target is
+# deliberately small because plan sizeInBytes for a parquet scan is the
+# COMPRESSED file size; the in-memory sort working set expands ~5-10x.
+# Measured on 64M events / ~910 MB parquet (single JVM, local[32]):
+# 114 partitions 40.0s (spill cliff), 227 -> 20.4s, 455 -> 18.7s,
+# 910 -> 17.6s — under-partitioning is catastrophic, over-partitioning
+# nearly free, so target the flat part of the curve (~2 MB source bytes
+# per partition). The explicit repartition also bypasses AQE's
+# 64MB-advisory coalescing, which otherwise collapses a well-sized
+# shuffle back onto the cliff (measured: conf=256 coalesced to 35).
+_TARGET_SORT_BYTES = 2 << 20
+
+
+def _auto_partitions(df: DataFrame, key_cols: list[str]) -> int | None:
+    """Shuffle-partition count derived from optimizer size statistics:
+    ceil(estimated bytes / _TARGET_SORT_BYTES), clamped to
+    [default parallelism, 2^20]. None when statistics are unusable."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    if size <= 0 or size >= 1 << 60:  # unknown-stats sentinel
+        return None
+    sc = df.sparkSession.sparkContext
+    n = max(int(sc.defaultParallelism), -(-size // _TARGET_SORT_BYTES))
+    return min(n, 1 << 20)
+
+
+def _maybe_repartition(
+    df: DataFrame, key_cols: list[str], num_partitions: int | str | None
+) -> DataFrame:
+    if num_partitions == "auto":
+        num_partitions = _auto_partitions(df, key_cols)
+    if num_partitions:
+        return df.repartition(int(num_partitions), *key_cols)
+    return df
+
+
+def _with_session_boundaries(
+    rows: DataFrame,
+    key_cols: list[str],
+    cfg: EngineConfig,
+    ts_col: str,
+    term_expr: str,
+    order_col: str | None,
+    active_passes: int = 8,
+) -> DataFrame:
+    """Adds __gap, __new (final session-start flag) and __sid (running
+    per-key 1-based session id) with the kernel's exact cut semantics
+    (kernel/segmented.py:segment_block): idle gap >= (idle+1)s, previous
+    event a terminator, and active-timeout recursion — the cut lands on the
+    first event at or past session_first_ts + (active+1)s, re-anchoring
+    there.
+
+    The active recursion is inherently sequential, but each renewal
+    advances the anchor by >= the active cut, so it is resolved with
+    ``active_passes`` window passes over the SAME (key, ts, seq) sort (no
+    extra Exchange or Sort): pass i finds the i-th active cut of every
+    idle-episode in parallel. Episodes needing more than ``active_passes``
+    cuts (continuous activity > passes x active_timeout without an idle
+    gap) are caught by the callers' duration guard, which raises loudly
+    instead of diverging. With the active timeout disabled
+    (>= _ACTIVE_DISABLED_S) the refinement passes are skipped entirely.
+    """
+    idle_cut = (cfg.idle_timeout + 1) * 1_000_000
+    active_cut = (cfg.active_timeout + 1) * 1_000_000
+    kq = ", ".join(f"`{c}`" for c in key_cols)
+    ob = f"`{ts_col}`" + (f", `{order_col}`" if order_col else "")
+    wk = f"PARTITION BY {kq} ORDER BY {ob}"
+    run = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+
+    rows = rows.selectExpr(
+        "*", f"`{ts_col}` - lag(`{ts_col}`) OVER ({wk}) as __gap"
+    )
+    new_sess = (
+        f"case when __gap is null or __gap >= {idle_cut}L then 1 "
+        + (f"when lag({term_expr}) OVER ({wk}) > 0 then 1 " if term_expr != "0" else "")
+        + "else 0 end"
+    )
+    rows = rows.selectExpr("*", f"{new_sess} as __new")
+    if cfg.active_timeout < _ACTIVE_DISABLED_S:
+        for _ in range(active_passes):
+            # anchor: ts of the latest known session start; a session's
+            # rows are non-decreasing in ts, so "crossed the active cut"
+            # is monotone within it — the first crossing row (lag not yet
+            # crossed) is exactly the kernel's searchsorted-left cut.
+            rows = rows.selectExpr(
+                "*",
+                f"`{ts_col}` >= last(case when __new = 1 then `{ts_col}` end, true) "
+                f"OVER ({wk} {run}) + {active_cut}L as __x",
+            ).selectExpr(
+                *[c for c in rows.columns if c != "__new"],
+                "case when __new = 1 or (__x and not coalesce(lag(__x) "
+                f"OVER ({wk}), false)) then 1 else 0 end as __new",
+            )
+            rows = rows.drop("__x")
+    return rows.selectExpr("*", f"sum(__new) OVER ({wk} {run}) as __sid")
+
 
 def _column_block(name: str) -> str | None:
     """Feature block owning a column (None = always-on core column)."""
@@ -107,11 +211,11 @@ def sessionize_events(
     'catalyst' forces the zero-Python windows+aggregations plan
     (sessionize_events_catalyst, same output, raises if the configuration
     needs the kernel); 'auto' picks the Catalyst plan when the
-    configuration permits it — scan_mode 'none', no episode handoff
-    (next_ts_col), and the active timeout effectively disabled
-    (>= _ACTIVE_DISABLED_S). Either way the result is identical; the
-    Catalyst path additionally carries a runtime guard that fails loudly
-    (rather than diverging) if a session ever reaches the active cut.
+    configuration permits it — scan_mode 'none' and no episode handoff
+    (next_ts_col). Finite active timeouts ride the Catalyst plan too
+    (bounded-pass cut refinement, exact up to 8 renewals per episode);
+    the Catalyst path carries a runtime guard that fails loudly (rather
+    than diverging) if an episode needs more cuts than that.
     """
     from rustiflow_spark.kernel.segmented import featurize_block
 
@@ -125,9 +229,7 @@ def sessionize_events(
                 "strategy='catalyst' requires scan_mode='none' and no "
                 "next_ts_col (episode handoff); use the kernel path"
             )
-        if eligible and (
-            strategy == "catalyst" or cfg.active_timeout >= _ACTIVE_DISABLED_S
-        ):
+        if eligible:
             out = sessionize_events_catalyst(
                 df,
                 key_cols,
@@ -137,6 +239,7 @@ def sessionize_events(
                 direction_col=direction_col,
                 terminator_col=terminator_col,
                 order_col=order_col,
+                num_partitions=num_partitions if num_partitions else "auto",
             )
             schema = _feature_schema(
                 df, key_cols, None if features is None else frozenset(features)
@@ -237,9 +340,9 @@ def assign_sessions(
     unchanged (exact-equality invariant, BASELINE.json input_hint).
 
     strategy: as in sessionize_events — 'auto' takes the zero-Python
-    window plan (assign_sessions_catalyst) when scan is off and the active
-    timeout is effectively disabled, which keeps the payload bytes out of
-    the Arrow round trip entirely.
+    window plan (assign_sessions_catalyst) whenever scan is off (finite
+    active timeouts included, via bounded-pass cut refinement), which
+    keeps the payload bytes out of the Arrow round trip entirely.
     """
     from rustiflow_spark.kernel.segmented import (
         _CAUSE_STRINGS,
@@ -258,9 +361,7 @@ def assign_sessions(
                 "strategy='catalyst' requires scan_mode='none'; use the "
                 "kernel path"
             )
-        if eligible and (
-            strategy == "catalyst" or cfg.active_timeout >= _ACTIVE_DISABLED_S
-        ):
+        if eligible:
             return assign_sessions_catalyst(
                 df,
                 key_cols,
@@ -337,6 +438,8 @@ def sessionize_events_catalyst(
     direction_col: str | None = "direction",
     terminator_col: str | None = "terminator",
     order_col: str | None = "event_seq",
+    num_partitions: int | str | None = "auto",
+    active_passes: int = 8,
 ) -> DataFrame:
     """Pure-Catalyst sessionization fast path — no Python workers at all.
 
@@ -346,19 +449,25 @@ def sessionize_events_catalyst(
     BENCH.md round 3) disappears. Output schema and values match
     ``sessionize_events`` (asserted by tests/test_catalyst_sessionize.py).
 
-    Restrictions (use the kernel path otherwise):
-      * ``scan_mode`` must be 'none' (the periodic-scan close timestamps
-        are a sequential construct);
-      * the active timeout must never trigger — sessions are cut at idle
-        gaps and terminators only. Guarded at runtime: any session whose
-        duration reaches the active cut raises rather than returning rows
-        the kernel would have split (active-timeout recursion is inherently
-        sequential and not window-expressible).
+    Finite active timeouts are supported: the kernel's active-timeout
+    recursion (segmented.py:segment_block) is resolved with
+    ``active_passes`` extra window passes over the same sort — exact for
+    up to ``active_passes`` consecutive active renewals per idle-episode
+    (default 8 = continuous gap-free activity for 8x the active timeout);
+    beyond that the duration guard raises loudly (never diverges) and
+    points at the kernel path. Causes match close_sessions exactly:
+    terminator > 'Active Timeout' (next same-key session starts at/past
+    first_ts + (active+1)s) > 'Idle Timeout' > 'Exporter Shutdown'.
 
-    Sizing: the window sorts must fit execution memory — over-provision
-    spark.sql.shuffle.partitions (AQE coalesces small partitions but never
-    splits large ones) or this path goes spill-bound below the kernel
-    (BENCH.md 64M table: 5.5M ev/s at 256 partitions, 1.7M at 64).
+    Restriction: ``scan_mode`` must be 'none' (the periodic-scan close
+    timestamps are a sequential construct) — use the kernel otherwise.
+
+    Sizing: the window sorts must fit execution memory; AQE coalesces
+    small partitions but never splits large ones. num_partitions='auto'
+    (default) derives the sort partition count from optimizer size
+    statistics (_auto_partitions) and pre-repartitions by key, which the
+    window Exchange then reuses; pass an int to force, or None to use the
+    session's spark.sql.shuffle.partitions.
 
     Skew: a heavy-hitter key serializes inside one window task here, same
     as it would in any partitionBy(key) plan. For skewed keyspaces use the
@@ -370,6 +479,7 @@ def sessionize_events_catalyst(
     """
     from rustiflow_spark.config import (
         ACTIVE_IDLE_TIMEOUT_US,
+        CAUSE_ACTIVE,
         CAUSE_IDLE,
         CAUSE_SHUTDOWN,
         CAUSE_TCP_TERM,
@@ -382,7 +492,6 @@ def sessionize_events_catalyst(
             "sessionize_events_catalyst requires scan_mode='none'; the "
             "periodic expiry scan needs the kernel path"
         )
-    idle_cut = (cfg.idle_timeout + 1) * 1_000_000
     active_cut = (cfg.active_timeout + 1) * 1_000_000
 
     # The whole plan is built from SQL strings (one py4j round trip per
@@ -395,11 +504,9 @@ def sessionize_events_catalyst(
     SFT = SUBFLOW_TIMEOUT_US
     kq = ", ".join(f"`{c}`" for c in key_cols)
     keysel = [f"`{c}`" for c in key_cols]
-    wk_in = f"PARTITION BY {kq} ORDER BY `{ts_col}`" + (
-        f", `{order_col}`" if order_col else ""
-    )
     fwd = f"(`{direction_col}` = 0)" if direction_col else "true"
     term = f"`{terminator_col}`" if terminator_col else "0"
+    df = _maybe_repartition(df, key_cols, num_partitions)
     rows = df.selectExpr(
         *keysel,
         f"`{ts_col}` as __ts",
@@ -407,24 +514,22 @@ def sessionize_events_catalyst(
         f"cast(`{value_col}` as double) as __val",
         f"{fwd} as __fwd",
         f"{term} as __t",
-        f"`{ts_col}` - lag(`{ts_col}`) OVER ({wk_in}) as __gap",
+    )
+    rows = _with_session_boundaries(
+        rows, key_cols, cfg, "__ts",
+        "__t" if terminator_col else "0",
+        "__seq" if order_col else None,
+        active_passes=active_passes,
     )
 
     ob = "__ts" + (", __seq" if order_col else "")
     wk = f"PARTITION BY {kq} ORDER BY {ob}"
-    new_sess = (
-        f"case when __gap is null or __gap >= {idle_cut}L then 1 "
-        + (f"when lag(__t) OVER ({wk}) > 0 then 1 " if terminator_col else "")
-        + "else 0 end"
-    )
-    rows = rows.selectExpr("*", f"{new_sess} as __new")
     run = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     rows = rows.selectExpr(
         "*",
-        f"sum(__new) OVER ({wk} {run}) as __sid",
         "case when __new = 1 then null else __gap end as __ig",
         # span start: first event of the session, or a big (>5s) gap;
-        # __gap is null only on session-opening rows, where __new = 1
+        # __gap is null only on episode-opening rows, where __new = 1
         f"(__new = 1 or __gap > {AIT}L) as __sstart",
     )
     ws = f"PARTITION BY {kq}, __sid ORDER BY {ob}"
@@ -495,25 +600,33 @@ def sessionize_events_catalyst(
     ])
     agg = rows.groupBy(*key_cols, "__sid").agg(*[F.expr(s) for s in aggs])
 
-    # trailing idle gap (closed idle-cause sessions): merge ONE value into
-    # the big-gap moments with the exact Chan single-element update
+    # trailing idle gap (closed Idle-Timeout sessions ONLY, matching
+    # featurize_block's `closed & cause == IDLE` gate): merge ONE value
+    # into the big-gap moments with the exact Chan single-element update.
+    # A session whose successor starts at/past first_ts + active_cut is
+    # 'Active Timeout'-closed and gets NO trailing idle merge.
     agg = agg.selectExpr(
         "*",
         f"lead(first_ts_us) OVER (PARTITION BY {kq} ORDER BY __sid) as __next_first",
     ).selectExpr(
         "*",
-        "case when __term > 0 or __next_first is null then null "
+        "case when __term > 0 or __next_first is null "
+        f"or __next_first >= first_ts_us + {active_cut}L then null "
         "else (__next_first - last_ts_us) / 1000.0D end as __tr",
     )
 
+    # Convergence guard for the bounded active-cut refinement: by
+    # construction every session's duration is < active_cut unless an
+    # episode needed more than `active_passes` cuts — fail loudly there.
     terr = (
-        "raise_error('sessionize_events_catalyst: a session reached the "
-        "active timeout; active-timeout recursion needs the kernel path "
-        "(sessionize_events)')"
+        "raise_error('sessionize_events_catalyst: an episode needed more "
+        "active-timeout cuts than active_passes; raise active_passes or "
+        "use the kernel path (sessionize_events)')"
     )
     cause = (
         f"case when last_ts_us - first_ts_us >= {active_cut}L then {terr} "
         f"when __term > 0 then '{CAUSE_TCP_TERM}' "
+        f"when __next_first >= first_ts_us + {active_cut}L then '{CAUSE_ACTIVE}' "
         f"when __next_first is not null then '{CAUSE_IDLE}' "
         f"else '{CAUSE_SHUTDOWN}' end as cause"
     )
@@ -571,6 +684,8 @@ def assign_sessions_catalyst(
     ts_col: str = "ts_us",
     terminator_col: str | None = "terminator",
     order_col: str | None = "event_seq",
+    num_partitions: int | str | None = "auto",
+    active_passes: int = 8,
 ) -> DataFrame:
     """Pure-Catalyst row-level session annotation — payload stays JVM-side.
 
@@ -580,12 +695,11 @@ def assign_sessions_catalyst(
     one (key, ts, seq) sort, so the payload bytes never leave Tungsten
     rows. Output equals assign_sessions exactly (tests).
 
-    Same restrictions as sessionize_events_catalyst: scan_mode 'none', and
-    a runtime guard raises if any session reaches the active cut.
+    Finite active timeouts, causes, sizing and the loud convergence guard
+    behave as in sessionize_events_catalyst (same boundary helper).
     """
-    from pyspark.sql import Window
-
     from rustiflow_spark.config import (
+        CAUSE_ACTIVE,
         CAUSE_IDLE,
         CAUSE_SHUTDOWN,
         CAUSE_TCP_TERM,
@@ -597,50 +711,50 @@ def assign_sessions_catalyst(
             "assign_sessions_catalyst requires scan_mode='none'; the "
             "periodic expiry scan needs the kernel path"
         )
-    idle_cut = (cfg.idle_timeout + 1) * 1_000_000
     active_cut = (cfg.active_timeout + 1) * 1_000_000
-
-    order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
-    wk = Window.partitionBy(*key_cols).orderBy(*order)
-    wk_all = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    gap = F.col(ts_col) - F.lag(ts_col).over(wk)
-    prev_term = (
-        F.lag(terminator_col).over(wk) if terminator_col else F.lit(None)
-    )
-    new_sess = (
-        F.when(gap.isNull() | (gap >= idle_cut), 1)
-        .when(prev_term > 0, 1)
-        .otherwise(0)
-    )
-    sid = F.sum(new_sess).over(
-        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ann = df.withColumn("__sid", sid)
-    ws_all = (
-        Window.partitionBy(*key_cols, "__sid")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    has_term = (
-        F.max(terminator_col).over(ws_all) if terminator_col else F.lit(0)
-    )
-    max_sid = F.max("__sid").over(wk_all)
-    dur = F.max(ts_col).over(ws_all) - F.min(ts_col).over(ws_all)
-    cause = (
-        F.when(
-            dur >= active_cut,
-            F.raise_error(
-                "assign_sessions_catalyst: a session reached the active "
-                "timeout; use assign_sessions (kernel path)"
-            ),
-        )
-        .when(has_term > 0, F.lit(CAUSE_TCP_TERM))
-        .when(F.col("__sid") < max_sid, F.lit(CAUSE_IDLE))
-        .otherwise(F.lit(CAUSE_SHUTDOWN))
-    )
     in_cols = [f.name for f in df.schema.fields]
-    return ann.select(
-        *in_cols,
-        (F.col("__sid") - 1).cast("int").alias("session_index"),
-        cause.alias("session_cause"),
+    term = f"`{terminator_col}`" if terminator_col else "0"
+    kq = ", ".join(f"`{c}`" for c in key_cols)
+    ob = f"`{ts_col}`" + (f", `{order_col}`" if order_col else "")
+    wk = f"PARTITION BY {kq} ORDER BY {ob}"
+    ws_all = f"PARTITION BY {kq}, __sid"
+
+    df = _maybe_repartition(df, key_cols, num_partitions)
+    rows = _with_session_boundaries(
+        df, key_cols, cfg, ts_col, term, order_col, active_passes=active_passes
+    )
+    rows = rows.selectExpr(
+        "*",
+        f"max({term}) OVER ({ws_all}) as __term",
+        f"min(`{ts_col}`) OVER ({ws_all}) as __first",
+        f"max(`{ts_col}`) OVER ({ws_all}) as __last",
+        f"lead(`{ts_col}`) OVER ({wk}) as __lead_ts",
+        f"lead(__sid) OVER ({wk}) as __lead_sid",
+    ).selectExpr(
+        "*",
+        # next same-key session's first ts, broadcast to every session row:
+        # the candidate is non-null only on the session's last row (the
+        # next row in (ts, seq) order opens the next session)
+        "case when __lead_sid is null or __lead_sid != __sid "
+        "then __lead_ts end as __nf_cand",
+    )
+    rows = rows.selectExpr(
+        "*", f"max(__nf_cand) OVER ({ws_all}) as __next_first"
+    )
+    terr = (
+        "raise_error('assign_sessions_catalyst: an episode needed more "
+        "active-timeout cuts than active_passes; raise active_passes or "
+        "use assign_sessions (kernel path)')"
+    )
+    cause = (
+        f"case when __last - __first >= {active_cut}L then {terr} "
+        f"when __term > 0 then '{CAUSE_TCP_TERM}' "
+        f"when __next_first >= __first + {active_cut}L then '{CAUSE_ACTIVE}' "
+        f"when __next_first is not null then '{CAUSE_IDLE}' "
+        f"else '{CAUSE_SHUTDOWN}' end"
+    )
+    return rows.selectExpr(
+        *[f"`{c}`" for c in in_cols],
+        "cast(__sid - 1 as int) as session_index",
+        f"{cause} as session_cause",
     )

@@ -7,6 +7,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(48g, ~40% of physical RAM), floor 2g — a 48g default on a small
+    host would over-commit the JVM and get OOM-killed (round-3 ADVICE)."""
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        gb = max(2, min(48, int(total * 0.4) >> 30))
+    except (ValueError, OSError, AttributeError):
+        gb = 8
+    return f"{gb}g"
+
+
 def get_spark(
     app_name: str = "rustiflow_spark",
     cores: int | None = None,
@@ -44,8 +55,9 @@ def get_spark(
         # in local mode the driver JVM IS the executor: its heap must hold
         # the shuffle/sort working set for all cores. 8g silently hung
         # 64M-row runs on a 128 GiB box (workers idle, JVM thrashing in
-        # spill) — size it like an executor, not like a driver.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # spill) — size it like an executor, not like a driver. Capped at
+        # ~40% of physical RAM so smaller hosts don't over-commit.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

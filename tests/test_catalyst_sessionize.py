@@ -74,11 +74,13 @@ def test_auto_strategy_dispatch(spark):
     ]
     _compare(kernel.toPandas(), auto.toPandas())
 
-    # finite active timeout -> auto falls back to the kernel path
+    # finite active timeout: auto STILL rides the zero-Python plan
+    # (bounded-pass active-cut refinement) and matches the kernel
     finite = EngineConfig(active_timeout=120, idle_timeout=60, scan_mode="none")
-    assert "MapInPandas" in plan_of(
-        sessionize_events(sdf, KEY, finite, strategy="auto")
-    )
+    auto_f = sessionize_events(sdf, KEY, finite, strategy="auto")
+    assert "Python" not in plan_of(auto_f)
+    kernel_f = sessionize_events(sdf, KEY, finite)
+    _compare(kernel_f.toPandas(), auto_f.toPandas())
 
     # forcing catalyst under an unsupported config raises
     with pytest.raises(ValueError, match="catalyst"):
@@ -95,10 +97,51 @@ def test_catalyst_guards(spark):
         sessionize_events_catalyst(
             sdf, KEY, EngineConfig(idle_timeout=60, scan_mode="exact")
         )
-    # a session reaching the active cut must raise, not silently differ
+    # an episode needing more cuts than active_passes must raise, not
+    # silently diverge from the kernel's recursion
+    deep = pd.DataFrame({
+        "source": "s", "doc_id": "d",
+        # events every 1.5s with active_timeout=1 (cut every ~2s): ~14
+        # renewals in one idle-episode, far beyond active_passes=4
+        "ts_us": 1_000_000 + np.arange(30, dtype=np.int64) * 1_500_000,
+        "n_tok": 1, "direction": 0, "terminator": 0,
+        "event_seq": np.arange(30, dtype=np.int64),
+    })
     cfg = EngineConfig(active_timeout=1, idle_timeout=3600, scan_mode="none")
     with pytest.raises(Exception, match="active"):
-        sessionize_events_catalyst(sdf, KEY, cfg).collect()
+        sessionize_events_catalyst(
+            spark.createDataFrame(deep), KEY, cfg, active_passes=4
+        ).collect()
+
+
+def test_catalyst_finite_active_matches_kernel(spark):
+    """Active-timeout renewals: the bounded-pass refinement must reproduce
+    the kernel's recursive cuts, causes ('Active Timeout' included) and
+    idle-merge gating exactly."""
+    rng = np.random.default_rng(77)
+    rows = []
+    seq = 0
+    for d in range(12):
+        ts = 1_000_000
+        # long bursts (gap < idle cut) so active cuts trigger, mixed with
+        # idle gaps and terminators
+        for _ in range(rng.integers(5, 120)):
+            ts += int(rng.choice([200_000, 900_000, 2_000_000, 31_000_001],
+                                 p=[0.55, 0.3, 0.1, 0.05]))
+            rows.append({
+                "source": "s", "doc_id": f"d{d}", "ts_us": ts,
+                "n_tok": int(rng.integers(0, 300)),
+                "direction": int(rng.integers(0, 2)),
+                "terminator": int(rng.random() < 0.03),
+                "event_seq": seq,
+            })
+            seq += 1
+    sdf = spark.createDataFrame(pd.DataFrame(rows))
+    cfg = EngineConfig(active_timeout=10, idle_timeout=30, scan_mode="none")
+    kernel = sessionize_events(sdf, KEY, cfg).toPandas()
+    catalyst = sessionize_events_catalyst(sdf, KEY, cfg).toPandas()
+    assert (kernel["cause"] == "Active Timeout").any()  # scenario is real
+    _compare(kernel, catalyst)
 
 
 @st.composite
@@ -132,11 +175,15 @@ def event_stream(draw):
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large,
                            HealthCheck.function_scoped_fixture],
 )
-@given(pdf=event_stream(), idle=st.sampled_from([5, 60]))
-def test_fuzz_catalyst_matches_kernel(spark, pdf, idle):
+@given(
+    pdf=event_stream(),
+    idle=st.sampled_from([5, 60]),
+    active=st.sampled_from([10_000_000, 11, 37]),
+)
+def test_fuzz_catalyst_matches_kernel(spark, pdf, idle, active):
     sdf = spark.createDataFrame(pdf)
     cfg = EngineConfig(
-        active_timeout=10_000_000, idle_timeout=idle, scan_mode="none"
+        active_timeout=active, idle_timeout=idle, scan_mode="none"
     )
     kernel = sessionize_events(sdf, KEY, cfg).toPandas()
     catalyst = sessionize_events_catalyst(sdf, KEY, cfg).toPandas()
@@ -170,10 +217,12 @@ def test_assign_sessions_catalyst_matches_kernel(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" not in plan and "Python" not in plan
-    # finite active timeout falls back to the kernel
-    finite = EngineConfig(active_timeout=120, idle_timeout=60, scan_mode="none")
-    plan_k = (
-        assign_sessions(sdf, KEY, finite, strategy="auto")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "MapInPandas" in plan_k
+    # finite active timeout: auto stays zero-Python and matches the kernel
+    finite = EngineConfig(active_timeout=60, idle_timeout=30, scan_mode="none")
+    auto_f = assign_sessions(sdf, KEY, finite, strategy="auto")
+    plan_f = auto_f._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_f and "Python" not in plan_f
+    ka = assign_sessions(sdf, KEY, finite).toPandas().sort_values(sort)
+    ca = auto_f.toPandas()[ka.columns].sort_values(sort)
+    assert (ka["session_index"].to_numpy() == ca["session_index"].to_numpy()).all()
+    assert (ka["session_cause"].to_numpy() == ca["session_cause"].to_numpy()).all()
