@@ -11,8 +11,6 @@ partitioning, UDF signature, batch shapes — is fully real and tested.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
@@ -56,12 +54,35 @@ def real_decoder(payload: bytes, kind: str, meta) -> np.ndarray:
     )
 
 
+_FAKE_M = 2147483647  # 2^31 - 1 (prime)
+_FAKE_B = 131  # byte-polynomial base
+_FAKE_L = 2654435761  # length mix (Knuth)
+_FAKE_C = 12345  # LCG increment
+_FAKE_Q = 1024  # value quantum: v = k/1024, exact in float32
+
+
+def fake_decoder_seed(payload: bytes) -> int:
+    """Payload-derived seed: polynomial hash of the first 8 bytes
+    (zero-padded) plus a length mix, mod 2^31-1. Every operation is plain
+    BIGINT arithmetic so a SQL oracle (DuckDB) can replay it byte-for-byte
+    — ascii(substr(...)) per position + strlen (payloads are the UTF-8
+    text bytes, ASCII in the fixtures)."""
+    h = 0
+    for byte in payload[:8].ljust(8, b"\0"):
+        h = h * _FAKE_B + byte
+    return (h + len(payload) * _FAKE_L) % _FAKE_M
+
+
 def deterministic_fake_decoder(payload: bytes, kind: str, meta) -> np.ndarray:
     """Seeded stand-in decoder: derives a deterministic float tensor from
-    the payload bytes so pipelines are testable end-to-end."""
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:4], "little")
-    rng = np.random.RandomState(seed)
+    the payload bytes so pipelines are testable end-to-end.
+
+    The tensor values are an LCG over the payload seed quantized to
+    multiples of 1/1024 — deliberately SQL-expressible (exact in both
+    float32 and DuckDB DOUBLE arithmetic) so the downstream feature
+    pooling can be verified against a DuckDB oracle, unlike an
+    sha256-seeded RandomState which no SQL engine can replay."""
+    seed = fake_decoder_seed(bytes(payload))
 
     def geti(key, default):
         # struct fields arrive as float (NaN-able) through Arrow; coerce
@@ -75,10 +96,15 @@ def deterministic_fake_decoder(payload: bytes, kind: str, meta) -> np.ndarray:
 
     if kind == "image":
         h, w, c = geti("height", 8), geti("width", 8), geti("channels", 3)
-        return rng.rand(min(h, 32), min(w, 32), c).astype(np.float32)
-    if kind == "audio":
-        return rng.rand(1024).astype(np.float32)
-    return rng.rand(4, 8, 8, 3).astype(np.float32)  # video: frames×h×w×c
+        shape = (min(h, 32), min(w, 32), c)
+    elif kind == "audio":
+        shape = (1024,)
+    else:
+        shape = (4, 8, 8, 3)  # video: frames×h×w×c
+    n = int(np.prod(shape))
+    i = np.arange(1, n + 1, dtype=np.int64)  # seed*i < 2^43: int64-exact
+    k = (seed * i + _FAKE_C) % _FAKE_M % _FAKE_Q
+    return (k / float(_FAKE_Q)).astype(np.float32).reshape(shape)
 
 
 def extract_media_features(
@@ -103,7 +129,9 @@ def extract_media_features(
                     tensor = decode_fn(
                         pdf["payload"].iloc[i], pdf["kind"].iloc[i], pdf["meta"].iloc[i]
                     )
-                    flat = tensor.reshape(-1)
+                    # pool in float64: round32(round64(sum/q)) is then
+                    # bit-identical to a SQL oracle's CAST(avg(..) AS FLOAT)
+                    flat = tensor.reshape(-1).astype(np.float64)
                     pooled = np.array(
                         [
                             flat[j :: feature_dim][: max(flat.size // feature_dim, 1)].mean()
