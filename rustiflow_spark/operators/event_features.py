@@ -77,6 +77,54 @@ def _maybe_repartition(
     return df
 
 
+# Heavy-hitter detection for strategy='auto' (round-3 verdict item 6): a
+# key whose events serialize inside ONE window task is the Catalyst plan's
+# only structural weakness, so auto samples the keyspace and routes just
+# those keys through the episode-split kernel. Inputs below the size floor
+# skip detection entirely (no extra job): a key that fits one partition's
+# sort comfortably is not a skew problem.
+_SKEW_SAMPLE_MIN_BYTES = 256 << 20
+_SKEW_KEY_ROWS = 5_000_000  # rows that pin one window task for seconds
+_SKEW_SAMPLE_FRACTION = 0.001
+_SKEW_MAX_HEAVY_KEYS = 200
+
+
+def _detect_heavy_keys(df: DataFrame, key_cols: list[str]) -> list[tuple]:
+    """Sampled heavy-hitter keys (estimated rows >= _SKEW_KEY_ROWS).
+    Costs one small sample+aggregate job, run only above the size floor."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return []
+    if size < _SKEW_SAMPLE_MIN_BYTES or size >= 1 << 60:
+        return []
+    thresh = int(_SKEW_KEY_ROWS * _SKEW_SAMPLE_FRACTION)
+    rows = (
+        df.select(*key_cols)
+        .sample(fraction=_SKEW_SAMPLE_FRACTION, seed=7)
+        .groupBy(*key_cols)
+        .count()
+        .where(F.col("count") >= thresh)
+        .select(*key_cols)
+        .limit(_SKEW_MAX_HEAVY_KEYS)
+        .collect()
+    )
+    return [tuple(r) for r in rows]
+
+
+def _heavy_key_predicate(key_cols: list[str], heavy: list[tuple]):
+    """Literal predicate selecting the (few) heavy keys — pushdown-able."""
+    cond = F.lit(False)
+    for values in heavy:
+        match = F.lit(True)
+        for c, v in zip(key_cols, values):
+            match = match & (F.col(c) == F.lit(v))
+        cond = cond | match
+    return cond
+
+
 def _with_session_boundaries(
     rows: DataFrame,
     key_cols: list[str],
@@ -216,6 +264,15 @@ def sessionize_events(
     (bounded-pass cut refinement, exact up to 8 renewals per episode);
     the Catalyst path carries a runtime guard that fails loudly (rather
     than diverging) if an episode needs more cuts than that.
+
+    'auto' additionally samples the keyspace (inputs >= 256 MB only) and
+    routes heavy-hitter keys — whose events would serialize inside one
+    window task — through the episode-split kernel
+    (operators/skew.py:with_episodes, per-group state bounded at episode
+    size), unioning with the Catalyst output for the rest of the keyspace
+    and restoring the global per-key session ordinal with one window over
+    the (small) heavy-key session rows. Exactness is oracle-checked
+    (session_features_split) and partition-invariant (tests).
     """
     from rustiflow_spark.kernel.segmented import featurize_block
 
@@ -230,8 +287,15 @@ def sessionize_events(
                 "next_ts_col (episode handoff); use the kernel path"
             )
         if eligible:
+            heavy = (
+                _detect_heavy_keys(df, key_cols) if strategy == "auto" else []
+            )
+            light = df
+            if heavy:
+                cond = _heavy_key_predicate(key_cols, heavy)
+                light = df.where(~cond)
             out = sessionize_events_catalyst(
-                df,
+                light,
                 key_cols,
                 cfg,
                 ts_col=ts_col,
@@ -244,12 +308,46 @@ def sessionize_events(
             schema = _feature_schema(
                 df, key_cols, None if features is None else frozenset(features)
             )
-            return out.selectExpr(
+            out = out.selectExpr(
                 *[
                     f"cast(`{f.name}` as {f.dataType.simpleString()}) as `{f.name}`"
                     for f in schema.fields
                 ]
             )
+            if heavy:
+                from rustiflow_spark.operators.skew import with_episodes
+
+                hv = with_episodes(
+                    df.where(cond), key_cols, ts_col, cfg.idle_timeout, order_col
+                )
+                hv_out = sessionize_events(
+                    hv,
+                    key_cols + ["episode"],
+                    cfg,
+                    ts_col=ts_col,
+                    value_col=value_col,
+                    direction_col=direction_col,
+                    terminator_col=terminator_col,
+                    order_col=order_col,
+                    num_partitions=num_partitions,
+                    features=features,
+                    next_ts_col="next_key_ts",
+                    flush_ts=flush_ts,
+                    strategy="kernel",
+                )
+                # per-episode ordinals -> the global per-key ordinal the
+                # unsplit paths emit ((episode, session_index) is strictly
+                # increasing in time within a key)
+                kq = ", ".join(f"`{c}`" for c in key_cols)
+                hv_out = hv_out.withColumn(
+                    "session_index",
+                    F.expr(
+                        f"cast(row_number() OVER (PARTITION BY {kq} "
+                        "ORDER BY episode, session_index) - 1 as int)"
+                    ),
+                ).drop("episode")
+                out = out.unionByName(hv_out)
+            return out
     blocks = None if features is None else frozenset(features)
     scan_times, flush_ts = compute_timeline(df, ts_col, cfg, flush_ts=flush_ts)
     schema = _feature_schema(df, key_cols, blocks)

@@ -53,14 +53,16 @@ def main() -> None:
         F.lit(0).alias("direction"),
         F.lit(0).alias("terminator"),
     )
-    # spread the hot user's timestamps so idle cuts exist inside the stream
+    # spread the hot user's timestamps so idle cuts exist inside the
+    # stream: episode k starts at k*(IDLE_S+100)s, spans 500*40ms = 20s,
+    # so the inter-episode gap (~1880s) clears the (IDLE_S+1)s cut
     ev = ev.withColumn(
         "ts_us",
         F.when(
             F.col("user_id") == 0,
             (F.col("event_seq") % 500) * 40_000
             + (F.col("event_seq") / 500).cast("long")
-            * ((IDLE_S + 2) * 1_000_000),
+            * ((IDLE_S + 100) * 1_000_000),
         ).otherwise(F.col("ts_us")),
     )
     ev.write.mode("overwrite").parquet("/tmp/skew_events.parquet")
@@ -87,6 +89,16 @@ def main() -> None:
     mat(unsplit_df)
     t_unsplit = min(mat(unsplit_df) for _ in range(2))
     t_split = min(mat(split_df) for _ in range(2))
+    # pure Catalyst (hot key serializes in ONE window task) vs auto
+    # (samples heavy hitters, routes ONLY them through the episode-split
+    # kernel, Catalyst for the rest)
+    catalyst_df = sessionize_events(ev, ["user_id"], cfg, value_col="value",
+                                    features=feats, strategy="catalyst")
+    auto_df = sessionize_events(ev, ["user_id"], cfg, value_col="value",
+                                features=feats, strategy="auto")
+    t_catalyst = min(mat(catalyst_df) for _ in range(2))
+    mat(auto_df)
+    t_auto = min(mat(auto_df) for _ in range(2))
     t_salted = min(mat(salted_welford_agg(ev, ["user_id"], "value")) for _ in range(2))
     t_plain = min(
         mat(ev.groupBy("user_id").agg(
@@ -97,6 +109,9 @@ def main() -> None:
     cols = ["user_id", "first_ts_us", "last_ts_us", "event_count"]
     a = unsplit_df.select(cols).exceptAll(split_df.select(cols)).count()
     b = split_df.select(cols).exceptAll(unsplit_df.select(cols)).count()
+    cols_i = cols + ["session_index"]
+    c = unsplit_df.select(cols_i).exceptAll(auto_df.select(cols_i)).count()
+    d = auto_df.select(cols_i).exceptAll(unsplit_df.select(cols_i)).count()
 
     # AQE skew-join: hot key joined against a user dimension, sort-merge
     # forced (broadcast disabled); AQE's skewJoin splits the oversized
@@ -125,6 +140,9 @@ def main() -> None:
         "sessionize_episode_split_sec": round(t_split, 2),
         "split_speedup": round(t_unsplit / t_split, 2),
         "split_exact": a == 0 and b == 0,
+        "sessionize_catalyst_sec": round(t_catalyst, 2),
+        "sessionize_auto_sec": round(t_auto, 2),
+        "auto_exact_incl_ordinals": c == 0 and d == 0,
         "salted_welford_sec": round(t_salted, 2),
         "plain_groupby_stats_sec": round(t_plain, 2),
         "smj_skew_join_aqe_off_sec": round(t_join_noskewfix, 2),
