@@ -1127,6 +1127,65 @@ def _token_pipeline_impl(
     )
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus mixing + split assignment (operators/sampling.py):
+    per-source keep rates decided by a pure per-row id mix (scan-pushable
+    filter, no shuffle, reproducible across engines/partitionings), then
+    disjoint train/val/test assignment from the same mix family. Output =
+    per (source, split) doc and token counts; the oracle replays the
+    Lehmer mix arithmetic exactly."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sampling import stratified_mix, with_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = stratified_mix(
+        docs, "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        "doc_id", seed=17, default_rate=0.75,
+    )
+    split = with_split(
+        mixed, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, seed=29
+    )
+    return split.groupBy("source", "split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+def _corpus_mix_sql() -> str:
+    from rustiflow_spark.operators.sampling import _M31, mix_sql
+
+    mix17 = mix_sql("doc_id", 17).replace("`", "")
+    mix29 = mix_sql("doc_id", 29).replace("`", "")
+    cuts = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+    branches = " ".join(
+        f"WHEN '{k}' THEN {int(v * _M31)}" for k, v in sorted(cuts.items())
+    )
+    # split thresholds: sorted(weights) = [test .05, train .9, val .05];
+    # cumulative cuts follow with_split's sorted-name order
+    t1 = int(0.05 * _M31)            # test
+    t2 = int((0.05 + 0.9) * _M31)    # train
+    return f"""
+WITH kept AS (
+    SELECT source, doc_id, text
+    FROM documents
+    WHERE ({mix17}) < (CASE source {branches} ELSE {int(0.75 * _M31)} END)
+), labeled AS (
+    SELECT source, text,
+           CASE WHEN ({mix29}) < {t1} THEN 'test'
+                WHEN ({mix29}) < {t2} THEN 'train'
+                ELSE 'val' END AS split
+    FROM kept
+)
+SELECT source, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM labeled GROUP BY source, split
+"""
+
+
 def q_token_pipeline_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The token_pipeline shape (FINITE 240 s active timeout + terminator
     cuts) on the zero-Python Catalyst plan (strategy='catalyst'): the
@@ -3547,6 +3606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_early_export": q_flow_early_export,
         "flow_active_timeout": q_flow_active_timeout,
         "token_pipeline_catalyst": q_token_pipeline_catalyst,
+        "corpus_mix": q_corpus_mix,
         "flow_scan_close": q_flow_scan_close,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
@@ -3606,6 +3666,7 @@ def oracle_sql() -> dict[str, str]:
         # identical expected output: the finite-active Catalyst plan must
         # match the kernel's recursion bit-for-bit
         "token_pipeline_catalyst": _Q_TOKEN_SQL,
+        "corpus_mix": _corpus_mix_sql(),
         "langid": _langid_sql(),
         "minhash_dedup": _minhash_sql(),
         "simhash": _simhash_sql(),

@@ -286,3 +286,65 @@ def test_cluster_min_id_persist_modes_and_pointer_jump(spark, tmp_path):
     for mode in ("disk", "checkpoint"):
         pd.testing.assert_frame_equal(base, results[mode])
     pd.testing.assert_frame_equal(base, jump)
+
+
+def test_deterministic_sampling_and_split(spark):
+    """sampling.py: membership is a pure function of the id — stable under
+    repartitioning, disjoint+exhaustive splits, approximate rates, and a
+    scan-pushable filter (no shuffle in the plan)."""
+    from rustiflow_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_mix,
+        with_split,
+    )
+
+    df = spark.range(20_000).selectExpr(
+        "id AS doc_id",
+        "concat('s', cast(id % 4 as string)) AS source",
+    )
+
+    samp = deterministic_sample(df, "doc_id", 0.25, seed=3)
+    n = samp.count()
+    assert abs(n / 20_000 - 0.25) < 0.02
+    # stability: same membership regardless of partitioning
+    ids_a = {r.doc_id for r in samp.collect()}
+    ids_b = {
+        r.doc_id
+        for r in deterministic_sample(
+            df.repartition(13), "doc_id", 0.25, seed=3
+        ).collect()
+    }
+    assert ids_a == ids_b
+    # monotone: raising the fraction only ADDS rows (same mix, higher cut)
+    ids_c = {
+        r.doc_id
+        for r in deterministic_sample(df, "doc_id", 0.5, seed=3).collect()
+    }
+    assert ids_a <= ids_c
+    # filter is scan-level: no Exchange in the plan
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    mixed = stratified_mix(
+        df, "source", {"s0": 1.0, "s1": 0.5, "s2": 0.0}, "doc_id",
+        default_rate=0.25,
+    )
+    by_src = {r.source: r.n for r in
+              mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["s0"] == 5000
+    assert abs(by_src["s1"] / 5000 - 0.5) < 0.05
+    assert "s2" not in by_src
+    assert abs(by_src["s3"] / 5000 - 0.25) < 0.05
+
+    split = with_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20_000  # disjoint + exhaustive
+    assert abs(counts["train"] / 20_000 - 0.8) < 0.02
+    # append-stability: a row's split is unchanged when computed on a subset
+    sub = with_split(df.where("doc_id < 1000"), "doc_id",
+                     {"train": 0.8, "val": 0.1, "test": 0.1})
+    full = {r.doc_id: r.split for r in split.where("doc_id < 1000").collect()}
+    for r in sub.collect():
+        assert full[r.doc_id] == r.split

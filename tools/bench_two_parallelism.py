@@ -40,15 +40,16 @@ def build_input(n: int) -> str:
     return path
 
 
-def run(path: str, cores: int, n: int) -> float:
-    spark = get_spark(f"two-par-{cores}", cores=cores,
+def run(path: str, cores: int, n: int, strategy: str = "kernel") -> float:
+    spark = get_spark(f"two-par-{cores}-{strategy}", cores=cores,
                       shuffle_partitions=cores * 2)
     spark.sparkContext.setLogLevel("ERROR")
     ev = spark.read.parquet(path)
     cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=1800,
                        scan_mode="none")
     feats = sessionize_events(ev, ["user_id"], cfg, value_col="value",
-                              features=["value", "iat", "subflow"])
+                              features=["value", "iat", "subflow"],
+                              strategy=strategy)
     # warm up codegen + Python workers, then best-of-2
     # warmup = one FULL materialization: a limit(1) warmup interrupts
     # mapInPandas tasks mid-stream and a reused Python worker can come
@@ -69,18 +70,20 @@ def main() -> None:
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = low * 4
     path = build_input(n)
-    t_low = run(path, low, n)
-    t_high = run(path, high, n)
-    print(json.dumps({
-        "n_events": n,
-        "low_cores": low,
-        "high_cores": high,
-        "low_sec": round(t_low, 2),
-        "high_sec": round(t_high, 2),
-        "low_events_per_sec": round(n / t_low),
-        "high_events_per_sec": round(n / t_high),
-        "scaling_efficiency": round((n / t_high) / (4 * n / t_low), 3),
-    }))
+    out = {"n_events": n, "low_cores": low, "high_cores": high}
+    for strategy in ("kernel", "catalyst"):
+        t_low = run(path, low, n, strategy)
+        t_high = run(path, high, n, strategy)
+        out.update({
+            f"{strategy}_low_sec": round(t_low, 2),
+            f"{strategy}_high_sec": round(t_high, 2),
+            f"{strategy}_low_events_per_sec": round(n / t_low),
+            f"{strategy}_high_events_per_sec": round(n / t_high),
+            f"{strategy}_scaling_efficiency": round(
+                (n / t_high) / (4 * n / t_low), 3
+            ),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
