@@ -278,6 +278,7 @@ def _decode_records_df(
     ns: bool,
     link_type: int,
     stop_before: int | None = None,
+    columns: list[str] | None = None,
 ) -> tuple[pd.DataFrame, np.ndarray]:
     """Vectorized decode: (packet DataFrame in arrival order, record byte
     offsets of the kept rows). Semantics identical to _decode_records /
@@ -285,11 +286,21 @@ def _decode_records_df(
     field extraction is NumPy gather over the record-offset array instead of
     per-packet struct.unpack (the round-3 verdict's last row-at-a-time
     Python hot path; reference decode cost ~0.2 µs/pkt,
-    docs/engineering-notes.md:528-531)."""
+    docs/engineering-notes.md:528-531).
+
+    columns: optional subset of _PCAP_COLS — column pruning pushed into
+    the decoder: unrequested columns are neither materialized nor shipped
+    through Arrow, and skipping src_ip/dst_ip also skips the IP string
+    formatting (the costliest per-packet step)."""
+    want = (
+        _PCAP_COLS
+        if columns is None
+        else [c for c in _PCAP_COLS if c in set(columns)]
+    )
     offs = _walk_record_offsets(data, off, endian, stop_before)
     m = offs.size
     if m == 0 or link_type not in (1, 113):
-        return _empty_packet_pdf(), np.empty(0, dtype=np.int64)
+        return _empty_packet_pdf()[want], np.empty(0, dtype=np.int64)
 
     n = len(data)
     # Pad so speculative gathers past a truncated final record stay in
@@ -384,10 +395,11 @@ def _decode_records_df(
     flagsK = np.where(tcpk, u8(l4k + 13), 0)
 
     # IP strings: format each distinct address once (hash-based factorize),
-    # gather by code.
+    # gather by code. Skipped entirely when pruned away.
+    need_ip = "src_ip" in want or "dst_ip" in want
     src_ip = np.empty(k.size, dtype=object)
     dst_ip = np.empty(k.size, dtype=object)
-    w4 = np.flatnonzero(is4[k])
+    w4 = np.flatnonzero(is4[k]) if need_ip else np.empty(0, np.int64)
     if w4.size:
         sv = u32be(l3 + 12)[k[w4]]
         dv = u32be(l3 + 16)[k[w4]]
@@ -401,7 +413,7 @@ def _decode_records_df(
         )
         src_ip[w4] = ustr[codes[: sv.size]]
         dst_ip[w4] = ustr[codes[sv.size :]]
-    w6 = np.flatnonzero(v6s[k])
+    w6 = np.flatnonzero(v6s[k]) if need_ip else np.empty(0, np.int64)
     if w6.size:
         cache: dict[bytes, str] = {}
         for j in w6.tolist():
@@ -411,10 +423,13 @@ def _decode_records_df(
             dst_ip[j] = cache.get(db) or cache.setdefault(db, _ipv6_str(db))
 
     # object columns with None, matching the scalar path's row dicts
-    it = np.where(icmpk, u8(l4k), 0).astype(object)
-    ic = np.where(icmpk, u8(l4k + 1), 0).astype(object)
-    it[~icmpk] = None
-    ic[~icmpk] = None
+    if "icmp_type" in want or "icmp_code" in want:
+        it = np.where(icmpk, u8(l4k), 0).astype(object)
+        ic = np.where(icmpk, u8(l4k + 1), 0).astype(object)
+        it[~icmpk] = None
+        ic[~icmpk] = None
+    else:
+        it = ic = None
 
     # Dict in _PCAP_COLS order + copy=False: skips both the reindex take and
     # the block-consolidation copy (measured ~1.7 s per 400k records).
@@ -445,7 +460,7 @@ def _decode_records_df(
         "icmp_type": it,
         "icmp_code": ic,
     }
-    pdf = pd.DataFrame(out, copy=False)
+    pdf = pd.DataFrame({c: out[c] for c in want}, copy=False)
     kept_offs = offs[k]
 
     # Scalar fallback: IPv6 packets that start with an extension header.
@@ -459,9 +474,10 @@ def _decode_records_df(
                 extra_rows.append(row)
                 extra_offs.append(int(offs[i]))
         if extra_rows:
-            px = pd.DataFrame(extra_rows).reindex(columns=_PCAP_COLS)
+            px = pd.DataFrame(extra_rows).reindex(columns=want)
             for c in ("icmp_type", "icmp_code"):
-                px[c] = px[c].astype(object).where(px[c].notna(), None)
+                if c in want:
+                    px[c] = px[c].astype(object).where(px[c].notna(), None)
             pdf["__off"] = kept_offs
             px["__off"] = np.asarray(extra_offs, dtype=np.int64)
             pdf = (
@@ -484,9 +500,10 @@ def _take_ordered(pdf: pd.DataFrame, order: np.ndarray) -> pd.DataFrame:
     )
 
 
-def decode_pcap_bytes(data: bytes) -> pd.DataFrame:
+def decode_pcap_bytes(data: bytes, columns: list[str] | None = None) -> pd.DataFrame:
     endian, ns, link_type = parse_pcap_header(data)
-    df, _ = _decode_records_df(data, 24, endian, ns, link_type)
+    cols = None if columns is None else list(dict.fromkeys([*columns, "ts_us"]))
+    df, _ = _decode_records_df(data, 24, endian, ns, link_type, columns=cols)
     if len(df):
         order = np.argsort(df["ts_us"].to_numpy(), kind="stable")
         df = _take_ordered(df, order)
@@ -590,7 +607,13 @@ def resync_offset(
 
 
 def decode_pcap_split(
-    path: str, start: int, end: int, endian: str, ns: bool, link_type: int
+    path: str,
+    start: int,
+    end: int,
+    endian: str,
+    ns: bool,
+    link_type: int,
+    columns: list[str] | None = None,
 ) -> pd.DataFrame:
     """Decode the records whose headers start in [start, end) of one capture.
 
@@ -605,8 +628,10 @@ def decode_pcap_split(
     local = 0 if start == 24 else resync_offset(data, 0, endian, ns)
     if local is None:
         return pd.DataFrame()
+    cols = None if columns is None else list(dict.fromkeys([*columns, "ts_us"]))
     df, offs = _decode_records_df(
-        data, local, endian, ns, link_type, stop_before=end - start
+        data, local, endian, ns, link_type, stop_before=end - start,
+        columns=cols,
     )
     if len(df):
         df["event_seq"] = offs + start
@@ -615,9 +640,21 @@ def decode_pcap_split(
     return df
 
 
-def read_pcap(spark, path: str, split_size: int | None = None):
+def read_pcap(
+    spark,
+    path: str,
+    split_size: int | None = None,
+    columns: list[str] | None = None,
+):
     """Distributed pcap source: path/glob of .pcap files -> packet-event
     DataFrame (schema.PACKET_EVENT_SCHEMA), decoded on the executors.
+
+    columns: optional projection pushed INTO the decoder (ts_us and
+    event_seq are always kept): unrequested columns are never
+    materialized or Arrow-shipped, and pruning src_ip/dst_ip skips IP
+    string formatting — the costliest decode step — entirely. A stats
+    query that needs only lengths/timestamps reads ~half the decode cost
+    of the full schema.
 
     Default mode (split_size=None): each capture file is one task
     (binaryFile rows carry the whole file). event_seq is globally unique
@@ -642,9 +679,19 @@ def read_pcap(spark, path: str, split_size: int | None = None):
     import glob as globmod
     import zlib
 
+    from pyspark.sql import types as T
+
     from rustiflow_spark.schema import PACKET_EVENT_SCHEMA
 
-    cols = [f.name for f in PACKET_EVENT_SCHEMA.fields]
+    if columns is None:
+        out_schema = PACKET_EVENT_SCHEMA
+    else:
+        keep = set(columns) | {"ts_us", "event_seq"}
+        out_schema = T.StructType(
+            [f for f in PACKET_EVENT_SCHEMA.fields if f.name in keep]
+        )
+    cols = [f.name for f in out_schema.fields]
+    dec_cols = None if columns is None else [c for c in cols if c != "event_seq"]
 
     if split_size is not None:
         if os.path.isdir(path):
@@ -670,7 +717,7 @@ def read_pcap(spark, path: str, split_size: int | None = None):
                 specs.append((fp, fidx, start, end, endian, ns, link))
                 start = end
         if not specs:
-            return spark.createDataFrame([], schema=PACKET_EVENT_SCHEMA)
+            return spark.createDataFrame([], schema=out_schema)
 
         def decode_splits(batches):
             for pdf in batches:
@@ -678,6 +725,7 @@ def read_pcap(spark, path: str, split_size: int | None = None):
                     out = decode_pcap_split(
                         r.path, int(r.start), int(r.end),
                         r.endian, bool(r.ns), int(r.link),
+                        columns=dec_cols,
                     )
                     if not len(out):
                         continue
@@ -691,12 +739,12 @@ def read_pcap(spark, path: str, split_size: int | None = None):
             schema="path string, fidx long, start long, end long, "
             "endian string, ns boolean, link int",
         ).repartition(len(specs))
-        return spec_df.mapInPandas(decode_splits, schema=PACKET_EVENT_SCHEMA)
+        return spec_df.mapInPandas(decode_splits, schema=out_schema)
 
     def decode(batches):
         for pdf in batches:
             for _, row in pdf.iterrows():
-                out = decode_pcap_bytes(bytes(row["content"]))
+                out = decode_pcap_bytes(bytes(row["content"]), columns=dec_cols)
                 if not len(out):
                     continue
                 base = (zlib.crc32(row["path"].encode()) & 0x7FFFFFFF) << 32
@@ -708,5 +756,5 @@ def read_pcap(spark, path: str, split_size: int | None = None):
         .option("pathGlobFilter", "*.pcap")
         .load(path)
         .select("path", "content")
-        .mapInPandas(decode, schema=PACKET_EVENT_SCHEMA)
+        .mapInPandas(decode, schema=out_schema)
     )

@@ -102,3 +102,43 @@ def test_resync_finds_boundary_mid_stream(tmp_path):
         got = resync_offset(data, probe, endian, ns)
         nxt = min(o for o in true_offs if o >= probe)
         assert got == nxt, (probe, got, nxt)
+
+
+def test_read_pcap_column_pruning(spark, tmp_path):
+    """read_pcap(columns=...) pushes the projection into the decoder; the
+    pruned frame must equal the full decode's corresponding columns."""
+    import numpy as np
+    import pandas as pd
+
+    from rustiflow_spark.sources.pcap_write import encode_pcap_bytes
+
+    rng = np.random.default_rng(3)
+    n = 500
+    pdf = pd.DataFrame({
+        "ts_us": 1_700_000_000_000_000 + np.cumsum(rng.integers(10, 3000, n)),
+        "proto": rng.choice([6, 17], n),
+        "v6": np.zeros(n, bool), "vlan": rng.random(n) < 0.2,
+        "ext": np.zeros(n, bool),
+        "src_ip": "10.1.2.3", "dst_ip": "172.16.0.9",
+        "src_port": rng.integers(1024, 60000, n), "dst_port": 443,
+        "dlen": rng.integers(0, 400, n),
+        "fin": np.zeros(n, int), "syn": np.zeros(n, int),
+        "rst": np.zeros(n, int), "psh": np.ones(n, int),
+        "ack": np.ones(n, int), "hdr_opt": 0,
+        "seq": rng.integers(0, 2**32, n), "ack_seq": rng.integers(0, 2**32, n),
+        "window": rng.integers(0, 65535, n),
+        "icmp_type": 0, "icmp_code": 0,
+        "inject_frag": np.zeros(n, bool), "inject_arp": np.zeros(n, bool),
+    })
+    p = str(tmp_path / "prune.pcap")
+    with open(p, "rb+" if False else "wb") as f:
+        f.write(encode_pcap_bytes(pdf))
+
+    want = ["ts_us", "length", "protocol"]
+    for kwargs in ({}, {"split_size": 1 << 16}):
+        pruned = read_pcap(spark, p, columns=want, **kwargs)
+        assert set(pruned.columns) == set(want) | {"event_seq"}
+        full = read_pcap(spark, p, **kwargs).select(*pruned.columns)
+        a = pruned.toPandas().sort_values(["ts_us", "event_seq"]).reset_index(drop=True)
+        b = full.toPandas().sort_values(["ts_us", "event_seq"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])

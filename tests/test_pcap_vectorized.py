@@ -105,3 +105,19 @@ def test_parity_stop_before_matches_scalar():
     vec, _ = _decode_records_df(data, 24, endian, ns, link, stop_before=stop)
     assert len(scalar) == len(vec)
     assert scalar["ts_us"].tolist() == vec["ts_us"].tolist()
+
+
+def test_decode_column_pruning():
+    data = encode_pcap_bytes(_mixed_rows(300, seed=11))
+    from rustiflow_spark.sources.pcap import decode_pcap_bytes
+
+    full = decode_pcap_bytes(data)
+    pruned = decode_pcap_bytes(
+        data, columns=["ts_us", "length", "data_length", "protocol"]
+    )
+    assert list(pruned.columns) == [
+        "protocol", "ts_us", "data_length", "length", "event_seq"
+    ]
+    assert len(pruned) == len(full)
+    for c in ("ts_us", "length", "data_length", "protocol", "event_seq"):
+        assert pruned[c].tolist() == full[c].tolist(), c
