@@ -1066,6 +1066,196 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (operators/similarity.py ann_topk_ivf): an integer-
+    quantized k-means codebook (2 Lloyd iterations, stride-spread seeds),
+    corpus partitioned into 8 inverted lists, each query probing its 2
+    nearest lists. The quantized fit is order-independent integer
+    arithmetic, so the DuckDB oracle replays the seeding, both Lloyd
+    iterations, the final list assignment, the probe selection, and the
+    exact-cosine top-k bit-for-bit. Reference analog: none (north-rule
+    similarity-search component; ann_topk is the LSH sibling)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.similarity import ann_topk_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    n_lists = 8
+    stride = max(1, n // n_lists)
+    seed_ids = [i * stride for i in range(n_lists)]
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_topk_ivf(
+        emb, queries, k=5, n_lists=n_lists, nprobe=2, iters=2, seed_ids=seed_ids
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cos"),
+    )
+
+
+def _ann_ivf_sql(n_lists: int = 8, nprobe: int = 2, iters: int = 2, k: int = 5) -> str:
+    """DuckDB replay of ann_topk_ivf: the Lloyd iterations are unrolled as
+    CTE pairs (distN/assignN -> centsN+1); centroid dims are
+    floor(sum/count) with |sum| < 2^53 so the double divide is exact on
+    both engines; empty clusters keep the previous centroid (LEFT JOIN +
+    coalesce). Ties everywhere resolve to the lowest cluster index, the
+    same order array_position picks on the Spark side."""
+    quant = (
+        "list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),"
+        " x -> CAST(round(x * 1024) AS BIGINT))"
+    )
+    pre = f"""
+WITH params AS (
+  SELECT greatest(1, CAST(count(*) // {n_lists} AS BIGINT)) AS stride FROM embeddings
+),
+v AS (
+  SELECT CAST(vec_id AS BIGINT) AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         {quant} AS qe
+  FROM embeddings
+),
+vx AS (
+  SELECT id, i AS pos, qe[i + 1] AS x
+  FROM v CROSS JOIN (SELECT unnest(generate_series(0, len((SELECT qe FROM v LIMIT 1)) - 1)) AS i) ii
+),
+cents0 AS (
+  SELECT CAST(v.id // params.stride AS INT) AS cl, pos, CAST(qe[pos + 1] AS BIGINT) AS val
+  FROM v, params, (SELECT unnest(generate_series(0, len((SELECT qe FROM v LIMIT 1)) - 1)) AS pos) pp
+  WHERE v.id % params.stride = 0 AND v.id < {n_lists} * params.stride
+)"""
+    its = ""
+    cur = "cents0"
+    for it in range(iters):
+        its += f""",
+dist{it} AS (
+  SELECT vx.id, c.cl, sum((vx.x - c.val) * (vx.x - c.val)) AS d
+  FROM vx JOIN {cur} c USING (pos) GROUP BY vx.id, c.cl
+),
+assign{it} AS (
+  SELECT id, cl FROM (
+    SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn
+    FROM dist{it}
+  ) WHERE rn = 1
+),
+sums{it} AS (
+  SELECT a.cl, vx.pos, CAST(floor(CAST(sum(vx.x) AS DOUBLE) / count(DISTINCT vx.id)) AS BIGINT) AS val
+  FROM assign{it} a JOIN vx ON vx.id = a.id
+  GROUP BY a.cl, vx.pos
+),
+cents{it + 1} AS (
+  SELECT p.cl, p.pos, coalesce(s.val, p.val) AS val
+  FROM {cur} p LEFT JOIN sums{it} s ON s.cl = p.cl AND s.pos = p.pos
+)"""
+        cur = f"cents{it + 1}"
+    post = f""",
+fdist AS (
+  SELECT vx.id, c.cl, sum((vx.x - c.val) * (vx.x - c.val)) AS d
+  FROM vx JOIN {cur} c USING (pos) GROUP BY vx.id, c.cl
+),
+lists AS (
+  SELECT id, cl AS list_id FROM (
+    SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn
+    FROM fdist
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS query_id, cl AS list_id FROM (
+    SELECT id, cl, row_number() OVER (PARTITION BY id ORDER BY d, cl) AS rn
+    FROM fdist WHERE id < 8
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT p.query_id, l.id AS neighbor_id
+  FROM probes p JOIN lists l USING (list_id)
+  WHERE p.query_id != l.id
+),
+cosd AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+  FROM cand
+  JOIN v a ON a.id = query_id
+  JOIN v b ON b.id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cosd
+)
+SELECT query_id, rank, neighbor_id, round(cosine, 4) AS cos
+FROM ranked WHERE rank <= {k}"""
+    return pre + its + post
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (operators/textstats.py
+    document_fingerprint): K=8 rolling polynomial hash (base 257, u64
+    wrap), min over each 16-wide window, distinct minima mixed by the
+    64-bit golden ratio and XOR-folded. Plain wrapping-uint64 arithmetic,
+    replayed in DuckDB with HUGEINT intermediates like the minhash oracle.
+    Reference analog: none (north-rule text-fingerprinting component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.textstats import document_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return document_fingerprint(docs, "doc_id", "text").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "fingerprint",
+        F.col("n_selected").cast("long").alias("n_selected"),
+    )
+
+
+def _doc_fingerprint_sql(k: int = 8, window: int = 16) -> str:
+    powers = [pow(257, j, _U64) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ascii(substr(t, p + {j}, 1)) AS HUGEINT) * {powers[j]}"
+        for j in range(k)
+    )
+    # (m * MIX) % 2^64 via the 32-bit-halves split (both operands ~2^64)
+    mixmul = f"((m * {_MIX_LO} + ((m * {_MIX_HI}) % 4294967296) * 4294967296) % {_U64})"
+    return f"""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN length(text) < {k} THEN rpad(text, {k}, ' ') ELSE text END AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, length(t) - {k - 1})) AS p FROM d
+),
+h AS (
+  SELECT doc_id, p, ({terms}) % {_U64} AS hv,
+         count(*) OVER (PARTITION BY doc_id) AS nh
+  FROM pos
+),
+-- winnowing: min over each {window}-wide window; with fewer than {window}
+-- hashes the kernel selects every distinct hash
+wmin AS (
+  SELECT doc_id,
+         CASE WHEN nh >= {window}
+              THEN min(hv) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+              ELSE hv END AS m,
+         nh,
+         row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn
+  FROM h
+),
+sel AS (
+  SELECT DISTINCT doc_id, m
+  FROM wmin
+  WHERE nh < {window} OR rn <= nh - {window - 1}
+),
+mixed AS (
+  SELECT doc_id,
+         CAST(CASE WHEN {mixmul} >= {1 << 63} THEN {mixmul} - {_U64}
+                   ELSE {mixmul} END AS BIGINT) AS mx
+  FROM sel
+)
+SELECT doc_id, bit_xor(mx) AS fingerprint, count(*) AS n_selected
+FROM mixed GROUP BY doc_id
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -3616,6 +3806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "doc_fingerprint": q_doc_fingerprint,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -3676,4 +3868,6 @@ def oracle_sql() -> dict[str, str]:
         "flow_rustiflow203": _rustiflow203_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_topk": _ann_topk_sql(),
+        "ann_ivf": _ann_ivf_sql(),
+        "doc_fingerprint": _doc_fingerprint_sql(),
     }

@@ -8,6 +8,17 @@ ann_topk_lsh: the scale path — random-hyperplane LSH with multiple probe
 tables; each query only scores candidates sharing a bucket in any table,
 turning the N×M cross join into T bucket-equi-joins. Recall is tunable via
 (n_planes, n_tables).
+
+ivf_fit / ann_topk_ivf: the second scale path — IVF-flat (inverted-file)
+partitioned search. A tiny k-means codebook is trained with exact integer
+arithmetic (quantized embeddings, Lloyd iterations as distributed
+assign/recompute jobs; only the K×d centroid table touches the driver),
+the corpus becomes K inverted lists, and each query probes only its
+nprobe nearest lists — candidate generation is a broadcast map + an
+equi-join on the list id, never N×M. The integer quantization makes the
+whole fit order-independent and bit-exactly replayable (summation order
+cannot change the result), which is what lets a DuckDB oracle verify the
+centroids, the list assignment, and the probed top-k.
 """
 
 from __future__ import annotations
@@ -114,6 +125,168 @@ def ann_topk_lsh(
     cos = _dot("__e_query_id", "__e_neighbor_id") / (
         _norm("__e_query_id") * _norm("__e_neighbor_id")
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# --- IVF-flat (inverted-file) ANN -------------------------------------------
+#
+# All fit arithmetic is on QUANT-scaled int64 embeddings: integer sums are
+# associative, so the distributed Lloyd recompute is bit-exact regardless of
+# partitioning/summation order — the property that makes the codebook
+# oracle-able and the fit reproducible across cluster sizes.
+
+_IVF_QUANT = 1024
+
+
+def _quant_expr(emb_col: str):
+    return F.expr(
+        f"transform(cast({emb_col} as array<double>),"
+        f" x -> cast(round(x * {_IVF_QUANT}) as bigint))"
+    )
+
+
+def _cent_lit(centroids: np.ndarray):
+    return F.array(
+        *[F.array(*[F.lit(int(x)) for x in row]) for row in centroids]
+    )
+
+
+def _ivf_dists_expr(qe_col: str):
+    """array<bigint> squared-L2 distances of qe_col to each __cents row."""
+    return F.expr(
+        f"transform(__cents, c -> aggregate(zip_with({qe_col}, c,"
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"
+    )
+
+
+def _ivf_cluster_expr(qe_col: str):
+    """0-based id of the nearest centroid; ties resolve to the lowest id
+    (array_position returns the FIRST occurrence of the min)."""
+    return (
+        F.expr(
+            f"array_position(transform(__cents, c -> aggregate(zip_with({qe_col}, c,"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)),"
+            f" array_min(transform(__cents, c -> aggregate(zip_with({qe_col}, c,"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))))"
+        ).cast("int")
+        - 1
+    )
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_lists: int = 8,
+    iters: int = 2,
+    seed_ids: list[int] | None = None,
+) -> np.ndarray:
+    """Train an IVF codebook: (n_lists, d) int64 centroids in QUANT space.
+
+    Seeds are the corpus vectors with ids `seed_ids` (default: the n_lists
+    smallest ids — pass stride-spread ids for better initial coverage; the
+    Lloyd iterations wash the seeding out). Each iteration is one
+    distributed assign + per-dimension integer sum/count job; only the
+    K×d centroid table ever reaches the driver. At 100 TB, fit on a
+    `.sample()` of the corpus — assignment quality is insensitive to the
+    training sample once lists are balanced.
+    """
+    q = corpus.select(
+        F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
+    )
+    if seed_ids is not None:
+        seeds = (
+            q.filter(F.col("__id").isin([int(s) for s in seed_ids]))
+            .orderBy("__id")
+            .collect()
+        )
+    else:
+        seeds = q.orderBy("__id").limit(n_lists).collect()
+    if len(seeds) < n_lists:
+        raise ValueError(
+            f"ivf_fit: {len(seeds)} seed vectors found, need n_lists={n_lists}"
+        )
+    cents = np.array([r["__qe"] for r in seeds], dtype=np.int64)
+    for _ in range(iters):
+        assigned = q.withColumn("__cents", _cent_lit(cents)).select(
+            _ivf_cluster_expr("__qe").alias("__cl"),
+            F.posexplode("__qe").alias("__pos", "__val"),
+        )
+        stats = (
+            assigned.groupBy("__cl", "__pos")
+            .agg(F.sum("__val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty cluster keeps its previous centroid
+        for r in stats:
+            # floor(s / n) — exact: |s| < 2^53 so the double divide is safe
+            new[r["__cl"], r["__pos"]] = int(np.floor(r["s"] / r["n"]))
+        cents = new
+    return cents
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    seed_ids: list[int] | None = None,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: probe the nprobe nearest inverted lists.
+
+    Corpus-side work is a map-only broadcast assignment (no shuffle of the
+    corpus beyond the final candidate equi-join on the list id); the
+    query side explodes into nprobe rows. Candidates = corpus vectors in a
+    probed list, scored with exact double cosine and ranked — never N×M.
+    """
+    if centroids is None:
+        centroids = ivf_fit(corpus, id_col, emb_col, n_lists, iters, seed_ids)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(emb_col).cast("array<double>").alias("__e_n"),
+            _quant_expr(emb_col).alias("__qe"),
+        )
+        .withColumn("__cents", _cent_lit(centroids))
+        .withColumn("list_id", _ivf_cluster_expr("__qe"))
+        .drop("__cents", "__qe")
+    )
+    # probe list selection: relational (posexplode + row_number) so ties
+    # resolve identically in Spark and any SQL replay — (dist, list idx)
+    qd = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(emb_col).cast("array<double>").alias("__e_q"),
+            _quant_expr(emb_col).alias("__qe"),
+        )
+        .withColumn("__cents", _cent_lit(centroids))
+        .select(
+            "query_id",
+            "__e_q",
+            F.posexplode(_ivf_dists_expr("__qe")).alias("list_id", "__dist"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("__dist"), F.asc("list_id"))
+    probes = (
+        qd.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__e_q", "list_id")
+    )
+    cands = probes.join(c, "list_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = _dot("__e_q", "__e_n") / (_norm("__e_q") * _norm("__e_n"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         cands.withColumn("cosine", cos)

@@ -123,6 +123,52 @@ def test_embedding_neardup_and_ann(spark):
     assert recall >= 0.5, f"ANN recall too low: {recall}"
 
 
+def test_ann_ivf(spark):
+    from rustiflow_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+        ivf_fit,
+    )
+
+    rng = np.random.RandomState(21)
+    # 4 well-separated clusters of 15 vectors each
+    centers = rng.randn(4, 16) * 4
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(15):
+            rows.append((vid, (centers[c] + rng.randn(16) * 0.3).tolist(), c))
+            vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding", "family"])
+    )
+    seed_ids = [0, 15, 30, 45]
+
+    # the fit is deterministic: same input -> bit-identical codebook
+    c1 = ivf_fit(df, n_lists=4, iters=2, seed_ids=seed_ids)
+    c2 = ivf_fit(df.repartition(7), n_lists=4, iters=2, seed_ids=seed_ids)
+    assert (c1 == c2).all(), "integer Lloyd must be partition-invariant"
+
+    queries = df.filter(F.col("vec_id").isin([0, 16, 31, 46]))
+    approx = ann_topk_ivf(
+        df, queries, k=5, n_lists=4, nprobe=1, iters=2, seed_ids=seed_ids
+    ).toPandas()
+    exact = brute_force_topk(df, queries, k=5).toPandas()
+    recall = 0.0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recall += len(e & a) / len(e)
+    recall /= exact["query_id"].nunique()
+    # separated clusters + nprobe=1: the home list holds the true neighbors
+    assert recall >= 0.9, f"IVF recall too low on separated clusters: {recall}"
+
+    # duplicate seed ids collapse a list to emptiness mid-fit; the empty
+    # cluster must keep its previous centroid instead of crashing
+    c3 = ivf_fit(df, n_lists=4, iters=2, seed_ids=[0, 1, 30, 45])
+    assert c3.shape == c1.shape
+
+
 def test_text_stats_and_langid(spark):
     from rustiflow_spark.operators.textstats import (
         document_fingerprint,
