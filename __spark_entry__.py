@@ -1256,6 +1256,159 @@ FROM mixed GROUP BY doc_id
 """
 
 
+_RJ_EPOCH0 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join (operators/intervals.py range_join): events
+    matched to deterministic maintenance-window intervals synthesized from
+    orders, then aggregated per interval. The operator turns `ts BETWEEN
+    lo AND hi` into an equi-join on a time bucket (intervals explode into
+    covered buckets; each pair meets in exactly one bucket) — the plan
+    Spark cannot produce on its own for a theta join. Oracle: the naive
+    BETWEEN join. Reference analog: none (north-rule range-join
+    component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.intervals import range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    iv = orders.filter(F.col("o_orderkey") < 300).select(
+        F.col("o_orderkey").alias("interval_id"),
+        ((F.lit(_RJ_EPOCH0) + (F.col("o_orderkey") % 480) * 900) * 1_000_000).alias(
+            "lo_us"
+        ),
+        (
+            (
+                F.lit(_RJ_EPOCH0)
+                + (F.col("o_orderkey") % 480) * 900
+                + ((F.col("o_orderkey") % 3) + 1) * 1200
+            )
+            * 1_000_000
+        ).alias("hi_us"),
+    )
+    return (
+        range_join(events, iv, "ts", "lo_us", "hi_us", bucket_width_us=1_200_000_000)
+        .groupBy(F.col("interval_id").cast("long").alias("interval_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+
+
+_RANGE_JOIN_SQL = f"""
+WITH iv AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS interval_id,
+         ({_RJ_EPOCH0} + (o_orderkey % 480) * 900) * 1000000 AS lo_us,
+         ({_RJ_EPOCH0} + (o_orderkey % 480) * 900 + ((o_orderkey % 3) + 1) * 1200) * 1000000 AS hi_us
+  FROM orders WHERE o_orderkey < 300
+)
+SELECT interval_id, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM iv JOIN events e
+  ON CAST(epoch_us(e.ts) AS BIGINT) BETWEEN lo_us AND hi_us
+GROUP BY interval_id
+"""
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade (operators/intervals.py): events ->
+    1-minute tumbling buckets per event_type -> 1-hour rollup computed
+    FROM the minute buckets (sum-of-sums / min-of-mins / count-of-counts),
+    never re-scanning the raw table. Decimal sums make the cascade exact
+    and order-independent; the oracle aggregates the raw table directly,
+    proving the cascade lossless. Reference analog: none (north-rule
+    rollup component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.intervals import rollup_coarser, time_bucket_rollup
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fine = time_bucket_rollup(events, "ts", 60, ["event_type"], "value")
+    return rollup_coarser(fine, 3600, ["event_type"]).select(
+        "event_type",
+        "bucket_s",
+        "n_rows",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("min_value").cast("double"), 2).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 2).alias("max_value"),
+    )
+
+
+_TIME_ROLLUP_SQL = """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+       round(CAST(min(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS min_value,
+       round(CAST(max(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS max_value
+FROM events GROUP BY event_type, bucket_s
+"""
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-user estimate per event_type
+    (operators/sketches.py): md5-derived 60-bit hash, 4096 registers,
+    harmonic sum carried as an exact integer numerator over 2^49 so the
+    estimate is independent of aggregation order — the DuckDB oracle
+    replays hash, registers, and estimate bit-for-bit. The register table
+    is the mergeable sketch (groupBy-max across shards). Reference
+    analog: none (north-rule sketch component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sketches import hll_count_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_count_distinct(events, "user_id", ["event_type"], p=12).select(
+        "event_type", F.round("hll_estimate", 4).alias("est_users")
+    )
+
+
+def _hll_sql(p: int = 12) -> str:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    w_bits = 60 - p
+    hexpr = (
+        "("
+        + " + ".join(
+            f"CAST((strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) AS BIGINT) * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        + ")"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, {hexpr} AS hv
+  FROM (SELECT event_type, substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS hx FROM events)
+),
+regs AS (
+  SELECT event_type, CAST(hv % {m} AS INT) AS reg,
+         max(CASE WHEN hv // {m} = 0 THEN {w_bits + 1}
+                  ELSE {w_bits} - length(bin(hv // {m})) + 1 END) AS mj
+  FROM h GROUP BY event_type, reg
+),
+agg AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << CAST(49 - mj AS INT)) AS s_nz,
+         count(*) AS nz
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({1 << 49} AS DOUBLE)
+           / CAST(s_nz + ({m} - nz) * {1 << 49} AS DOUBLE) AS raw,
+         nz
+  FROM agg
+)
+SELECT event_type,
+       round(CASE WHEN raw <= 2.5 * {m} AND nz < {m}
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / CAST({m} - nz AS DOUBLE))
+                  ELSE raw END, 4) AS est_users
+FROM est
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -3808,6 +3961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "doc_fingerprint": q_doc_fingerprint,
+        "range_join": q_range_join,
+        "time_rollup": q_time_rollup,
+        "hll_distinct": q_hll_distinct,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -3870,4 +4026,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ann_topk_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "doc_fingerprint": _doc_fingerprint_sql(),
+        "range_join": _RANGE_JOIN_SQL,
+        "time_rollup": _TIME_ROLLUP_SQL,
+        "hll_distinct": _hll_sql(),
     }

@@ -394,3 +394,87 @@ def test_deterministic_sampling_and_split(spark):
     full = {r.doc_id: r.split for r in split.where("doc_id < 1000").collect()}
     for r in sub.collect():
         assert full[r.doc_id] == r.split
+
+
+def test_range_join(spark):
+    from rustiflow_spark.operators.intervals import range_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"eid": range(100), "ts_us": [i * 1_000_000 for i in range(100)],
+                      "k": [i % 3 for i in range(100)]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({
+            "iid": [0, 1, 2],
+            "lo": [5_000_000, 50_000_000, 98_000_000],
+            "hi": [10_000_000, 70_000_000, 200_000_000],
+        })
+    )
+    got = (
+        range_join(ev, iv, "ts_us", "lo", "hi", bucket_width_us=7_000_000)
+        .groupBy("iid").count().toPandas().set_index("iid")["count"]
+    )
+    # inclusive bounds: [5,10]s -> 6 events, [50,70]s -> 21, [98,199]s -> 2
+    assert got.to_dict() == {0: 6, 1: 21, 2: 2}
+
+    # no duplicate pairs even when an interval spans many buckets
+    pairs = range_join(ev, iv, "ts_us", "lo", "hi", bucket_width_us=1_000_000)
+    assert pairs.count() == pairs.dropDuplicates(["eid", "iid"]).count() == 29
+
+    # extra equality keys restrict the match
+    iv2 = iv.withColumn("k", F.lit(0))
+    # only every-3rd event (k=0) matches: {6,9} + {51..69 step 3} + {99}
+    with_key = range_join(ev, iv2, "ts_us", "lo", "hi", 7_000_000, extra_keys=["k"])
+    assert with_key.count() == 10
+
+    # fan-out guard fails loudly
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="buckets"):
+        range_join(ev, iv, "ts_us", "lo", "hi", bucket_width_us=1_000, max_fanout=10).count()
+
+
+def test_time_bucket_rollup_cascade(spark):
+    from rustiflow_spark.operators.intervals import rollup_coarser, time_bucket_rollup
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame({
+        "ts_us": rng.randint(0, 7200 * 1_000_000, size=5000),
+        "g": rng.choice(["a", "b"], size=5000),
+        "v": np.round(rng.randn(5000) * 10, 2),
+    })
+    df = spark.createDataFrame(pdf)
+    fine = time_bucket_rollup(df, "ts_us", 60, ["g"], "v")
+    coarse = rollup_coarser(fine, 3600, ["g"]).toPandas()
+    direct = time_bucket_rollup(df, "ts_us", 3600, ["g"], "v").toPandas()
+    c = coarse.sort_values(["g", "bucket_s"]).reset_index(drop=True)
+    d = direct.sort_values(["g", "bucket_s"]).reset_index(drop=True)
+    # cascade is lossless: coarse-from-fine == coarse-from-raw, exactly
+    pd.testing.assert_frame_equal(c[d.columns], d)
+
+
+def test_hll_sketch(spark):
+    from rustiflow_spark.operators.sketches import (
+        hll_count_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    pdf = pd.DataFrame({
+        "key": [f"user-{i % 2000}" for i in range(10000)],
+        "g": ["x"] * 10000,
+    })
+    df = spark.createDataFrame(pdf)
+    est = hll_count_distinct(df, "key", ["g"], p=12).toPandas()
+    assert abs(est["hll_estimate"][0] - 2000) / 2000 < 0.05  # ~1.6% expected
+
+    # determinism + partition invariance
+    est2 = hll_count_distinct(df.repartition(17), "key", ["g"], p=12).toPandas()
+    assert est["hll_estimate"][0] == est2["hll_estimate"][0]
+
+    # sketch merge is an idempotent union: merging a subset's sketch into
+    # the full sketch changes nothing
+    h1 = hll_registers(df.limit(4000), "key", ["g"])
+    h2 = hll_registers(df, "key", ["g"])
+    merged = hll_estimate(hll_merge(h1.unionByName(h2), ["g"]), ["g"]).toPandas()
+    assert merged["hll_estimate"][0] == est["hll_estimate"][0]
