@@ -242,6 +242,7 @@ def ann_topk_ivf(
     iters: int = 2,
     seed_ids: list[int] | None = None,
     centroids: np.ndarray | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the nprobe nearest inverted lists.
 
@@ -249,6 +250,12 @@ def ann_topk_ivf(
     corpus beyond the final candidate equi-join on the list id); the
     query side explodes into nprobe rows. Candidates = corpus vectors in a
     probed list, scored with exact double cosine and ranked — never N×M.
+
+    broadcast_probes=True (default) is the right plan whenever the query
+    batch fits in executor memory: list_id has only n_lists distinct
+    values, so a shuffle join on it would pile the corpus onto K reducers.
+    Set it False only for huge query batches, and raise n_lists so the
+    shuffle key has enough cardinality to spread.
     """
     if centroids is None:
         centroids = ivf_fit(corpus, id_col, emb_col, n_lists, iters, seed_ids)
@@ -283,6 +290,8 @@ def ann_topk_ivf(
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__e_q", "list_id")
     )
+    if broadcast_probes:
+        probes = F.broadcast(probes)
     cands = probes.join(c, "list_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )

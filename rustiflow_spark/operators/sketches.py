@@ -35,15 +35,30 @@ def _alpha(m: int) -> float:
     return {16: 0.673, 32: 0.697, 64: 0.709}[m]
 
 
-def _hash_expr(key_col: str) -> "F.Column":
-    """60-bit deterministic hash: first 15 hex chars of md5(str(key))."""
-    return F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+def _hash_expr(key_col: str, hash_fn: str) -> "F.Column":
+    """60-bit deterministic hash of the key.
+
+    'xxhash64' (default): low 60 bits of Spark's native xxhash64 — pure
+    JVM codegen, ~10x cheaper per row than md5; use in production.
+    'md5': first 15 hex chars of md5(str(key)) — slower, but computable
+    identically in any engine with md5, which is what the cross-engine
+    oracle replay needs.
+    """
+    if hash_fn == "xxhash64":
+        return F.expr(f"xxhash64({key_col}) & {(1 << 60) - 1}")
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+    raise ValueError(f"hll: unknown hash_fn {hash_fn!r}")
 
 
 def hll_registers(
-    df: DataFrame, key_col: str, group_cols: list[str], p: int = 12
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 12,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-group HLL register table: (group..., reg, mj).
 
@@ -63,7 +78,7 @@ def hll_registers(
         .cast("int")
     )
     return (
-        df.select(*group_cols, _hash_expr(key_col).alias("__hll_h"))
+        df.select(*group_cols, _hash_expr(key_col, hash_fn).alias("__hll_h"))
         .select(*group_cols, reg, rho.alias("__rho"))
         .groupBy(*group_cols, "reg")
         .agg(F.max("__rho").alias("mj"))
@@ -109,7 +124,13 @@ def hll_estimate(
 
 
 def hll_count_distinct(
-    df: DataFrame, key_col: str, group_cols: list[str], p: int = 12
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 12,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """One-shot per-group distinct-count estimate: registers -> estimate."""
-    return hll_estimate(hll_registers(df, key_col, group_cols, p), group_cols, p)
+    return hll_estimate(
+        hll_registers(df, key_col, group_cols, p, hash_fn), group_cols, p
+    )
