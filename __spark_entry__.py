@@ -3254,6 +3254,84 @@ WHERE next_first IS NOT NULL
 """
 
 
+def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate (streaming/rollup_stream.py): the
+    events table replayed as THREE time-ranged parquet files under
+    availableNow with maxFilesPerTrigger=1, through the native windowed
+    aggregation + watermark in append mode. Buckets span micro-batches
+    (state continuity) and only finalize when the watermark passes their
+    end, so the emitted set is exactly the buckets with
+    (bucket_s + width) <= ms-truncated(max_ts - delay) — the closed-form
+    restriction the DuckDB oracle replays. Decimal sums make finalized
+    buckets bit-identical to the batch rollup."""
+    import glob as globmod
+    import os
+    import shutil
+    import zlib
+
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.streaming.rollup_stream import rollup_stream
+
+    base = f"/tmp/rustiflow_rollstream_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select("ts_us", "value", "event_type")
+    lo, hi = ev.selectExpr("min(ts_us)", "max(ts_us)").first()
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    seen: set[str] = set()
+    for i, (a, b) in enumerate([(None, t1), (t1, t2), (t2, None)]):
+        part = ev
+        if a is not None:
+            part = part.where(F.col("ts_us") >= a)
+        if b is not None:
+            part = part.where(F.col("ts_us") < b)
+        part.coalesce(1).write.mode("append").parquet(src)
+        # pin mtimes so FileStreamSource replays splits in event-time order
+        cur = set(globmod.glob(f"{src}/part-*.parquet"))
+        for f in cur - seen:
+            os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        seen = cur
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    roll = rollup_stream(stream, "ts_us", 3600, ["event_type"], "value", "10 seconds")
+    q = (
+        roll.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.read.parquet(out).select(
+        "event_type",
+        "bucket_s",
+        "n_rows",
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round(F.col("min_value").cast("double"), 2).alias("min_value"),
+        F.round(F.col("max_value").cast("double"), 2).alias("max_value"),
+    )
+
+
+_ROLLUP_STREAM_SQL = """
+WITH wm AS (
+  SELECT (CAST(floor(max(epoch_us(ts)) / 1000) AS BIGINT) - 10000) * 1000 AS wm_us
+  FROM events
+)
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
+       count(*) AS n_rows,
+       round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value,
+       round(CAST(min(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS min_value,
+       round(CAST(max(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS max_value
+FROM events, wm
+GROUP BY event_type, bucket_s, wm_us
+HAVING (bucket_s + 3600) * 1000000 <= wm_us
+"""
+
+
 def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming EVENT-path sessionization (S6 event analog,
     streaming/sessionize_stream.py:sessionize_stream): the events table
@@ -3958,6 +4036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pcap_roundtrip": q_pcap_roundtrip,
         "flow_stream": q_flow_stream,
         "session_stream": q_session_stream,
+        "rollup_stream": q_rollup_stream,
         "langid": q_langid,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -4023,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         "pcap_roundtrip": _pcap_roundtrip_sql(),
         "flow_stream": _Q_STREAM_SQL,
         "session_stream": _Q_SESSION_STREAM_SQL,
+        "rollup_stream": _ROLLUP_STREAM_SQL,
         "flow_rustiflow203": _rustiflow203_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_topk": _ann_topk_sql(),

@@ -1,0 +1,60 @@
+"""Streaming time-bucket rollup: the continuous-aggregate analog of
+operators/intervals.time_bucket_rollup for unbounded inputs.
+
+Built on the native Structured Streaming windowed aggregation: event-time
+tumbling windows + a watermark, append output mode, so a bucket row is
+emitted exactly once — when the watermark passes the bucket's end — and
+the state store only ever holds the open tail of buckets. That is the
+100-TB-stream shape: state is O(groups x open buckets), not O(events),
+and the emitted table is append-only (safe to sink to parquet/Kafka).
+
+Late rows within the watermark delay still land in their bucket; rows
+later than the delay are dropped by the engine (the documented trade —
+pick the delay from the source's disorder bound).
+
+Emitted rows are exactly the buckets whose end <= final watermark, where
+the watermark is max(event time seen) - delay truncated to milliseconds —
+the closed-form restriction a batch oracle can replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def rollup_stream(
+    stream: DataFrame,
+    ts_us_col: str,
+    width_s: int,
+    group_cols: list[str],
+    value_col: str,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Tumbling event-time rollup over a stream of (ts_us, groups, value).
+
+    Returns an append-mode streaming DataFrame with one row per finalized
+    (group..., bucket_s) holding n_rows / sum_value / min_value /
+    max_value. Decimal sums keep per-bucket totals exact, so results are
+    bit-identical to the batch rollup on the same (non-late) rows.
+    """
+    v = F.col(value_col).cast("decimal(28,6)")
+    win = F.window(F.col("__ts"), f"{width_s} seconds")
+    return (
+        stream.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))
+        .withWatermark("__ts", watermark_delay)
+        .groupBy(win.alias("__w"), *group_cols)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(v).alias("sum_value"),
+            F.min(v).alias("min_value"),
+            F.max(v).alias("max_value"),
+        )
+        .select(
+            *group_cols,
+            F.unix_timestamp(F.col("__w.start")).alias("bucket_s"),
+            "n_rows",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )

@@ -306,3 +306,48 @@ def test_packet_stream_early_export_no_reemission(spark, tmp_path):
     # every snapshot spans a prefix of the closed flow
     assert (snaps["first_ts_us"] == closed.iloc[0]["first_ts_us"]).all()
     assert (snaps["last_ts_us"] <= closed.iloc[0]["last_ts_us"]).all()
+
+
+def test_rollup_stream_matches_batch_on_finalized_buckets(spark, tmp_path):
+    """Streaming continuous aggregate == batch rollup restricted to buckets
+    the final watermark passed, bit-exactly (decimal sums)."""
+    import pandas as pd
+
+    from rustiflow_spark.operators.intervals import time_bucket_rollup
+    from rustiflow_spark.streaming.rollup_stream import rollup_stream
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "ts_us": np.sort(rng.randint(0, 600 * 1_000_000, size=4000)),
+            "g": rng.choice(["a", "b"], size=4000),
+            "v": np.round(rng.randn(4000) * 10, 2),
+        }
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(pdf)
+    # two micro-batches: buckets spanning the file split must still be exact
+    df.where("ts_us < 300000000").coalesce(1).write.mode("append").parquet(src)
+    df.where("ts_us >= 300000000").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    roll = rollup_stream(stream, "ts_us", 60, ["g"], "v", "5 seconds")
+    q = (
+        roll.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas().sort_values(["g", "bucket_s"]).reset_index(drop=True)
+
+    max_us = int(pdf["ts_us"].max())
+    wm_us = (max_us // 1000 - 5000) * 1000
+    batch = time_bucket_rollup(df, "ts_us", 60, ["g"], "v").toPandas()
+    batch = batch[(batch["bucket_s"] + 60) * 1_000_000 <= wm_us]
+    batch = batch.sort_values(["g", "bucket_s"]).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[batch.columns], batch)
