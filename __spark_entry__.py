@@ -1411,6 +1411,62 @@ FROM est
 """
 
 
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch (operators/sketches.py): per-event_type
+    p50/p90/p99 of value via integer log-bucketing (bit-length + top-6
+    mantissa bits, bounded 2^-6 relative error). Bucketing, counts, and
+    the rank-exact quantile pick are all integer arithmetic, so the DuckDB
+    oracle replays the sketch bit-for-bit; histograms merge across shards
+    with groupBy-sum. Reference analog: none (north-rule sketch
+    component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sketches import hdr_histogram, hdr_quantiles
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hist = hdr_histogram(events, "value", ["event_type"], sub_bits=6)
+    return hdr_quantiles(hist, ["event_type"], [0.5, 0.9, 0.99], sub_bits=6).select(
+        "event_type",
+        F.round("p", 2).alias("p"),
+        F.round("quantile", 6).alias("quantile"),
+    )
+
+
+def _hdr_sql(m: int = 6, scale: int = 1_000_000) -> str:
+    probs = [0.5, 0.9, 0.99]
+    return f"""
+WITH q AS (
+  SELECT event_type, CAST(floor(CAST(value AS DOUBLE) * {scale}) AS BIGINT) AS qv
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN qv < {1 << m} THEN qv
+              ELSE CAST((length(bin(qv)) - 1 - {m} + 1) * {1 << m}
+                   + ((qv >> (length(bin(qv)) - 1 - {m})) - {1 << m}) AS BIGINT) END AS bucket
+  FROM q
+),
+hist AS (SELECT event_type, bucket, count(*) AS cnt FROM b GROUP BY event_type, bucket),
+cum AS (
+  SELECT event_type, bucket,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS c,
+         sum(cnt) OVER (PARTITION BY event_type) AS tot
+  FROM hist
+),
+probs(p) AS (VALUES {", ".join(f"({p})" for p in probs)}),
+hit AS (
+  SELECT event_type, p, bucket,
+         row_number() OVER (PARTITION BY event_type, p ORDER BY bucket) AS rn
+  FROM cum CROSS JOIN probs
+  WHERE c >= ceil(p * tot)
+)
+SELECT event_type, round(p, 2) AS p,
+       round(CAST(CASE WHEN (bucket >> {m}) = 0 THEN bucket
+                  ELSE ((bucket % {1 << m}) + {1 << m}) << ((bucket >> {m}) - 1)
+             END AS DOUBLE) / {scale}, 6) AS quantile
+FROM hit WHERE rn = 1
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -4045,6 +4101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "time_rollup": q_time_rollup,
         "hll_distinct": q_hll_distinct,
+        "hdr_quantiles": q_hdr_quantiles,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -4111,4 +4168,5 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _RANGE_JOIN_SQL,
         "time_rollup": _TIME_ROLLUP_SQL,
         "hll_distinct": _hll_sql(),
+        "hdr_quantiles": _hdr_sql(),
     }

@@ -134,3 +134,121 @@ def hll_count_distinct(
     return hll_estimate(
         hll_registers(df, key_col, group_cols, p, hash_fn), group_cols, p
     )
+
+
+# --- HDR-style histogram quantiles ------------------------------------------
+#
+# Mergeable quantile sketch: values quantize to integers (floor(v * scale)),
+# then bucket by (bit-length, top sub_bits mantissa bits) — an HDR-histogram
+# layout with bounded RELATIVE error 2^-sub_bits. Bucketing is pure integer
+# arithmetic (the bin()-length trick again, no float log), so histograms are
+# deterministic, partition-invariant, bit-exactly SQL-replayable, and merge
+# across shards with a plain groupBy-sum. At 100 TB the histogram is the
+# thing you store per partition; quantile reads never rescan raw values.
+
+
+def _hdr_bucket_expr(q_col: str, sub_bits: int) -> "F.Column":
+    """Bucket id of non-negative int column q_col.
+
+    q < 2^m            -> bucket = q                     (exact)
+    q in [2^e, 2^(e+1)) -> bucket = (e-m+1)*2^m + top_m_mantissa_bits
+    The two ranges meet continuously at q = 2^m.
+    """
+    m = sub_bits
+    # bit length via length(bin(q)); shift counts are runtime expressions,
+    # so SQL shiftright (column bit count) rather than the python-int API
+    return F.expr(
+        f"CASE WHEN {q_col} < {1 << m} THEN {q_col} "
+        f"ELSE CAST((length(bin({q_col})) - 1 - {m} + 1) * {1 << m} "
+        f"     + (shiftright({q_col}, CAST(length(bin({q_col})) - 1 - {m} AS INT))"
+        f"        - {1 << m}) AS BIGINT) END"
+    )
+
+
+def _hdr_lower_bound(bucket_col: str, sub_bits: int) -> "F.Column":
+    """Inclusive lower bound (in quantized units) of a bucket id."""
+    m = sub_bits
+    return F.expr(
+        f"CASE WHEN shiftright({bucket_col}, {m}) = 0 THEN {bucket_col} "
+        f"ELSE shiftleft(({bucket_col} % {1 << m}) + {1 << m},"
+        f"               CAST(shiftright({bucket_col}, {m}) - 1 AS INT)) END"
+    )
+
+
+def hdr_histogram(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    sub_bits: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group HDR histogram: (group..., bucket, cnt).
+
+    Requires non-negative values (fails loudly per offending row — no
+    extra validation scan). Map-side partial counts keep the shuffle at
+    O(groups x occupied buckets) regardless of input size.
+    """
+    q = F.floor(F.col(value_col).cast("double") * scale).cast("long")
+    guarded = F.when(
+        q < 0,
+        F.raise_error(
+            F.concat(F.lit("hdr_histogram: negative value "), F.col(value_col))
+        ).cast("long"),
+    ).otherwise(q)
+    return (
+        df.select(*group_cols, guarded.alias("__q"))
+        .select(*group_cols, _hdr_bucket_expr("__q", sub_bits).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hdr_merge(hists: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge histograms (e.g. unioned per-shard sketches): groupBy-sum."""
+    return hists.groupBy(*group_cols, "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    sub_bits: int = 6,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Quantile estimates from a histogram: one row per (group..., p).
+
+    The p-quantile is the lower bound of the first bucket whose cumulative
+    count reaches ceil(p * total) — a rank-exact rule on integer counts,
+    so estimates are deterministic and replayable; the value is within
+    2^-sub_bits relative error of the true quantile.
+    """
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = hist.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("__cum"),
+        F.sum("cnt").over(w_tot).alias("__tot"),
+    )
+    plit = F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p")
+    ranked = cum.select(*group_cols, "bucket", "__cum", "__tot", plit).where(
+        F.col("__cum") >= F.ceil(F.col("p") * F.col("__tot"))
+    )
+    w_pick = Window.partitionBy(*group_cols, "p").orderBy("bucket")
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w_pick))
+        .where(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            "p",
+            (_hdr_lower_bound("bucket", sub_bits).cast("double") / scale).alias(
+                "quantile"
+            ),
+        )
+    )

@@ -478,3 +478,45 @@ def test_hll_sketch(spark):
     h2 = hll_registers(df, "key", ["g"])
     merged = hll_estimate(hll_merge(h1.unionByName(h2), ["g"]), ["g"]).toPandas()
     assert merged["hll_estimate"][0] == est["hll_estimate"][0]
+
+
+def test_hdr_quantiles(spark):
+    from rustiflow_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    rng = np.random.RandomState(31)
+    pdf = pd.DataFrame({
+        "g": rng.choice(["a", "b"], size=20000),
+        "v": np.abs(rng.lognormal(3, 1.5, size=20000)),
+    })
+    df = spark.createDataFrame(pdf)
+    hist = hdr_histogram(df, "v", ["g"], sub_bits=6)
+    est = hdr_quantiles(hist, ["g"], [0.5, 0.99], sub_bits=6).toPandas()
+    for g in ("a", "b"):
+        vals = pdf[pdf.g == g]["v"].to_numpy()
+        for p in (0.5, 0.99):
+            exact = np.quantile(vals, p, method="inverted_cdf")
+            got = est[(est.g == g) & (abs(est.p - p) < 1e-9)]["quantile"].iloc[0]
+            # 2^-6 relative error bound on the bucket lower bound
+            assert abs(got - exact) / exact < 2 ** -5, (g, p, got, exact)
+
+    # partition invariance + shard merge
+    est2 = hdr_quantiles(
+        hdr_histogram(df.repartition(13), "v", ["g"], sub_bits=6), ["g"], [0.5, 0.99]
+    ).toPandas()
+    m = est.merge(est2, on=["g", "p"], suffixes=("_1", "_2"))
+    assert (m.quantile_1 == m.quantile_2).all()
+    h1 = hdr_histogram(df.where("v < 20"), "v", ["g"], sub_bits=6)
+    h2 = hdr_histogram(df.where("v >= 20"), "v", ["g"], sub_bits=6)
+    est3 = hdr_quantiles(hdr_merge(h1.unionByName(h2), ["g"]), ["g"], [0.5, 0.99]).toPandas()
+    m3 = est.merge(est3, on=["g", "p"], suffixes=("_1", "_3"))
+    assert (m3.quantile_1 == m3.quantile_3).all()
+
+    # negative values fail loudly
+    import pytest as _pytest
+    bad = spark.createDataFrame(pd.DataFrame({"g": ["a"], "v": [-1.0]}))
+    with _pytest.raises(Exception):
+        hdr_histogram(bad, "v", ["g"]).count()
