@@ -1467,6 +1467,64 @@ FROM hit WHERE rn = 1
 """
 
 
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (operators/sketches.py): per-event_type
+    counters (4 hash rows x 4096 buckets) built in one pass, then point
+    estimates for user_ids < 20 probed against the sketch (min over rows,
+    empty cell => 0). The md5 hashing mode lets the DuckDB oracle rebuild
+    the identical sketch and estimates; counters merge across shards with
+    groupBy-sum. Reference analog: none (north-rule sketch component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sketches import cms_estimate, cms_sketch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = cms_sketch(events, "user_id", ["event_type"], depth=4, width_bits=12, hash_fn="md5")
+    keys = events.select("user_id").where("user_id < 20").distinct()
+    return cms_estimate(
+        sk, keys, "user_id", ["event_type"], depth=4, width_bits=12, hash_fn="md5"
+    ).select(
+        "event_type",
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("cms_estimate").cast("long").alias("est_count"),
+    )
+
+
+def _cms_sql(d: int = 4, w: int = 12) -> str:
+    def hex15(expr: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"CAST((strpos('0123456789abcdef', substr({expr}, {j + 1}, 1)) - 1) AS BIGINT) * {16 ** (14 - j)}"
+                for j in range(15)
+            )
+            + ")"
+        )
+
+    def row_sql(r: int) -> str:
+        md5e = f"substr(md5(CAST(user_id AS VARCHAR) || '#{r}'), 1, 15)"
+        return (
+            f"SELECT event_type, user_id, {r} AS row, "
+            f"{hex15(md5e)} % {1 << w} AS bucket FROM events"
+        )
+
+    cells = " UNION ALL ".join(row_sql(r) for r in range(d))
+    return f"""
+WITH cells AS ({cells}),
+sk AS (SELECT event_type, row, bucket, count(*) AS cnt FROM cells GROUP BY event_type, row, bucket),
+probes AS (
+  SELECT DISTINCT user_id, row, bucket FROM cells WHERE user_id < 20
+),
+j AS (
+  SELECT sk.event_type, p.user_id, min(sk.cnt) AS m, count(*) AS hit
+  FROM sk JOIN probes p ON sk.row = p.row AND sk.bucket = p.bucket
+  GROUP BY sk.event_type, p.user_id
+)
+SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
+       CAST(CASE WHEN hit < {d} THEN 0 ELSE m END AS BIGINT) AS est_count
+FROM j
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -4102,6 +4160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "hll_distinct": q_hll_distinct,
         "hdr_quantiles": q_hdr_quantiles,
+        "cms_counts": q_cms_counts,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -4169,4 +4228,5 @@ def oracle_sql() -> dict[str, str]:
         "time_rollup": _TIME_ROLLUP_SQL,
         "hll_distinct": _hll_sql(),
         "hdr_quantiles": _hdr_sql(),
+        "cms_counts": _cms_sql(),
     }

@@ -252,3 +252,112 @@ def hdr_quantiles(
             ),
         )
     )
+
+
+# --- Count-Min frequency sketch ---------------------------------------------
+#
+# Mergeable per-group frequency sketch: d hash rows x 2^w buckets of counts.
+# Counters add across shards (groupBy-sum merge), point estimates are the
+# min over the d rows — the classic conservative overestimate
+# (err <= e/2^w * total with prob 1 - e^-d). Hashing follows the HLL
+# pattern: xxhash64(key, row) in production, md5(key || '#' || row) when a
+# cross-engine replay must reproduce the sketch bit-for-bit.
+
+
+def _cms_hash_expr(key_col: str, row: int, w: int, hash_fn: str) -> "F.Column":
+    if hash_fn == "xxhash64":
+        return F.expr(f"xxhash64({key_col}, {row}) & {(1 << w) - 1}")
+    if hash_fn == "md5":
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f"#{row}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % (1 << w)
+        )
+    raise ValueError(f"cms: unknown hash_fn {hash_fn!r}")
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    depth: int = 4,
+    width_bits: int = 12,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-group Count-Min sketch: (group..., row, bucket, cnt).
+
+    One pass, one shuffle of at most groups x depth x 2^width_bits counter
+    rows (map-side partial counts); the input is never rescanned for
+    lookups. Merge shards with cms_merge (counter sums are associative).
+    """
+    rows = [
+        df.select(
+            *group_cols,
+            F.lit(r).alias("row"),
+            _cms_hash_expr(key_col, r, width_bits, hash_fn).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.groupBy(*group_cols, "row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge sketches (e.g. unioned per-shard counters): groupBy-sum."""
+    return sketches.groupBy(*group_cols, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    depth: int = 4,
+    width_bits: int = 12,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Point-frequency estimates for a keys DataFrame against the sketch.
+
+    Each key probes its (row, bucket) cell in every hash row (broadcast of
+    the probe side — depth rows per key — then an equi-join on the cell);
+    the estimate is the min across rows, missing cells count 0.
+    """
+    probes = [
+        keys.select(
+            F.col(key_col),
+            F.lit(r).alias("row"),
+            _cms_hash_expr(key_col, r, width_bits, hash_fn).alias("bucket"),
+        )
+        for r in range(depth)
+    ]
+    p = probes[0]
+    for r in probes[1:]:
+        p = p.unionByName(r)
+    # the sketch side carries group_cols: joining on the cell alone probes
+    # each key against every group's counters
+    est = (
+        sketch.join(F.broadcast(p), ["row", "bucket"])
+        .groupBy(*group_cols, key_col)
+        .agg(F.min("cnt").alias("cms_estimate"), F.count("*").alias("__rows_hit"))
+        # a key whose cell is empty in ANY row has true estimate = that
+        # row's 0, not the min over hit rows only
+        .withColumn(
+            "cms_estimate",
+            F.when(F.col("__rows_hit") < depth, F.lit(0)).otherwise(
+                F.col("cms_estimate")
+            ),
+        )
+        .drop("__rows_hit")
+    )
+    return est

@@ -520,3 +520,31 @@ def test_hdr_quantiles(spark):
     bad = spark.createDataFrame(pd.DataFrame({"g": ["a"], "v": [-1.0]}))
     with _pytest.raises(Exception):
         hdr_histogram(bad, "v", ["g"]).count()
+
+
+def test_cms_sketch(spark):
+    from rustiflow_spark.operators.sketches import cms_estimate, cms_merge, cms_sketch
+
+    rng = np.random.RandomState(41)
+    # zipf-ish: key 0 is hot, long tail
+    keys = np.concatenate([np.zeros(5000, dtype=int), rng.randint(1, 50000, 15000)])
+    pdf = pd.DataFrame({"k": keys, "g": ["x"] * len(keys)})
+    df = spark.createDataFrame(pdf)
+    sk = cms_sketch(df, "k", ["g"], depth=4, width_bits=12)
+    probe = spark.createDataFrame(pd.DataFrame({"k": [0, 1, 999999]}))
+    est = cms_estimate(sk, probe, "k", ["g"], depth=4, width_bits=12).toPandas()
+    e = est.set_index("k")["cms_estimate"]
+    exact0 = (pdf.k == 0).sum()
+    # CMS never underestimates; hot key stays near exact
+    assert e[0] >= exact0 and e[0] <= exact0 * 1.1
+    assert e[1] >= (pdf.k == 1).sum()
+    # an absent key estimates near zero (0 or small collision mass)
+    assert e[999999] <= len(pdf) * 0.01
+
+    # merge across shards == sketch of the union (bit-exact counters)
+    s1 = cms_sketch(df.where("k % 2 = 0"), "k", ["g"], depth=4, width_bits=12)
+    s2 = cms_sketch(df.where("k % 2 = 1"), "k", ["g"], depth=4, width_bits=12)
+    merged = cms_merge(s1.unionByName(s2), ["g"])
+    em = cms_estimate(merged, probe, "k", ["g"], depth=4, width_bits=12).toPandas()
+    mm = est.merge(em, on=["g", "k"], suffixes=("_w", "_m"))
+    assert (mm.cms_estimate_w == mm.cms_estimate_m).all()
