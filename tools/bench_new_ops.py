@@ -132,6 +132,43 @@ def main():
         "max_rel_err": round(err, 4),
     }
 
+    # --- hdr quantiles ------------------------------------------------------
+    from rustiflow_spark.operators.sketches import hdr_histogram, hdr_quantiles
+
+    (qs, w_hdr) = t(
+        lambda: hdr_quantiles(
+            hdr_histogram(ev.where("value >= 0"), "value", ["event_type"]),
+            ["event_type"],
+            [0.5, 0.99],
+        ).collect()
+    )
+    (_, w_pq) = t(
+        lambda: ev.where("value >= 0")
+        .groupBy("event_type")
+        .agg(F.expr("approx_percentile(value, array(0.5, 0.99))"))
+        .collect()
+    )
+    res["hdr"] = {"sketch_sec": w_hdr, "spark_approx_percentile_sec": w_pq}
+
+    # --- cms ----------------------------------------------------------------
+    from rustiflow_spark.operators.sketches import cms_estimate, cms_sketch
+
+    def run_cms():
+        sk = cms_sketch(ev, "user_id", ["event_type"], depth=4, width_bits=14)
+        probe = ev.select("user_id").where("user_id < 50").distinct()
+        return cms_estimate(
+            sk, probe, "user_id", ["event_type"], depth=4, width_bits=14
+        ).collect()
+
+    (_, w_cms) = t(run_cms)
+    (_, w_gb) = t(
+        lambda: ev.where("user_id < 50")
+        .groupBy("event_type", "user_id")
+        .count()
+        .collect()
+    )
+    res["cms"] = {"sketch_sec": w_cms, "exact_filtered_groupby_sec": w_gb}
+
     print(json.dumps(res))
     spark.stop()
 
