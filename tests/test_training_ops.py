@@ -548,3 +548,41 @@ def test_cms_sketch(spark):
     em = cms_estimate(merged, probe, "k", ["g"], depth=4, width_bits=12).toPandas()
     mm = est.merge(em, on=["g", "k"], suffixes=("_w", "_m"))
     assert (mm.cms_estimate_w == mm.cms_estimate_m).all()
+
+
+def test_new_op_plans(spark):
+    """Physical-plan assertions for the round-4 operators: the shapes that
+    must hold at 100x scale."""
+    from rustiflow_spark.operators.intervals import range_join, time_bucket_rollup
+    from rustiflow_spark.operators.sketches import cms_sketch, hdr_histogram, hll_registers
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"ts_us": range(1000), "k": [i % 7 for i in range(1000)],
+                      "v": [float(i % 50) for i in range(1000)],
+                      "g": ["a"] * 1000})
+    )
+    iv = spark.createDataFrame(pd.DataFrame({"iid": [1, 2], "lo": [0, 500], "hi": [100, 900]}))
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # range join: equi-join on the bucket, never a cartesian/BNLJ theta join
+    p = plan(range_join(ev, iv, "ts_us", "lo", "hi", 100))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
+
+    # rollup: map-side partial aggregation before the exchange
+    p = plan(time_bucket_rollup(ev, "ts_us", 60, ["g"], "v"))
+    assert "partial_count" in p or "partial_sum" in p
+
+    # sketches: partial agg + exactly one Exchange (shuffle only the tiny
+    # register/bucket/counter tables, never a second pass)
+    for sk in (
+        hll_registers(ev, "k", ["g"]),
+        hdr_histogram(ev, "v", ["g"]),
+        cms_sketch(ev, "k", ["g"]),
+    ):
+        p = plan(sk)
+        assert p.count("Exchange hashpartitioning") == 1, p
+        assert "partial_" in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
