@@ -1525,6 +1525,62 @@ FROM j
 """
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via GROUPING SETS ((event_type), (user
+    bucket), ()) — a standard-operator breadth check (SURVEY 2.6: the
+    reference has no grouping sets; Spark provides them natively and
+    Catalyst expands them in a single pass over the scan). Group-key NULLs
+    are coalesced to sentinels so the cross-engine hash is
+    representation-stable."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.createOrReplaceTempView("__ev_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, '(all)') AS event_type,
+               coalesce(user_id % 10, -1) AS ub,
+               count(*) AS n,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        FROM __ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT coalesce(event_type, '(all)') AS event_type,
+       coalesce(user_id % 10, -1) AS ub,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events.props column
+    (get_json_object -> typed cast -> aggregate): the string/JSON scalar
+    library the reference lacks (SURVEY 2.6), expressed with native
+    Catalyst JSON path expressions so extraction stays inside codegen."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select((k % 10).alias("kb"), F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("kb")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("v").cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+_JSON_EXTRACT_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kb,
+       count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events GROUP BY kb
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -4161,6 +4217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "hdr_quantiles": q_hdr_quantiles,
         "cms_counts": q_cms_counts,
+        "grouping_sets": q_grouping_sets,
+        "json_extract": q_json_extract,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -4229,4 +4287,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": _hll_sql(),
         "hdr_quantiles": _hdr_sql(),
         "cms_counts": _cms_sql(),
+        "grouping_sets": _GROUPING_SETS_SQL,
+        "json_extract": _JSON_EXTRACT_SQL,
     }
