@@ -1581,6 +1581,96 @@ FROM events GROUP BY kb
 """
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY 2.6 breadth): users who clicked AND
+    purchased (INTERSECT) minus heavy error-ers (EXCEPT, >= 15 error
+    events), with the surviving set joined back for a stable aggregate.
+    Spark plans these as hash-aggregate semi/anti joins — no driver-side
+    sets."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def users(t: str):
+        return events.where(F.col("event_type") == t).select("user_id")
+
+    heavy_err = (
+        events.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .count()
+        .where(F.col("count") >= 15)
+        .select("user_id")
+    )
+    keep = users("click").intersect(users("purchase")).exceptAll(heavy_err)
+    return (
+        events.join(keep, "user_id")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+
+
+_SET_OPS_SQL = """
+WITH keep AS (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+  GROUP BY user_id HAVING count(*) >= 15
+)
+SELECT CAST(e.user_id AS BIGINT) AS user_id, count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+FROM events e JOIN keep USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (SURVEY 2.6 breadth): the 3 heaviest users by total
+    value within each event_type — partial aggregation then a rank window
+    over the small aggregate, never a global sort of the raw table.
+    Decimal totals keep the ranking deterministic; ties break by
+    user_id."""
+    from pyspark.sql import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    totals = events.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("__tot")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("__tot"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            F.col("rnk").cast("long").alias("rnk"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.round(F.col("__tot").cast("double"), 2).alias("total_value"),
+        )
+    )
+
+
+_TOPK_SQL = """
+WITH totals AS (
+  SELECT event_type, user_id, sum(CAST(value AS DECIMAL(18,2))) AS tot
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, tot,
+         row_number() OVER (PARTITION BY event_type ORDER BY tot DESC, user_id) AS rnk
+  FROM totals
+)
+SELECT event_type, CAST(rnk AS BIGINT) AS rnk, CAST(user_id AS BIGINT) AS user_id,
+       round(CAST(tot AS DOUBLE), 2) AS total_value
+FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -4219,6 +4309,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_counts": q_cms_counts,
         "grouping_sets": q_grouping_sets,
         "json_extract": q_json_extract,
+        "set_ops": q_set_ops,
+        "topk_per_group": q_topk_per_group,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -4289,4 +4381,6 @@ def oracle_sql() -> dict[str, str]:
         "cms_counts": _cms_sql(),
         "grouping_sets": _GROUPING_SETS_SQL,
         "json_extract": _JSON_EXTRACT_SQL,
+        "set_ops": _SET_OPS_SQL,
+        "topk_per_group": _TOPK_SQL,
     }
