@@ -58,13 +58,14 @@ def range_join(
     w = int(bucket_width_us)
     ev = events.withColumn("__rb", F.floor(_us(ts_col, events) / w))
     lo_us, hi_us = _us(lo_col, intervals), _us(hi_col, intervals)
+    # guard on the arithmetic span BEFORE materializing the sequence — a
+    # pathological interval must hit this error, not Spark's array-length
+    # limit (or an OOM) inside sequence()
+    span = F.floor(hi_us / w) - F.floor(lo_us / w) + 1
     iv = intervals.withColumn(
-        "__rbs", F.sequence(F.floor(lo_us / w), F.floor(hi_us / w))
-    )
-    iv = iv.withColumn(
         "__rbs",
         F.when(
-            F.size("__rbs") > max_fanout,
+            span > max_fanout,
             F.raise_error(
                 F.concat(
                     F.lit(
@@ -73,7 +74,7 @@ def range_join(
                     )
                 )
             ).cast("array<long>"),
-        ).otherwise(F.col("__rbs")),
+        ).otherwise(F.sequence(F.floor(lo_us / w), F.floor(hi_us / w))),
     ).withColumn("__rb", F.explode("__rbs")).drop("__rbs")
     joined = ev.join(iv, ["__rb", *keys]).where(
         _us(ts_col, events).between(lo_us, hi_us)

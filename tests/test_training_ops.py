@@ -432,6 +432,12 @@ def test_range_join(spark):
     with _pytest.raises(Exception, match="buckets"):
         range_join(ev, iv, "ts_us", "lo", "hi", bucket_width_us=1_000, max_fanout=10).count()
 
+    # ...including for spans far past sequence()'s own array-length limit:
+    # OUR message, evaluated before the sequence is ever materialized
+    huge = spark.createDataFrame(pd.DataFrame({"iid": [9], "lo": [0], "hi": [10**14]}))
+    with _pytest.raises(Exception, match="buckets"):
+        range_join(ev, huge, "ts_us", "lo", "hi", bucket_width_us=1, max_fanout=4096).count()
+
 
 def test_time_bucket_rollup_cascade(spark):
     from rustiflow_spark.operators.intervals import rollup_coarser, time_bucket_rollup
