@@ -297,18 +297,16 @@ def cms_sketch(
     rows (map-side partial counts); the input is never rescanned for
     lookups. Merge shards with cms_merge (counter sums are associative).
     """
-    rows = [
-        df.select(
-            *group_cols,
-            F.lit(r).alias("row"),
-            _cms_hash_expr(key_col, r, width_bits, hash_fn).alias("bucket"),
-        )
-        for r in range(depth)
-    ]
-    u = rows[0]
-    for r in rows[1:]:
-        u = u.unionByName(r)
-    return u.groupBy(*group_cols, "row", "bucket").agg(F.count("*").alias("cnt"))
+    # all depth hashes in ONE scan (posexplode of the per-row cell array);
+    # a union of per-row selects would rescan the input depth times
+    cells = F.array(
+        *[_cms_hash_expr(key_col, r, width_bits, hash_fn) for r in range(depth)]
+    )
+    return (
+        df.select(*group_cols, F.posexplode(cells).alias("row", "bucket"))
+        .groupBy(*group_cols, "row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cms_merge(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
