@@ -3592,6 +3592,118 @@ HAVING (bucket_s + 3600) * 1000000 <= wm_us
 """
 
 
+def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed HLL (streaming/rollup_stream.py hll_stream):
+    per-hour distinct-user register tables from the 3-file availableNow
+    replay (append mode, exactly-once per finalized bucket), then the
+    batch estimator over the emitted registers — the store-the-sketch
+    pattern for unbounded streams. Oracle: batch HLL per (event_type,
+    hour) restricted to buckets the final watermark passed, every integer
+    step replayed in SQL."""
+    import glob as globmod
+    import os
+    import shutil
+    import zlib
+
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sketches import hll_estimate
+    from rustiflow_spark.streaming.rollup_stream import hll_stream
+
+    base = f"/tmp/rustiflow_hllstream_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+    ev = _events(spark, sf_dir).select("ts_us", "user_id", "event_type")
+    lo, hi = ev.selectExpr("min(ts_us)", "max(ts_us)").first()
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    seen: set[str] = set()
+    for i, (a, b) in enumerate([(None, t1), (t1, t2), (t2, None)]):
+        part = ev
+        if a is not None:
+            part = part.where(F.col("ts_us") >= a)
+        if b is not None:
+            part = part.where(F.col("ts_us") < b)
+        part.coalesce(1).write.mode("append").parquet(src)
+        cur = set(globmod.glob(f"{src}/part-*.parquet"))
+        for f in cur - seen:
+            os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        seen = cur
+
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    regs = hll_stream(
+        stream, "ts_us", 3600, "user_id", ["event_type"], p=12,
+        watermark_delay="10 seconds", hash_fn="md5",
+    )
+    q = (
+        regs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    emitted = spark.read.parquet(out)
+    return hll_estimate(emitted, ["event_type", "bucket_s"], p=12).select(
+        "event_type",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.round("hll_estimate", 4).alias("est_users"),
+    )
+
+
+def _hll_stream_sql(p: int = 12) -> str:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    w_bits = 60 - p
+    hexpr = (
+        "("
+        + " + ".join(
+            f"CAST((strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) AS BIGINT) * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        + ")"
+    )
+    return f"""
+WITH wm AS (
+  SELECT (CAST(floor(max(epoch_us(ts)) / 1000) AS BIGINT) - 10000) * 1000 AS wm_us
+  FROM events
+),
+h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
+         {hexpr} AS hv
+  FROM (SELECT event_type, ts, substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS hx FROM events)
+),
+regs AS (
+  SELECT event_type, bucket_s, CAST(hv % {m} AS INT) AS reg,
+         max(CASE WHEN hv // {m} = 0 THEN {w_bits + 1}
+                  ELSE {w_bits} - length(bin(hv // {m})) + 1 END) AS mj
+  FROM h GROUP BY event_type, bucket_s, reg
+),
+agg AS (
+  SELECT event_type, bucket_s,
+         sum(CAST(1 AS BIGINT) << CAST(49 - mj AS INT)) AS s_nz,
+         count(*) AS nz
+  FROM regs, wm
+  WHERE (bucket_s + 3600) * 1000000 <= wm_us
+  GROUP BY event_type, bucket_s
+),
+est AS (
+  SELECT event_type, bucket_s,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({1 << 49} AS DOUBLE)
+           / CAST(s_nz + ({m} - nz) * {1 << 49} AS DOUBLE) AS raw,
+         nz
+  FROM agg
+)
+SELECT event_type, bucket_s,
+       round(CASE WHEN raw <= 2.5 * {m} AND nz < {m}
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / CAST({m} - nz AS DOUBLE))
+                  ELSE raw END, 4) AS est_users
+FROM est
+"""
+
+
 def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming EVENT-path sessionization (S6 event analog,
     streaming/sessionize_stream.py:sessionize_stream): the events table
@@ -4297,6 +4409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_stream": q_flow_stream,
         "session_stream": q_session_stream,
         "rollup_stream": q_rollup_stream,
+        "hll_stream": q_hll_stream,
         "langid": q_langid,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -4369,6 +4482,7 @@ def oracle_sql() -> dict[str, str]:
         "flow_stream": _Q_STREAM_SQL,
         "session_stream": _Q_SESSION_STREAM_SQL,
         "rollup_stream": _ROLLUP_STREAM_SQL,
+        "hll_stream": _hll_stream_sql(),
         "flow_rustiflow203": _rustiflow203_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_topk": _ann_topk_sql(),

@@ -58,3 +58,54 @@ def rollup_stream(
             "max_value",
         )
     )
+
+
+def hll_stream(
+    stream: DataFrame,
+    ts_us_col: str,
+    width_s: int,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 12,
+    watermark_delay: str = "10 seconds",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming windowed HLL register tables: distinct-count sketches per
+    (group..., tumbling bucket) from an unbounded stream.
+
+    Same append-mode/watermark contract as rollup_stream — a bucket's
+    register table emits exactly once when the watermark passes its end,
+    and state is O(groups x open buckets x occupied registers). The
+    emitted rows ARE the mergeable sketch (operators/sketches.py
+    hll_merge/hll_estimate consume them directly), so a 100-TB stream
+    reduces to a tiny per-bucket register table once and every later
+    distinct-count read is sketch-sized. max(rho) is idempotent, which
+    also makes re-emitted state after a restart harmless to downstream
+    merges.
+    """
+    from rustiflow_spark.operators.sketches import _HASH_BITS, _hash_expr
+
+    m = 1 << p
+    w_bits = _HASH_BITS - p
+    reg = (F.col("__hll_h") % m).cast("int").alias("reg")
+    w = F.expr(f"__hll_h div {m}")
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
+        .cast("int")
+    )
+    win = F.window(F.col("__ts"), f"{width_s} seconds")
+    return (
+        stream.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))
+        .withColumn("__hll_h", _hash_expr(key_col, hash_fn))
+        .select(*group_cols, "__ts", reg, rho.alias("__rho"))
+        .withWatermark("__ts", watermark_delay)
+        .groupBy(win.alias("__w"), *group_cols, "reg")
+        .agg(F.max("__rho").alias("mj"))
+        .select(
+            *group_cols,
+            F.unix_timestamp(F.col("__w.start")).alias("bucket_s"),
+            "reg",
+            "mj",
+        )
+    )

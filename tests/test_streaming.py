@@ -351,3 +351,60 @@ def test_rollup_stream_matches_batch_on_finalized_buckets(spark, tmp_path):
     batch = batch.sort_values(["g", "bucket_s"]).reset_index(drop=True)
     assert len(got) > 0
     pd.testing.assert_frame_equal(got[batch.columns], batch)
+
+
+def test_hll_stream_registers_match_batch(spark, tmp_path):
+    """Streaming windowed HLL register tables == batch hll_registers per
+    finalized bucket (and estimates agree exactly)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.sketches import hll_estimate, hll_registers
+    from rustiflow_spark.streaming.rollup_stream import hll_stream
+
+    rng = np.random.RandomState(13)
+    pdf = pd.DataFrame(
+        {
+            "ts_us": np.sort(rng.randint(0, 600 * 1_000_000, size=6000)),
+            "uid": rng.randint(0, 800, size=6000),
+            "g": ["x"] * 6000,
+        }
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    df = spark.createDataFrame(pdf)
+    df.where("ts_us < 300000000").coalesce(1).write.mode("append").parquet(src)
+    df.where("ts_us >= 300000000").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    regs = hll_stream(stream, "ts_us", 60, "uid", ["g"], p=12, watermark_delay="5 seconds")
+    q = (
+        regs.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas().sort_values(["g", "bucket_s", "reg"]).reset_index(drop=True)
+    assert len(got) > 0
+
+    max_us = int(pdf["ts_us"].max())
+    wm_us = (max_us // 1000 - 5000) * 1000
+    batch = df.withColumn("bucket_s", (F.floor(F.col("ts_us") / 60_000_000) * 60).cast("long"))
+    bregs = hll_registers(batch, "uid", ["g", "bucket_s"], p=12).toPandas()
+    bregs = bregs[(bregs["bucket_s"] + 60) * 1_000_000 <= wm_us]
+    bregs = bregs.sort_values(["g", "bucket_s", "reg"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[bregs.columns].astype(bregs.dtypes.to_dict()), bregs)
+
+    # and the estimates over the emitted registers agree bit-for-bit
+    e1 = hll_estimate(spark.read.parquet(out), ["g", "bucket_s"], p=12).toPandas()
+    e2 = hll_estimate(
+        hll_registers(batch, "uid", ["g", "bucket_s"], p=12).where(
+            (F.col("bucket_s") + 60) * 1_000_000 <= wm_us
+        ),
+        ["g", "bucket_s"],
+        p=12,
+    ).toPandas()
+    m = e1.merge(e2, on=["g", "bucket_s"], suffixes=("_s", "_b"))
+    assert (m.hll_estimate_s == m.hll_estimate_b).all()
