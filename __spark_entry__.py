@@ -1671,6 +1671,64 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+_Z_BITS = 16
+_Z_RANGES = [(0, 199), (0, 604799)]  # user_id; seconds into the week
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout key (operators/layout.py): user_id and
+    time-offset interleaved bit-by-bit — the sort key that gives parquet
+    min/max pruning on BOTH dimensions at once. Pure integer Catalyst
+    arithmetic against declared ranges, replayed bit-for-bit by the
+    DuckDB oracle. Reference analog: none (north-rule storage-layout
+    component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.layout import zorder_key
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        (
+            F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)")
+        ).alias("t_off"),
+    )
+    return zorder_key(ev, ["user_id", "t_off"], _Z_RANGES, bits=_Z_BITS).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("zkey").cast("long").alias("zkey"),
+    )
+
+
+def _zorder_sql(bits: int = _Z_BITS) -> str:
+    n = len(_Z_RANGES)
+    qs = []
+    for lo, hi in _Z_RANGES:
+        span = hi - lo
+        qs.append(
+            f"((least(greatest(CAST({{col}} AS BIGINT), {lo}), {hi}) - {lo})"
+            f" * {1 << bits}) // {span + 1}"
+        )
+    q0 = qs[0].format(col="user_id")
+    q1 = qs[1].format(col="t_off")
+    # NB: '+' binds tighter than '<<' in SQL — every term must be fully
+    # parenthesized or the sum reassociates into the shift amounts
+    terms = []
+    for i, q in enumerate((q0, q1)):
+        for b in range(bits):
+            terms.append(f"(((({q}) >> {b}) & 1) << {b * n + i})")
+    return f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST({" + ".join(terms)} AS BIGINT) AS zkey
+FROM (
+  -- epoch() is fractional and CAST rounds; integer epoch_us // 1e6
+  -- truncates like Spark's timestampdiff(SECOND, ...)
+  SELECT event_id, user_id,
+         CAST(epoch_us(ts) // 1000000 - 1704067200 AS BIGINT) AS t_off
+  FROM events
+)
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -4424,6 +4482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "set_ops": q_set_ops,
         "topk_per_group": q_topk_per_group,
+        "zorder_key": q_zorder_key,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -4497,4 +4556,5 @@ def oracle_sql() -> dict[str, str]:
         "json_extract": _JSON_EXTRACT_SQL,
         "set_ops": _SET_OPS_SQL,
         "topk_per_group": _TOPK_SQL,
+        "zorder_key": _zorder_sql(),
     }

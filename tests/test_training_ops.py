@@ -592,3 +592,49 @@ def test_new_op_plans(spark):
         assert p.count("Exchange hashpartitioning") == 1, p
         assert "partial_" in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zorder_layout_locality(spark):
+    """Z-order locality: after layout_zorder, a selective predicate on
+    EITHER interleaved dimension touches a small fraction of the output
+    partitions (files) — a single-column sort only gives that for its
+    leading column."""
+    from rustiflow_spark.operators.layout import layout_zorder, zorder_key
+
+    rng = np.random.RandomState(17)
+    pdf = pd.DataFrame({
+        "a": rng.randint(0, 1024, size=40000),
+        "b": rng.randint(0, 1024, size=40000),
+    })
+    df = spark.createDataFrame(pdf)
+    n_files = 32
+    ranges = [(0, 1023), (0, 1023)]
+    z = layout_zorder(df, ["a", "b"], ranges, n_files=n_files, bits=10)
+
+    def touched(laid, pred):
+        return (
+            laid.withColumn("__pid", F.spark_partition_id())
+            .where(pred)
+            .select("__pid")
+            .distinct()
+            .count()
+        )
+
+    zc = z.cache(); zc.count()
+    # ~1/32 of the value space on each axis
+    t_a = touched(zc, "a between 0 and 31")
+    t_b = touched(zc, "b between 0 and 31")
+    # both dimensions skip: far fewer than all partitions
+    assert t_a <= n_files // 2 and t_b <= n_files // 2, (t_a, t_b)
+
+    # contrast: plain sort by a gives b-queries NO locality
+    plain = df.repartitionByRange(n_files, "a").sortWithinPartitions("a")
+    pc = plain.cache(); pc.count()
+    assert touched(pc, "a between 0 and 31") <= 3
+    assert touched(pc, "b between 0 and 31") >= n_files - 2
+    zc.unpersist(); pc.unpersist()
+
+    # key determinism + range clamp
+    k1 = zorder_key(df, ["a", "b"], ranges, bits=10).toPandas()
+    k2 = zorder_key(df.repartition(9), ["a", "b"], ranges, bits=10).toPandas()
+    assert k1.sort_values(["a", "b"]).zkey.tolist() == k2.sort_values(["a", "b"]).zkey.tolist()
