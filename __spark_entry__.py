@@ -1729,6 +1729,59 @@ FROM (
 """
 
 
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 whitespace unigrams AND top-50 bigrams
+    over documents (operators/textstats.py vocab_topk) — the
+    vocabulary-building staple of a training-data pipeline. The plan is
+    explode -> partial-agg count -> TakeOrderedAndProject (distributed
+    top-k, never a global sort of the vocab). Ties rank
+    lexicographically, so the oracle replay is exact."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.textstats import vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    uni = vocab_topk(docs, "text", k=50, ngram=1).select(
+        F.lit(1).alias("n"), F.col("rnk").cast("long").alias("rnk"), "term",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    bi = vocab_topk(docs, "text", k=50, ngram=2).select(
+        F.lit(2).alias("n"), F.col("rnk").cast("long").alias("rnk"), "term",
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+    return uni.unionByName(bi)
+
+
+_VOCAB_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+uni AS (
+  SELECT term, count(*) AS cnt FROM toks WHERE term != '' GROUP BY term
+),
+uni_r AS (
+  SELECT 1 AS n, row_number() OVER (ORDER BY cnt DESC, term) AS rnk, term, cnt
+  FROM uni
+),
+grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 1),
+           i -> array_to_string(list_slice(string_split(text, ' '), i, i + 1), ' ')
+         )) AS term
+  FROM documents
+),
+bi AS (
+  SELECT term, count(*) AS cnt FROM grams WHERE term != '' GROUP BY term
+),
+bi_r AS (
+  SELECT 2 AS n, row_number() OVER (ORDER BY cnt DESC, term) AS rnk, term, cnt
+  FROM bi
+)
+SELECT n, rnk, term, cnt FROM uni_r WHERE rnk <= 50
+UNION ALL
+SELECT n, rnk, term, cnt FROM bi_r WHERE rnk <= 50
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -4483,6 +4536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "topk_per_group": q_topk_per_group,
         "zorder_key": q_zorder_key,
+        "vocab_topk": q_vocab_topk,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -4557,4 +4611,5 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_OPS_SQL,
         "topk_per_group": _TOPK_SQL,
         "zorder_key": _zorder_sql(),
+        "vocab_topk": _VOCAB_SQL,
     }

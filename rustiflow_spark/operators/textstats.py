@@ -125,3 +125,40 @@ def document_fingerprint(
             )
 
     return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
+
+
+def vocab_topk(
+    df: DataFrame, text_col: str, k: int = 50, ngram: int = 1
+) -> DataFrame:
+    """Corpus-wide top-k token (or word-n-gram) frequencies.
+
+    explode + count with map-side partial aggregation: the shuffle carries
+    one row per distinct term per task, not per occurrence — the plan
+    that survives a 100-TB corpus. Ranking ties break lexicographically
+    so the output is deterministic. ngram > 1 joins adjacent whitespace
+    tokens with a single space.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    if ngram == 1:
+        term = F.explode(toks).alias("term")
+        exploded = df.select(term).where(F.col("term") != "")
+    else:
+        grams = F.expr(
+            f"transform(sequence(1, size(split({text_col}, ' ')) - {ngram - 1}),"
+            f" i -> array_join(slice(split({text_col}, ' '), i, {ngram}), ' '))"
+        )
+        exploded = df.select(F.explode(grams).alias("term")).where(
+            F.col("term") != ""
+        )
+    counts = exploded.groupBy("term").agg(F.count("*").alias("cnt"))
+    # orderBy + limit compiles to TakeOrderedAndProject: per-partition
+    # top-k then a k-row merge on the driver side of the exchange — never
+    # a single-task sort of the whole vocabulary. The rank window then
+    # runs over just k rows.
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "rnk", "term", "cnt"
+    )

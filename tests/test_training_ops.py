@@ -638,3 +638,23 @@ def test_zorder_layout_locality(spark):
     k1 = zorder_key(df, ["a", "b"], ranges, bits=10).toPandas()
     k2 = zorder_key(df.repartition(9), ["a", "b"], ranges, bits=10).toPandas()
     assert k1.sort_values(["a", "b"]).zkey.tolist() == k2.sort_values(["a", "b"]).zkey.tolist()
+
+
+def test_vocab_topk(spark):
+    from rustiflow_spark.operators.textstats import vocab_topk
+
+    pdf = pd.DataFrame({"text": ["a b a c", "b a b", "c c a"]})
+    df = spark.createDataFrame(pdf)
+    uni = vocab_topk(df, "text", k=10).toPandas()
+    assert uni[uni.term == "a"]["cnt"].iloc[0] == 4
+    assert uni.iloc[0].term == "a" and uni.iloc[0].rnk == 1
+    # ties (b=3, c=3) break lexicographically
+    assert list(uni.term) == ["a", "b", "c"]
+
+    bi = vocab_topk(df, "text", k=10, ngram=2).toPandas()
+    assert bi[bi.term == "a b"]["cnt"].iloc[0] == 2  # "a b" in doc1 + doc2
+    assert bi.cnt.sum() == 7  # 3 + 2 + 2 bigrams per doc
+
+    # distributed top-k: TakeOrderedAndProject, not a global sort
+    plan = vocab_topk(df, "text", k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
