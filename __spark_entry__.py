@@ -1327,7 +1327,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     fine = time_bucket_rollup(events, "ts", 60, ["event_type"], "value")
-    return rollup_coarser(fine, 3600, ["event_type"]).select(
+    return rollup_coarser(fine, 3600, ["event_type"], fine_width_s=60).select(
         "event_type",
         "bucket_s",
         "n_rows",
@@ -1514,14 +1514,15 @@ sk AS (SELECT event_type, row, bucket, count(*) AS cnt FROM cells GROUP BY event
 probes AS (
   SELECT DISTINCT user_id, row, bucket FROM cells WHERE user_id < 20
 ),
-j AS (
-  SELECT sk.event_type, p.user_id, min(sk.cnt) AS m, count(*) AS hit
-  FROM sk JOIN probes p ON sk.row = p.row AND sk.bucket = p.bucket
-  GROUP BY sk.event_type, p.user_id
+pg AS (
+  SELECT g.event_type, p.user_id, p.row, p.bucket
+  FROM (SELECT DISTINCT event_type FROM sk) g CROSS JOIN probes p
 )
-SELECT event_type, CAST(user_id AS BIGINT) AS user_id,
-       CAST(CASE WHEN hit < {d} THEN 0 ELSE m END AS BIGINT) AS est_count
-FROM j
+SELECT pg.event_type, CAST(pg.user_id AS BIGINT) AS user_id,
+       CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+FROM pg LEFT JOIN sk
+  ON sk.event_type = pg.event_type AND sk.row = pg.row AND sk.bucket = pg.bucket
+GROUP BY pg.event_type, pg.user_id
 """
 
 
@@ -3625,29 +3626,18 @@ WHERE next_first IS NOT NULL
 """
 
 
-def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming continuous aggregate (streaming/rollup_stream.py): the
-    events table replayed as THREE time-ranged parquet files under
-    availableNow with maxFilesPerTrigger=1, through the native windowed
-    aggregation + watermark in append mode. Buckets span micro-batches
-    (state continuity) and only finalize when the watermark passes their
-    end, so the emitted set is exactly the buckets with
-    (bucket_s + width) <= ms-truncated(max_ts - delay) — the closed-form
-    restriction the DuckDB oracle replays. Decimal sums make finalized
-    buckets bit-identical to the batch rollup."""
+def _replay_three_files(ev: DataFrame, name: str, sf_dir: str) -> tuple[str, str, str]:
+    """Write ev as three time-ranged parquet files with pinned mtimes so a
+    FileStreamSource with maxFilesPerTrigger=1 replays them as three
+    micro-batches in event-time order. Returns (src, out, ckpt) dirs."""
     import glob as globmod
     import os
     import shutil
     import zlib
 
-    _ensure_package_shipped(spark)
-    from rustiflow_spark.streaming.rollup_stream import rollup_stream
-
-    base = f"/tmp/rustiflow_rollstream_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    base = f"/tmp/rustiflow_{name}_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
-
-    ev = _events(spark, sf_dir).select("ts_us", "value", "event_type")
     lo, hi = ev.selectExpr("min(ts_us)", "max(ts_us)").first()
     t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     seen: set[str] = set()
@@ -3658,24 +3648,44 @@ def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if b is not None:
             part = part.where(F.col("ts_us") < b)
         part.coalesce(1).write.mode("append").parquet(src)
-        # pin mtimes so FileStreamSource replays splits in event-time order
         cur = set(globmod.glob(f"{src}/part-*.parquet"))
         for f in cur - seen:
             os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
         seen = cur
+    return src, out, ckpt
 
-    stream = (
-        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    roll = rollup_stream(stream, "ts_us", 3600, ["event_type"], "value", "10 seconds")
+
+def _run_available_now(stream_df: DataFrame, out: str, ckpt: str) -> None:
     q = (
-        roll.writeStream.format("parquet")
+        stream_df.writeStream.format("parquet")
         .option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(600)
+
+
+def q_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous aggregate (streaming/rollup_stream.py): the
+    events table replayed as THREE time-ranged parquet files under
+    availableNow with maxFilesPerTrigger=1, through the native windowed
+    aggregation + watermark in append mode. Buckets span micro-batches
+    (state continuity) and only finalize when the watermark passes their
+    end, so the emitted set is exactly the buckets with
+    (bucket_s + width) <= ms-truncated(max_ts - delay) — the closed-form
+    restriction the DuckDB oracle replays. Decimal sums make finalized
+    buckets bit-identical to the batch rollup."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.streaming.rollup_stream import rollup_stream
+
+    ev = _events(spark, sf_dir).select("ts_us", "value", "event_type")
+    src, out, ckpt = _replay_three_files(ev, "rollstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    roll = rollup_stream(stream, "ts_us", 3600, ["event_type"], "value", "10 seconds")
+    _run_available_now(roll, out, ckpt)
     return spark.read.parquet(out).select(
         "event_type",
         "bucket_s",
@@ -3711,35 +3721,12 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for unbounded streams. Oracle: batch HLL per (event_type,
     hour) restricted to buckets the final watermark passed, every integer
     step replayed in SQL."""
-    import glob as globmod
-    import os
-    import shutil
-    import zlib
-
     _ensure_package_shipped(spark)
     from rustiflow_spark.operators.sketches import hll_estimate
     from rustiflow_spark.streaming.rollup_stream import hll_stream
 
-    base = f"/tmp/rustiflow_hllstream_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
-    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
-
     ev = _events(spark, sf_dir).select("ts_us", "user_id", "event_type")
-    lo, hi = ev.selectExpr("min(ts_us)", "max(ts_us)").first()
-    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
-    seen: set[str] = set()
-    for i, (a, b) in enumerate([(None, t1), (t1, t2), (t2, None)]):
-        part = ev
-        if a is not None:
-            part = part.where(F.col("ts_us") >= a)
-        if b is not None:
-            part = part.where(F.col("ts_us") < b)
-        part.coalesce(1).write.mode("append").parquet(src)
-        cur = set(globmod.glob(f"{src}/part-*.parquet"))
-        for f in cur - seen:
-            os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-        seen = cur
-
+    src, out, ckpt = _replay_three_files(ev, "hllstream", sf_dir)
     stream = (
         spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
@@ -3747,14 +3734,7 @@ def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts_us", 3600, "user_id", ["event_type"], p=12,
         watermark_delay="10 seconds", hash_fn="md5",
     )
-    q = (
-        regs.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
+    _run_available_now(regs, out, ckpt)
     emitted = spark.read.parquet(out)
     return hll_estimate(emitted, ["event_type", "bucket_s"], p=12).select(
         "event_type",

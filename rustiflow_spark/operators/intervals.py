@@ -111,10 +111,22 @@ def time_bucket_rollup(
 
 
 def rollup_coarser(
-    fine: DataFrame, width_s: int, group_cols: list[str]
+    fine: DataFrame, width_s: int, group_cols: list[str], fine_width_s: int | None = None
 ) -> DataFrame:
     """Re-aggregate a time_bucket_rollup to a coarser width WITHOUT touching
-    the raw table: counts add, decimal sums add exactly, min/max nest."""
+    the raw table: counts add, decimal sums add exactly, min/max nest.
+
+    width_s MUST be a multiple of the fine rollup's width — otherwise a
+    fine bucket straddles two coarse buckets and its rows silently land
+    in the earlier one. Pass fine_width_s to have that checked here;
+    without it the caller owns the invariant.
+    """
+    if fine_width_s is not None and width_s % fine_width_s != 0:
+        raise ValueError(
+            f"rollup_coarser: coarse width {width_s}s is not a multiple of"
+            f" the fine width {fine_width_s}s — fine buckets would straddle"
+            " coarse boundaries and mis-bucket their rows"
+        )
     bucket = (
         F.floor(F.col("bucket_s") / width_s).cast("long") * width_s
     ).alias("bucket_s")

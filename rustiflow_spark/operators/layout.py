@@ -43,6 +43,12 @@ def zorder_key(
         if hi <= lo:
             raise ValueError(f"zorder_key: empty range for {c}")
         span = hi - lo
+        # (v - lo) * 2^bits must fit a long or the key silently wraps
+        if span + 1 > (1 << (62 - bits)):
+            raise ValueError(
+                f"zorder_key: range for {c} too wide for {bits} bits"
+                f" (span {span} > 2^{62 - bits}) — shrink the range or bits"
+            )
         # clamp -> scale to [0, 2^bits): q = (v - lo) * 2^bits div (span + 1)
         q = (
             f"(CAST(least(greatest(CAST({c} AS BIGINT), {lo}), {hi}) - {lo} AS BIGINT)"

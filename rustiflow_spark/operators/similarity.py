@@ -165,16 +165,14 @@ def _ivf_dists_expr(qe_col: str):
     )
 
 
-def _ivf_cluster_expr(qe_col: str):
-    """0-based id of the nearest centroid; ties resolve to the lowest id
-    (array_position returns the FIRST occurrence of the min)."""
+def _ivf_cluster_expr(dists_col: str):
+    """0-based index of the min of a precomputed distance array; ties
+    resolve to the lowest index (array_position returns the FIRST
+    occurrence). Takes the materialized dists column — inlining the K x d
+    distance computation twice (for array_position and array_min) would
+    double the dominant per-row cost of assignment."""
     return (
-        F.expr(
-            f"array_position(transform(__cents, c -> aggregate(zip_with({qe_col}, c,"
-            " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)),"
-            f" array_min(transform(__cents, c -> aggregate(zip_with({qe_col}, c,"
-            " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))))"
-        ).cast("int")
+        F.expr(f"array_position({dists_col}, array_min({dists_col}))").cast("int")
         - 1
     )
 
@@ -214,9 +212,13 @@ def ivf_fit(
         )
     cents = np.array([r["__qe"] for r in seeds], dtype=np.int64)
     for _ in range(iters):
-        assigned = q.withColumn("__cents", _cent_lit(cents)).select(
-            _ivf_cluster_expr("__qe").alias("__cl"),
-            F.posexplode("__qe").alias("__pos", "__val"),
+        assigned = (
+            q.withColumn("__cents", _cent_lit(cents))
+            .withColumn("__dists", _ivf_dists_expr("__qe"))
+            .select(
+                _ivf_cluster_expr("__dists").alias("__cl"),
+                F.posexplode("__qe").alias("__pos", "__val"),
+            )
         )
         stats = (
             assigned.groupBy("__cl", "__pos")
@@ -266,8 +268,9 @@ def ann_topk_ivf(
             _quant_expr(emb_col).alias("__qe"),
         )
         .withColumn("__cents", _cent_lit(centroids))
-        .withColumn("list_id", _ivf_cluster_expr("__qe"))
-        .drop("__cents", "__qe")
+        .withColumn("__dists", _ivf_dists_expr("__qe"))
+        .withColumn("list_id", _ivf_cluster_expr("__dists"))
+        .drop("__cents", "__qe", "__dists")
     )
     # probe list selection: relational (posexplode + row_number) so ties
     # resolve identically in Spark and any SQL replay — (dist, list idx)

@@ -67,6 +67,19 @@ def hll_registers(
     Partial aggregation (map-side max) makes the shuffle tiny regardless
     of input size; the output is at most 2^p rows per group.
     """
+    reg, rho = hll_register_cols(p)
+    return (
+        df.select(*group_cols, _hash_expr(key_col, hash_fn).alias("__hll_h"))
+        .select(*group_cols, reg, rho.alias("__rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("__rho").alias("mj"))
+    )
+
+
+def hll_register_cols(p: int) -> tuple["F.Column", "F.Column"]:
+    """(reg, rho) expressions over a __hll_h hash column — the single
+    definition of the register split, shared by the batch and streaming
+    sketches so they stay merge-compatible."""
     m = 1 << p
     w_bits = _HASH_BITS - p
     reg = (F.col("__hll_h") % m).cast("int").alias("reg")
@@ -77,12 +90,7 @@ def hll_registers(
         .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
         .cast("int")
     )
-    return (
-        df.select(*group_cols, _hash_expr(key_col, hash_fn).alias("__hll_h"))
-        .select(*group_cols, reg, rho.alias("__rho"))
-        .groupBy(*group_cols, "reg")
-        .agg(F.max("__rho").alias("mj"))
-    )
+    return reg, rho
 
 
 def hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -327,35 +335,20 @@ def cms_estimate(
 ) -> DataFrame:
     """Point-frequency estimates for a keys DataFrame against the sketch.
 
-    Each key probes its (row, bucket) cell in every hash row (broadcast of
-    the probe side — depth rows per key — then an equi-join on the cell);
-    the estimate is the min across rows, missing cells count 0.
+    Returns exactly one row per (group, key): every probe key is crossed
+    with the sketch's group set, each of its depth cells is LEFT-joined
+    (an empty cell counts 0), and the estimate is the min across rows —
+    so a key absent from a group estimates 0 rather than silently
+    dropping out of the result.
     """
-    probes = [
-        keys.select(
-            F.col(key_col),
-            F.lit(r).alias("row"),
-            _cms_hash_expr(key_col, r, width_bits, hash_fn).alias("bucket"),
-        )
-        for r in range(depth)
-    ]
-    p = probes[0]
-    for r in probes[1:]:
-        p = p.unionByName(r)
-    # the sketch side carries group_cols: joining on the cell alone probes
-    # each key against every group's counters
-    est = (
-        sketch.join(F.broadcast(p), ["row", "bucket"])
-        .groupBy(*group_cols, key_col)
-        .agg(F.min("cnt").alias("cms_estimate"), F.count("*").alias("__rows_hit"))
-        # a key whose cell is empty in ANY row has true estimate = that
-        # row's 0, not the min over hit rows only
-        .withColumn(
-            "cms_estimate",
-            F.when(F.col("__rows_hit") < depth, F.lit(0)).otherwise(
-                F.col("cms_estimate")
-            ),
-        )
-        .drop("__rows_hit")
+    cells = F.array(
+        *[_cms_hash_expr(key_col, r, width_bits, hash_fn) for r in range(depth)]
     )
-    return est
+    probes = keys.select(key_col, F.posexplode(cells).alias("row", "bucket"))
+    groups = sketch.select(*group_cols).distinct()
+    pg = groups.crossJoin(F.broadcast(probes))
+    return (
+        pg.join(sketch, [*group_cols, "row", "bucket"], "left")
+        .groupBy(*group_cols, key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_estimate"))
+    )

@@ -140,17 +140,24 @@ def vocab_topk(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.col(text_col), " ")
     if ngram == 1:
-        term = F.explode(toks).alias("term")
+        term = F.explode(F.split(F.col(text_col), " ")).alias("term")
         exploded = df.select(term).where(F.col("term") != "")
     else:
+        # bind the split once (re-splitting inside the transform lambda
+        # would be O(tokens^2) per document), and guard sub-ngram-length
+        # documents: sequence(1, 0) would count DOWN and slice(arr, 0, n)
+        # is a runtime error
         grams = F.expr(
-            f"transform(sequence(1, size(split({text_col}, ' ')) - {ngram - 1}),"
-            f" i -> array_join(slice(split({text_col}, ' '), i, {ngram}), ' '))"
+            f"CASE WHEN size(__toks) >= {ngram} THEN"
+            f" transform(sequence(1, size(__toks) - {ngram - 1}),"
+            f" i -> array_join(slice(__toks, i, {ngram}), ' '))"
+            f" ELSE array() END"
         )
-        exploded = df.select(F.explode(grams).alias("term")).where(
-            F.col("term") != ""
+        exploded = (
+            df.select(F.split(F.col(text_col), " ").alias("__toks"))
+            .select(F.explode(grams).alias("term"))
+            .where(F.col("term") != "")
         )
     counts = exploded.groupBy("term").agg(F.count("*").alias("cnt"))
     # orderBy + limit compiles to TakeOrderedAndProject: per-partition

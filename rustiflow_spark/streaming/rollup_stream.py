@@ -83,17 +83,9 @@ def hll_stream(
     also makes re-emitted state after a restart harmless to downstream
     merges.
     """
-    from rustiflow_spark.operators.sketches import _HASH_BITS, _hash_expr
+    from rustiflow_spark.operators.sketches import _hash_expr, hll_register_cols
 
-    m = 1 << p
-    w_bits = _HASH_BITS - p
-    reg = (F.col("__hll_h") % m).cast("int").alias("reg")
-    w = F.expr(f"__hll_h div {m}")
-    rho = (
-        F.when(w == 0, F.lit(w_bits + 1))
-        .otherwise(F.lit(w_bits) - F.length(F.bin(w)) + 1)
-        .cast("int")
-    )
+    reg, rho = hll_register_cols(p)
     win = F.window(F.col("__ts"), f"{width_s} seconds")
     return (
         stream.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))

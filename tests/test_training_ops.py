@@ -450,7 +450,7 @@ def test_time_bucket_rollup_cascade(spark):
     })
     df = spark.createDataFrame(pdf)
     fine = time_bucket_rollup(df, "ts_us", 60, ["g"], "v")
-    coarse = rollup_coarser(fine, 3600, ["g"]).toPandas()
+    coarse = rollup_coarser(fine, 3600, ["g"], fine_width_s=60).toPandas()
     direct = time_bucket_rollup(df, "ts_us", 3600, ["g"], "v").toPandas()
     c = coarse.sort_values(["g", "bucket_s"]).reset_index(drop=True)
     d = direct.sort_values(["g", "bucket_s"]).reset_index(drop=True)
@@ -639,6 +639,11 @@ def test_zorder_layout_locality(spark):
     k2 = zorder_key(df.repartition(9), ["a", "b"], ranges, bits=10).toPandas()
     assert k1.sort_values(["a", "b"]).zkey.tolist() == k2.sort_values(["a", "b"]).zkey.tolist()
 
+    # a range too wide for the bit budget fails loudly, not by wrapping
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="too wide"):
+        zorder_key(df, ["a", "b"], [(0, 2**55), (0, 1023)], bits=16)
+
 
 def test_vocab_topk(spark):
     from rustiflow_spark.operators.textstats import vocab_topk
@@ -658,3 +663,9 @@ def test_vocab_topk(spark):
     # distributed top-k: TakeOrderedAndProject, not a global sort
     plan = vocab_topk(df, "text", k=10)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+    # documents shorter than the n-gram simply contribute nothing
+    # (regression: sequence(1, 0) counted DOWN and slice(arr, 0, n) threw)
+    short = spark.createDataFrame(pd.DataFrame({"text": ["solo", "a b"]}))
+    out = vocab_topk(short, "text", k=10, ngram=2).toPandas()
+    assert list(out.term) == ["a b"] and out.cnt.iloc[0] == 1

@@ -105,7 +105,7 @@ def main():
     fine = time_bucket_rollup(ev, "ts_us", 60, ["event_type"], "value")
     _, w_fine = t(lambda: fine.write.mode("overwrite").parquet("/tmp/bno_fine.parquet"))
     finep = spark.read.parquet("/tmp/bno_fine.parquet")
-    (n_coarse, w_casc) = t(lambda: rollup_coarser(finep, 3600, ["event_type"]).count())
+    (n_coarse, w_casc) = t(lambda: rollup_coarser(finep, 3600, ["event_type"], fine_width_s=60).count())
     (_, w_direct) = t(lambda: time_bucket_rollup(ev, "ts_us", 3600, ["event_type"], "value").count())
     res["rollup"] = {
         "fine_build_sec": w_fine,
