@@ -45,6 +45,7 @@ def range_join(
     bucket_width_us: int,
     extra_keys: list[str] | None = None,
     max_fanout: int = 4096,
+    n_salts: int = 1,
 ) -> DataFrame:
     """Inner-join events to every interval with lo <= ts <= hi (inclusive).
 
@@ -53,10 +54,21 @@ def range_join(
     An interval spanning more than `max_fanout` buckets fails loudly in
     the row that violates it (raise_error, no extra pre-scan job) —
     pick a larger bucket_width_us rather than silently exploding.
+
+    n_salts > 1 spreads a HOT bucket (a burst of events in one time
+    window) across that many reducers: each event gets one deterministic
+    salt, each interval-bucket row replicates across all salts, and the
+    join key grows to (bucket, salt) — every pair still meets exactly
+    once, at n_salts x interval-side fan-out. Leave at 1 unless a bucket
+    is large enough to skew the shuffle.
     """
     keys = list(extra_keys or [])
     w = int(bucket_width_us)
     ev = events.withColumn("__rb", F.floor(_us(ts_col, events) / w))
+    if n_salts > 1:
+        ev = ev.withColumn(
+            "__rs", F.pmod(F.xxhash64(_us(ts_col, events), F.lit(7)), n_salts)
+        )
     lo_us, hi_us = _us(lo_col, intervals), _us(hi_col, intervals)
     # guard on the arithmetic span BEFORE materializing the sequence — a
     # pathological interval must hit this error, not Spark's array-length
@@ -76,10 +88,16 @@ def range_join(
             ).cast("array<long>"),
         ).otherwise(F.sequence(F.floor(lo_us / w), F.floor(hi_us / w))),
     ).withColumn("__rb", F.explode("__rbs")).drop("__rbs")
-    joined = ev.join(iv, ["__rb", *keys]).where(
+    join_keys = ["__rb", *keys]
+    if n_salts > 1:
+        iv = iv.withColumn(
+            "__rs", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
+        )
+        join_keys = ["__rb", "__rs", *keys]
+    joined = ev.join(iv, join_keys).where(
         _us(ts_col, events).between(lo_us, hi_us)
     )
-    return joined.drop("__rb")
+    return joined.drop("__rb", "__rs")
 
 
 def time_bucket_rollup(

@@ -438,6 +438,15 @@ def test_range_join(spark):
     with _pytest.raises(Exception, match="buckets"):
         range_join(ev, huge, "ts_us", "lo", "hi", bucket_width_us=1, max_fanout=4096).count()
 
+    # hot-bucket salting changes the shuffle, never the result
+    plain = range_join(ev, iv, "ts_us", "lo", "hi", 7_000_000).toPandas()
+    salted = range_join(ev, iv, "ts_us", "lo", "hi", 7_000_000, n_salts=8).toPandas()
+    key = ["eid", "iid"]
+    assert sorted(map(tuple, plain[key].values.tolist())) == sorted(
+        map(tuple, salted[key].values.tolist())
+    )
+    assert "__rs" not in salted.columns
+
 
 def test_time_bucket_rollup_cascade(spark):
     from rustiflow_spark.operators.intervals import rollup_coarser, time_bucket_rollup
