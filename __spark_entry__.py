@@ -1783,6 +1783,87 @@ SELECT n, rnk, term, cnt FROM bi_r WHERE rnk <= 50
 """
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: corpus cleaning chaining three operators —
+    quality filter (distinct-word ratio from quality_features), an HDR
+    p95 word-count ceiling (the sketch sets the cutoff, no exact global
+    percentile pass), and exact dedup (keep the lowest doc_id per text).
+    Demonstrates the operators composing; each stage is individually
+    oracled elsewhere, the composition is oracled here end-to-end."""
+    _ensure_package_shipped(spark)
+    from pyspark.sql import Window
+
+    from rustiflow_spark.operators.sketches import hdr_histogram, hdr_quantiles
+    from rustiflow_spark.operators.textstats import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_features(docs, "text").withColumn("__g", F.lit(1))
+    cutoff = hdr_quantiles(
+        hdr_histogram(q, "q_words", ["__g"], sub_bits=6, scale=1),
+        ["__g"],
+        [0.95],
+        sub_bits=6,
+        scale=1,
+    ).select(F.col("quantile").alias("__cut"))
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        q.crossJoin(F.broadcast(cutoff))
+        .where(
+            (F.col("q_distinct_word_ratio") >= 0.5)
+            & (F.col("q_words").cast("double") <= F.col("__cut"))
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("q_words").cast("long").alias("n_words"),
+            F.round("q_distinct_word_ratio", 6).alias("distinct_ratio"),
+        )
+    )
+
+
+def _corpus_clean_sql(m: int = 6) -> str:
+    # the HDR p95 replay over q_words (scale=1), then the same filters
+    return f"""
+WITH q AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+           * 1.0 / len(regexp_split_to_array(trim(text), '\\s+')) AS distinct_ratio
+  FROM documents
+),
+b AS (
+  SELECT CASE WHEN n_words < {1 << m} THEN CAST(n_words AS BIGINT)
+              ELSE CAST((length(bin(CAST(n_words AS BIGINT))) - 1 - {m} + 1) * {1 << m}
+                   + ((CAST(n_words AS BIGINT) >> (length(bin(CAST(n_words AS BIGINT))) - 1 - {m})) - {1 << m}) AS BIGINT) END AS bucket
+  FROM q
+),
+hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+cum AS (
+  SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS c, sum(cnt) OVER () AS tot FROM hist
+),
+hit AS (
+  SELECT bucket, row_number() OVER (ORDER BY bucket) AS rn
+  FROM cum WHERE c >= ceil(0.95 * tot)
+),
+cut AS (
+  SELECT CAST(CASE WHEN (bucket >> {m}) = 0 THEN bucket
+              ELSE ((bucket % {1 << m}) + {1 << m}) << ((bucket >> {m}) - 1)
+         END AS DOUBLE) AS cutv
+  FROM hit WHERE rn = 1
+),
+kept AS (
+  SELECT q.doc_id, q.n_words, q.distinct_ratio,
+         row_number() OVER (PARTITION BY q.text ORDER BY q.doc_id) AS rn
+  FROM q, cut
+  WHERE q.distinct_ratio >= 0.5 AND CAST(q.n_words AS DOUBLE) <= cut.cutv
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_words AS BIGINT) AS n_words,
+       round(distinct_ratio, 6) AS distinct_ratio
+FROM kept WHERE rn = 1
+"""
+
+
 def q_token_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule flagship shape: a token-sequence table (tokens synthesized
     deterministically from the documents text per FIXTURES.md §4) through
@@ -4517,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "zorder_key": q_zorder_key,
         "vocab_topk": q_vocab_topk,
+        "corpus_clean": q_corpus_clean,
         "token_pipeline": q_token_pipeline,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_features": q_multimodal_features,
@@ -4592,4 +4674,5 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": _TOPK_SQL,
         "zorder_key": _zorder_sql(),
         "vocab_topk": _VOCAB_SQL,
+        "corpus_clean": _corpus_clean_sql(),
     }
