@@ -9,8 +9,11 @@ the state store only ever holds the open tail of buckets. That is the
 and the emitted table is append-only (safe to sink to parquet/Kafka).
 
 Late rows within the watermark delay still land in their bucket; rows
-later than the delay are dropped by the engine (the documented trade —
-pick the delay from the source's disorder bound).
+later than that are dropped by the engine ONCE the watermark has
+actually advanced past them — Spark computes the watermark at batch
+commit and applies it from the next batch, so a row late by exactly one
+micro-batch may still be admitted (test-pinned behavior). Pick the
+delay from the source's disorder bound.
 
 Emitted rows are exactly the buckets whose end <= final watermark, where
 the watermark is max(event time seen) - delay truncated to milliseconds —

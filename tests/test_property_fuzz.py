@@ -118,3 +118,31 @@ def test_fuzz_early_export_prefix_path(pdf, active, idle, early):
     )
     gather = run_vectorized(pdf, cfg_g)
     compare_flow_sets(gather, prefix)
+
+
+@given(
+    qs=st.lists(st.integers(min_value=0, max_value=2**52), min_size=1, max_size=64),
+    sub_bits=st.integers(min_value=2, max_value=10),
+)
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fuzz_hdr_bucket_properties(spark, qs, sub_bits):
+    """HDR bucket formula invariants over arbitrary non-negative ints:
+    bucket is monotone in q, lower_bound(bucket(q)) <= q, and the bounded
+    relative error lower_bound >= q * (1 - 2^-sub_bits) holds."""
+    from rustiflow_spark.operators.sketches import _hdr_bucket_expr, _hdr_lower_bound
+
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(_pd.DataFrame({"__q": sorted(set(qs))}))
+    out = (
+        df.withColumn("bucket", _hdr_bucket_expr("__q", sub_bits))
+        .withColumn("lo", _hdr_lower_bound("bucket", sub_bits))
+        .toPandas()
+        .sort_values("__q")
+    )
+    assert out.bucket.is_monotonic_increasing
+    assert (out.lo <= out.__q).all()
+    # relative error bound: the bucket's lower bound is within 2^-m of q
+    m = sub_bits
+    assert (out.lo >= out.__q - (out.__q // (1 << m)) - 1).all()

@@ -408,3 +408,52 @@ def test_hll_stream_registers_match_batch(spark, tmp_path):
     ).toPandas()
     m = e1.merge(e2, on=["g", "bucket_s"], suffixes=("_s", "_b"))
     assert (m.hll_estimate_s == m.hll_estimate_b).all()
+
+
+def test_rollup_stream_drops_late_rows(spark, tmp_path):
+    """Once the watermark has actually advanced past a row's bucket, the
+    row is dropped and the finalized bucket does NOT re-emit. Spark's
+    watermark lags one micro-batch behind the data that advances it (it
+    is computed at batch commit and applied from the NEXT batch), so the
+    very-late probe row arrives two batches after the data that moved the
+    watermark."""
+    import pandas as pd
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    # b1: on-time rows through 400s (advances the watermark to 395s at
+    # commit); b2: fresh rows only; b3: a VERY late row for bucket 0
+    # (ts=30s, two batches after the advance) plus a fresh row
+    b1 = pd.DataFrame({"ts_us": [10_000_000, 20_000_000, 130_000_000, 400_000_000],
+                       "g": ["x"] * 4, "v": [1.0] * 4})
+    b2 = pd.DataFrame({"ts_us": [430_000_000, 460_000_000], "g": ["x"] * 2, "v": [1.0] * 2})
+    b3 = pd.DataFrame({"ts_us": [30_000_000, 470_000_000], "g": ["x"] * 2, "v": [100.0, 1.0]})
+    schema = "ts_us long, g string, v double"
+    from rustiflow_spark.streaming.rollup_stream import rollup_stream
+
+    import glob, os
+    seen = set()
+    for i, b in enumerate((b1, b2, b3)):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        cur = set(glob.glob(f"{src}/part-*.parquet"))
+        for f in cur - seen:  # pin AFTER each write so replay order holds
+            os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        seen = cur
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    roll = rollup_stream(stream, "ts_us", 60, ["g"], "v", "5 seconds")
+    q = (
+        roll.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas().set_index("bucket_s")
+    # bucket 0 emitted with its on-time rows {10s, 20s}; the very-late
+    # 30s/v=100 row must neither re-emit the bucket nor create a new row
+    assert got.loc[0, "n_rows"] == 2
+    assert float(got.loc[0, "sum_value"]) == 2.0
+    assert (got.index == 0).sum() == 1
