@@ -198,6 +198,9 @@ def ivf_fit(
     q = corpus.select(
         F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
     )
+    # every Lloyd iteration re-reads the training set: persist the
+    # quantized projection once instead of re-scanning the source per pass
+    q = q.persist()
     if seed_ids is not None:
         seeds = (
             q.filter(F.col("__id").isin([int(s) for s in seed_ids]))
@@ -230,6 +233,7 @@ def ivf_fit(
             # floor(s / n) — exact: |s| < 2^53 so the double divide is safe
             new[r["__cl"], r["__pos"]] = int(np.floor(r["s"] / r["n"]))
         cents = new
+    q.unpersist()
     return cents
 
 
