@@ -457,3 +457,55 @@ def test_rollup_stream_drops_late_rows(spark, tmp_path):
     assert got.loc[0, "n_rows"] == 2
     assert float(got.loc[0, "sum_value"]) == 2.0
     assert (got.index == 0).sum() == 1
+
+
+def test_rollup_stream_restart_no_duplicates(spark, tmp_path):
+    """Exactly-once across restarts: a second availableNow run over the
+    SAME checkpoint, after new files arrive, appends only newly finalized
+    buckets — earlier emissions never re-emit and late state is not
+    recounted."""
+    import pandas as pd
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = "ts_us long, g string, v double"
+    from rustiflow_spark.streaming.rollup_stream import rollup_stream
+
+    import glob, os
+
+    def add_file(b, i):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(f"{src}/part-*.parquet"):
+            if os.path.getmtime(f) > 1_500_000_000:  # not yet pinned
+                os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        roll = rollup_stream(stream, "ts_us", 60, ["g"], "v", "5 seconds")
+        q = (
+            roll.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    add_file(pd.DataFrame({"ts_us": [10_000_000, 70_000_000, 200_000_000],
+                           "g": ["x"] * 3, "v": [1.0] * 3}), 0)
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+
+    # restart with two more files: later data finalizes more buckets
+    add_file(pd.DataFrame({"ts_us": [250_000_000, 400_000_000], "g": ["x"] * 2, "v": [1.0] * 2}), 1)
+    add_file(pd.DataFrame({"ts_us": [500_000_000], "g": ["x"], "v": [1.0]}), 2)
+    run_once()
+    final = spark.read.parquet(out).toPandas()
+
+    assert len(final) > len(first)
+    # no bucket appears twice, and the first run's rows are unchanged
+    assert final["bucket_s"].is_unique
+    merged = first.merge(final, on="bucket_s", suffixes=("_1", "_2"))
+    assert (merged.n_rows_1 == merged.n_rows_2).all()
+    assert merged.sum_value_1.astype(str).tolist() == merged.sum_value_2.astype(str).tolist()
