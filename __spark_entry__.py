@@ -3876,6 +3876,87 @@ FROM est
 """
 
 
+def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed Count-Min (streaming/rollup_stream.py
+    cms_stream): per-hour frequency counters from the 3-file availableNow
+    replay, then batch point estimates for user_ids < 20 against the
+    emitted counters — every finalized (event_type, hour) bucket answers
+    frequency probes without rescanning the stream. Oracle: the batch CMS
+    replay per bucket restricted by the closed-form watermark rule."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sketches import cms_estimate
+    from rustiflow_spark.streaming.rollup_stream import cms_stream
+
+    ev = _events(spark, sf_dir).select("ts_us", "user_id", "event_type")
+    src, out, ckpt = _replay_three_files(ev, "cmsstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    counters = cms_stream(
+        stream, "ts_us", 3600, "user_id", ["event_type"], depth=4,
+        width_bits=12, watermark_delay="10 seconds", hash_fn="md5",
+    )
+    _run_available_now(counters, out, ckpt)
+    emitted = spark.read.parquet(out)
+    keys = ev.select("user_id").where("user_id < 20").distinct()
+    return cms_estimate(
+        emitted, keys, "user_id", ["event_type", "bucket_s"], depth=4,
+        width_bits=12, hash_fn="md5",
+    ).select(
+        "event_type",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("cms_estimate").cast("long").alias("est_count"),
+    )
+
+
+def _cms_stream_sql(d: int = 4, w: int = 12) -> str:
+    def hex15(expr: str) -> str:
+        return (
+            "("
+            + " + ".join(
+                f"CAST((strpos('0123456789abcdef', substr({expr}, {j + 1}, 1)) - 1) AS BIGINT) * {16 ** (14 - j)}"
+                for j in range(15)
+            )
+            + ")"
+        )
+
+    def row_sql(r: int) -> str:
+        md5e = f"substr(md5(CAST(user_id AS VARCHAR) || '#{r}'), 1, 15)"
+        return (
+            f"SELECT event_type, CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600 AS bucket_s,"
+            f" user_id, {r} AS row, {hex15(md5e)} % {1 << w} AS bucket FROM events"
+        )
+
+    cells = " UNION ALL ".join(row_sql(r) for r in range(d))
+    return f"""
+WITH wm AS (
+  SELECT (CAST(floor(max(epoch_us(ts)) / 1000) AS BIGINT) - 10000) * 1000 AS wm_us
+  FROM events
+),
+cells AS ({cells}),
+sk AS (
+  SELECT event_type, bucket_s, row, bucket, count(*) AS cnt
+  FROM cells, wm
+  WHERE (bucket_s + 3600) * 1000000 <= wm_us
+  GROUP BY event_type, bucket_s, row, bucket
+),
+probes AS (
+  SELECT DISTINCT user_id, row, bucket FROM cells WHERE user_id < 20
+),
+pg AS (
+  SELECT g.event_type, g.bucket_s, p.user_id, p.row, p.bucket
+  FROM (SELECT DISTINCT event_type, bucket_s FROM sk) g CROSS JOIN probes p
+)
+SELECT pg.event_type, pg.bucket_s, CAST(pg.user_id AS BIGINT) AS user_id,
+       CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_count
+FROM pg LEFT JOIN sk
+  ON sk.event_type = pg.event_type AND sk.bucket_s = pg.bucket_s
+ AND sk.row = pg.row AND sk.bucket = pg.bucket
+GROUP BY pg.event_type, pg.bucket_s, pg.user_id
+"""
+
+
 def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming EVENT-path sessionization (S6 event analog,
     streaming/sessionize_stream.py:sessionize_stream): the events table
@@ -4582,6 +4663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stream": q_session_stream,
         "rollup_stream": q_rollup_stream,
         "hll_stream": q_hll_stream,
+        "cms_stream": q_cms_stream,
         "langid": q_langid,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -4658,6 +4740,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stream": _Q_SESSION_STREAM_SQL,
         "rollup_stream": _ROLLUP_STREAM_SQL,
         "hll_stream": _hll_stream_sql(),
+        "cms_stream": _cms_stream_sql(),
         "flow_rustiflow203": _rustiflow203_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_topk": _ann_topk_sql(),

@@ -104,3 +104,46 @@ def hll_stream(
             "mj",
         )
     )
+
+
+def cms_stream(
+    stream: DataFrame,
+    ts_us_col: str,
+    width_s: int,
+    key_col: str,
+    group_cols: list[str],
+    depth: int = 4,
+    width_bits: int = 12,
+    watermark_delay: str = "10 seconds",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming windowed Count-Min counters: per (group..., tumbling
+    bucket) frequency sketches from an unbounded stream.
+
+    Same contract as hll_stream: a bucket's counter table emits exactly
+    once when the watermark passes its end; emitted rows feed
+    operators/sketches.cms_merge / cms_estimate directly (counter sums
+    are associative), so per-bucket frequency questions never rescan the
+    stream's raw history. All depth hashes come from one pass
+    (posexplode), mirroring the batch builder.
+    """
+    from rustiflow_spark.operators.sketches import _cms_hash_expr
+
+    cells = F.array(
+        *[_cms_hash_expr(key_col, r, width_bits, hash_fn) for r in range(depth)]
+    )
+    win = F.window(F.col("__ts"), f"{width_s} seconds")
+    return (
+        stream.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))
+        .select(*group_cols, "__ts", F.posexplode(cells).alias("row", "bucket"))
+        .withWatermark("__ts", watermark_delay)
+        .groupBy(win.alias("__w"), *group_cols, "row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            *group_cols,
+            F.unix_timestamp(F.col("__w.start")).alias("bucket_s"),
+            "row",
+            "bucket",
+            "cnt",
+        )
+    )
