@@ -104,25 +104,24 @@ def hll_estimate(
     """Estimate per group from a register table.
 
     The harmonic sum S = sum(2^-mj) over all m registers is carried as an
-    exact integer numerator over 2^49: empty registers contribute 2^49
-    each, a register with value mj contributes 2^(49-mj) — integer adds,
-    so the result is independent of aggregation order (mj <= 49 for
-    p >= 11; the numerator stays < 2^62). Small-range correction
-    (linear counting) applies below 2.5m when empty registers remain.
+    exact integer numerator over 2^B where B = w_bits + 1 = 61 - p (the
+    max rho): empty registers contribute 2^B each, a register with value
+    mj contributes 2^(B-mj) — integer adds, so the result is independent
+    of aggregation order, and the numerator is bounded by m * 2^B = 2^61
+    for EVERY p. Small-range correction (linear counting) applies below
+    2.5m when empty registers remain.
     """
     m = 1 << p
-    w_bits = _HASH_BITS - p
-    if w_bits + 1 > 49:
-        raise ValueError("hll_estimate: p too small for the 2^49 numerator")
+    b = _HASH_BITS - p + 1  # max rho; 2^b is the empty register's weight
     alpha = _alpha(m)
     agg = registers.groupBy(*group_cols).agg(
         F.sum(
-            F.expr("shiftleft(CAST(1 AS BIGINT), 49 - CAST(mj AS INT))")
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {b} - CAST(mj AS INT))")
         ).alias("__s_nz"),
         F.count("*").alias("__nz"),
     )
-    s_num = F.col("__s_nz") + (F.lit(m) - F.col("__nz")) * F.lit(1 << 49)
-    raw = F.lit(alpha * m * m * float(1 << 49)) / s_num.cast("double")
+    s_num = F.col("__s_nz") + (F.lit(m) - F.col("__nz")) * F.lit(1 << b)
+    raw = F.lit(alpha * m * m * float(1 << b)) / s_num.cast("double")
     empty = (F.lit(m) - F.col("__nz")).cast("double")
     est = F.when(
         (raw <= 2.5 * m) & (F.col("__nz") < m),
