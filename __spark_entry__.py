@@ -3957,6 +3957,81 @@ GROUP BY pg.event_type, pg.bucket_s, pg.user_id
 """
 
 
+def q_hdr_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed quantiles (streaming/rollup_stream.py
+    hdr_stream): per-hour HDR value histograms from the 3-file
+    availableNow replay, then the batch rank-exact quantile pick over the
+    emitted histograms — streaming p50/p99 per (event_type, hour) without
+    retaining raw values. Oracle: the batch HDR replay per bucket under
+    the closed-form watermark restriction."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sketches import hdr_quantiles
+    from rustiflow_spark.streaming.rollup_stream import hdr_stream
+
+    ev = _events(spark, sf_dir).select("ts_us", "value", "event_type")
+    src, out, ckpt = _replay_three_files(ev, "hdrstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    hists = hdr_stream(
+        stream, "ts_us", 3600, "value", ["event_type"], sub_bits=6,
+        watermark_delay="10 seconds",
+    )
+    _run_available_now(hists, out, ckpt)
+    emitted = spark.read.parquet(out)
+    return hdr_quantiles(
+        emitted, ["event_type", "bucket_s"], [0.5, 0.99], sub_bits=6
+    ).select(
+        "event_type",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.round("p", 2).alias("p"),
+        F.round("quantile", 6).alias("quantile"),
+    )
+
+
+def _hdr_stream_sql(m: int = 6, scale: int = 1_000_000) -> str:
+    probs = [0.5, 0.99]
+    return f"""
+WITH wm AS (
+  SELECT (CAST(floor(max(epoch_us(ts)) / 1000) AS BIGINT) - 10000) * 1000 AS wm_us
+  FROM events
+),
+q AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600 AS bucket_s,
+         CAST(floor(CAST(value AS DOUBLE) * {scale}) AS BIGINT) AS qv
+  FROM events, wm
+  WHERE (CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600 + 3600) * 1000000 <= wm_us
+),
+b AS (
+  SELECT event_type, bucket_s,
+         CASE WHEN qv < {1 << m} THEN qv
+              ELSE CAST((length(bin(qv)) - 1 - {m} + 1) * {1 << m}
+                   + ((qv >> (length(bin(qv)) - 1 - {m})) - {1 << m}) AS BIGINT) END AS bucket
+  FROM q
+),
+hist AS (SELECT event_type, bucket_s, bucket, count(*) AS cnt FROM b GROUP BY event_type, bucket_s, bucket),
+cum AS (
+  SELECT event_type, bucket_s, bucket,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_s ORDER BY bucket) AS c,
+         sum(cnt) OVER (PARTITION BY event_type, bucket_s) AS tot
+  FROM hist
+),
+probs(p) AS (VALUES {", ".join(f"({p})" for p in probs)}),
+hit AS (
+  SELECT event_type, bucket_s, p, bucket,
+         row_number() OVER (PARTITION BY event_type, bucket_s, p ORDER BY bucket) AS rn
+  FROM cum CROSS JOIN probs
+  WHERE c >= ceil(p * tot)
+)
+SELECT event_type, bucket_s, round(p, 2) AS p,
+       round(CAST(CASE WHEN (bucket >> {m}) = 0 THEN bucket
+                  ELSE ((bucket % {1 << m}) + {1 << m}) << ((bucket >> {m}) - 1)
+             END AS DOUBLE) / {scale}, 6) AS quantile
+FROM hit WHERE rn = 1
+"""
+
+
 def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming EVENT-path sessionization (S6 event analog,
     streaming/sessionize_stream.py:sessionize_stream): the events table
@@ -4664,6 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_stream": q_rollup_stream,
         "hll_stream": q_hll_stream,
         "cms_stream": q_cms_stream,
+        "hdr_stream": q_hdr_stream,
         "langid": q_langid,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
@@ -4741,6 +4817,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_stream": _ROLLUP_STREAM_SQL,
         "hll_stream": _hll_stream_sql(),
         "cms_stream": _cms_stream_sql(),
+        "hdr_stream": _hdr_stream_sql(),
         "flow_rustiflow203": _rustiflow203_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_topk": _ann_topk_sql(),

@@ -147,3 +147,49 @@ def cms_stream(
             "cnt",
         )
     )
+
+
+def hdr_stream(
+    stream: DataFrame,
+    ts_us_col: str,
+    width_s: int,
+    value_col: str,
+    group_cols: list[str],
+    sub_bits: int = 6,
+    scale: int = 1_000_000,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming windowed HDR histograms: per (group..., tumbling bucket)
+    quantile sketches from an unbounded stream — streaming percentiles
+    without keeping raw values.
+
+    Same contract as the other windowed sketches: a bucket's histogram
+    emits exactly once at watermark passage and feeds
+    operators/sketches.hdr_merge / hdr_quantiles directly (counts are
+    associative). State is O(groups x open buckets x occupied value
+    buckets) — bounded by the HDR layout regardless of value volume.
+    """
+    from rustiflow_spark.operators.sketches import _hdr_bucket_expr
+
+    q = F.floor(F.col(value_col).cast("double") * scale).cast("long")
+    guarded = F.when(
+        q < 0,
+        F.raise_error(
+            F.concat(F.lit("hdr_stream: negative value "), F.col(value_col))
+        ).cast("long"),
+    ).otherwise(q)
+    win = F.window(F.col("__ts"), f"{width_s} seconds")
+    return (
+        stream.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))
+        .withColumn("__q", guarded)
+        .select(*group_cols, "__ts", _hdr_bucket_expr("__q", sub_bits).alias("bucket"))
+        .withWatermark("__ts", watermark_delay)
+        .groupBy(win.alias("__w"), *group_cols, "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            *group_cols,
+            F.unix_timestamp(F.col("__w.start")).alias("bucket_s"),
+            "bucket",
+            "cnt",
+        )
+    )
