@@ -509,3 +509,72 @@ def test_rollup_stream_restart_no_duplicates(spark, tmp_path):
     merged = first.merge(final, on="bucket_s", suffixes=("_1", "_2"))
     assert (merged.n_rows_1 == merged.n_rows_2).all()
     assert merged.sum_value_1.astype(str).tolist() == merged.sum_value_2.astype(str).tolist()
+
+
+def test_cms_and_hdr_stream_match_batch(spark, tmp_path):
+    """Streaming CMS counters and HDR histograms == their batch builders
+    per finalized bucket (same recipe as the HLL equivalence test)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.sketches import cms_sketch, hdr_histogram
+    from rustiflow_spark.streaming.rollup_stream import cms_stream, hdr_stream
+
+    rng = np.random.RandomState(23)
+    pdf = pd.DataFrame(
+        {
+            "ts_us": np.sort(rng.randint(0, 600 * 1_000_000, size=5000)),
+            "uid": rng.randint(0, 500, size=5000),
+            "v": np.abs(np.round(rng.randn(5000) * 10, 2)),
+            "g": ["x"] * 5000,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    max_us = int(pdf["ts_us"].max())
+    wm_us = (max_us // 1000 - 5000) * 1000
+    batch = df.withColumn(
+        "bucket_s", (F.floor(F.col("ts_us") / 60_000_000) * 60).cast("long")
+    ).where((F.col("bucket_s") + 60) * 1_000_000 <= wm_us)
+
+    import glob, os
+
+    def replay(mk, tag):
+        src, out, ckpt = (str(tmp_path / f"{tag}_{d}") for d in ("src", "out", "ckpt"))
+        seen = set()
+        for i, pred in enumerate(("ts_us < 300000000", "ts_us >= 300000000")):
+            df.where(pred).coalesce(1).write.mode("append").parquet(src)
+            for f in set(glob.glob(f"{src}/part-*.parquet")) - seen:
+                os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+            seen = set(glob.glob(f"{src}/part-*.parquet"))
+        stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            mk(stream).writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(out).toPandas()
+
+    got_cms = replay(
+        lambda s: cms_stream(s, "ts_us", 60, "uid", ["g"], depth=4, width_bits=10,
+                             watermark_delay="5 seconds"), "cms"
+    ).sort_values(["g", "bucket_s", "row", "bucket"]).reset_index(drop=True)
+    exp_cms = (
+        cms_sketch(batch, "uid", ["g", "bucket_s"], depth=4, width_bits=10)
+        .toPandas().sort_values(["g", "bucket_s", "row", "bucket"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_cms[exp_cms.columns].astype(exp_cms.dtypes.to_dict()), exp_cms
+    )
+
+    got_hdr = replay(
+        lambda s: hdr_stream(s, "ts_us", 60, "v", ["g"], sub_bits=5,
+                             watermark_delay="5 seconds"), "hdr"
+    ).sort_values(["g", "bucket_s", "bucket"]).reset_index(drop=True)
+    exp_hdr = (
+        hdr_histogram(batch, "v", ["g", "bucket_s"], sub_bits=5)
+        .toPandas().sort_values(["g", "bucket_s", "bucket"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_hdr[exp_hdr.columns].astype(exp_hdr.dtypes.to_dict()), exp_hdr
+    )
