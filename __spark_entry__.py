@@ -1798,19 +1798,23 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = quality_features(docs, "text").withColumn("__g", F.lit(1))
-    cutoff = hdr_quantiles(
-        hdr_histogram(q, "q_words", ["__g"], sub_bits=6, scale=1),
-        ["__g"],
-        [0.95],
-        sub_bits=6,
-        scale=1,
-    ).select(F.col("quantile").alias("__cut"))
+    # materialize the scalar cutoff eagerly: a crossJoin would embed the
+    # whole quality subtree twice in one plan (once aggregated for the
+    # cutoff, once row-wise), re-evaluating the regex work per branch
+    cut = float(
+        hdr_quantiles(
+            hdr_histogram(q, "q_words", ["__g"], sub_bits=6, scale=1),
+            ["__g"],
+            [0.95],
+            sub_bits=6,
+            scale=1,
+        ).collect()[0]["quantile"]
+    )
     w = Window.partitionBy("text").orderBy("doc_id")
     return (
-        q.crossJoin(F.broadcast(cutoff))
-        .where(
+        q.where(
             (F.col("q_distinct_word_ratio") >= 0.5)
-            & (F.col("q_words").cast("double") <= F.col("__cut"))
+            & (F.col("q_words").cast("double") <= F.lit(cut))
         )
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

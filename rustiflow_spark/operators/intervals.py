@@ -66,8 +66,14 @@ def range_join(
     w = int(bucket_width_us)
     ev = events.withColumn("__rb", F.floor(_us(ts_col, events) / w))
     if n_salts > 1:
+        # salt from a per-ROW value, not the timestamp: the typical hot
+        # bucket is a burst of identical/coarse timestamps, which a
+        # ts-derived salt would send to one reducer anyway. Routing needs
+        # no cross-run determinism — the interval side is replicated
+        # across every salt, so any salt value matches correctly.
         ev = ev.withColumn(
-            "__rs", F.pmod(F.xxhash64(_us(ts_col, events), F.lit(7)), n_salts)
+            "__rs",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(7)), n_salts),
         )
     lo_us, hi_us = _us(lo_col, intervals), _us(hi_col, intervals)
     # guard on the arithmetic span BEFORE materializing the sequence — a

@@ -200,40 +200,43 @@ def ivf_fit(
     )
     # every Lloyd iteration re-reads the training set: persist the
     # quantized projection once instead of re-scanning the source per pass
+    # (released in the finally even when seeding or a pass fails)
     q = q.persist()
-    if seed_ids is not None:
-        seeds = (
-            q.filter(F.col("__id").isin([int(s) for s in seed_ids]))
-            .orderBy("__id")
-            .collect()
-        )
-    else:
-        seeds = q.orderBy("__id").limit(n_lists).collect()
-    if len(seeds) < n_lists:
-        raise ValueError(
-            f"ivf_fit: {len(seeds)} seed vectors found, need n_lists={n_lists}"
-        )
-    cents = np.array([r["__qe"] for r in seeds], dtype=np.int64)
-    for _ in range(iters):
-        assigned = (
-            q.withColumn("__cents", _cent_lit(cents))
-            .withColumn("__dists", _ivf_dists_expr("__qe"))
-            .select(
-                _ivf_cluster_expr("__dists").alias("__cl"),
-                F.posexplode("__qe").alias("__pos", "__val"),
+    try:
+        if seed_ids is not None:
+            seeds = (
+                q.filter(F.col("__id").isin([int(s) for s in seed_ids]))
+                .orderBy("__id")
+                .collect()
             )
-        )
-        stats = (
-            assigned.groupBy("__cl", "__pos")
-            .agg(F.sum("__val").alias("s"), F.count("*").alias("n"))
-            .collect()
-        )
-        new = cents.copy()  # empty cluster keeps its previous centroid
-        for r in stats:
-            # floor(s / n) — exact: |s| < 2^53 so the double divide is safe
-            new[r["__cl"], r["__pos"]] = int(np.floor(r["s"] / r["n"]))
-        cents = new
-    q.unpersist()
+        else:
+            seeds = q.orderBy("__id").limit(n_lists).collect()
+        if len(seeds) < n_lists:
+            raise ValueError(
+                f"ivf_fit: {len(seeds)} seed vectors found, need n_lists={n_lists}"
+            )
+        cents = np.array([r["__qe"] for r in seeds], dtype=np.int64)
+        for _ in range(iters):
+            assigned = (
+                q.withColumn("__cents", _cent_lit(cents))
+                .withColumn("__dists", _ivf_dists_expr("__qe"))
+                .select(
+                    _ivf_cluster_expr("__dists").alias("__cl"),
+                    F.posexplode("__qe").alias("__pos", "__val"),
+                )
+            )
+            stats = (
+                assigned.groupBy("__cl", "__pos")
+                .agg(F.sum("__val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            new = cents.copy()  # empty cluster keeps its previous centroid
+            for r in stats:
+                # floor(s / n) — exact: |s| < 2^53, the double divide is safe
+                new[r["__cl"], r["__pos"]] = int(np.floor(r["s"] / r["n"]))
+            cents = new
+    finally:
+        q.unpersist()
     return cents
 
 

@@ -32,7 +32,12 @@ _HASH_BITS = 60
 def _alpha(m: int) -> float:
     if m >= 128:
         return 0.7213 / (1 + 1.079 / m)
-    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    try:
+        return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    except KeyError:
+        raise ValueError(
+            f"hll: no bias constant for m={m} registers — use p >= 4"
+        ) from None
 
 
 def _hash_expr(key_col: str, hash_fn: str) -> "F.Column":

@@ -430,14 +430,13 @@ def test_rollup_stream_drops_late_rows(spark, tmp_path):
     schema = "ts_us long, g string, v double"
     from rustiflow_spark.streaming.rollup_stream import rollup_stream
 
-    import glob, os
-    seen = set()
-    for i, b in enumerate((b1, b2, b3)):
-        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
-        cur = set(glob.glob(f"{src}/part-*.parquet"))
-        for f in cur - seen:  # pin AFTER each write so replay order holds
-            os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-        seen = cur
+    from conftest import write_pinned_batches
+
+    write_pinned_batches(src, [
+        (lambda b=b: spark.createDataFrame(b, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+        for b in (b1, b2, b3)
+    ])
 
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema
@@ -470,13 +469,21 @@ def test_rollup_stream_restart_no_duplicates(spark, tmp_path):
     schema = "ts_us long, g string, v double"
     from rustiflow_spark.streaming.rollup_stream import rollup_stream
 
-    import glob, os
+    import glob
+    import os
+
+    _batch_no = [0]
 
     def add_file(b, i):
+        # incremental variant of conftest.write_pinned_batches: files are
+        # added across restarts, so the batch counter persists between calls
+        del i
+        seen = set(glob.glob(f"{src}/part-*.parquet"))
         spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
-        for f in glob.glob(f"{src}/part-*.parquet"):
-            if os.path.getmtime(f) > 1_500_000_000:  # not yet pinned
-                os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        pin = 1_000_000_000 + _batch_no[0] * 60
+        for f in set(glob.glob(f"{src}/part-*.parquet")) - seen:
+            os.utime(f, (pin, pin))
+        _batch_no[0] += 1
 
     def run_once():
         stream = spark.readStream.schema(
@@ -536,16 +543,14 @@ def test_cms_and_hdr_stream_match_batch(spark, tmp_path):
         "bucket_s", (F.floor(F.col("ts_us") / 60_000_000) * 60).cast("long")
     ).where((F.col("bucket_s") + 60) * 1_000_000 <= wm_us)
 
-    import glob, os
+    from conftest import write_pinned_batches
 
     def replay(mk, tag):
         src, out, ckpt = (str(tmp_path / f"{tag}_{d}") for d in ("src", "out", "ckpt"))
-        seen = set()
-        for i, pred in enumerate(("ts_us < 300000000", "ts_us >= 300000000")):
-            df.where(pred).coalesce(1).write.mode("append").parquet(src)
-            for f in set(glob.glob(f"{src}/part-*.parquet")) - seen:
-                os.utime(f, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
-            seen = set(glob.glob(f"{src}/part-*.parquet"))
+        write_pinned_batches(src, [
+            (lambda p=pred: df.where(p).coalesce(1).write.mode("append").parquet(src))
+            for pred in ("ts_us < 300000000", "ts_us >= 300000000")
+        ])
         stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
         q = (
             mk(stream).writeStream.format("parquet")
