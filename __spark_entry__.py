@@ -1082,7 +1082,19 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     n_lists = 8
     stride = max(1, n // n_lists)
-    seed_ids = [i * stride for i in range(n_lists)]
+    # seeds by POSITION in the sorted id sequence, not by id arithmetic —
+    # scaled-up tables have gapped vec_ids, where id-stride seeding would
+    # find one seed and fail. The ids-only projection keeps the one-task
+    # sort tiny (longs only); equals id-stride seeding on contiguous ids.
+    from pyspark.sql import Window
+
+    seed_rows = (
+        emb.select("vec_id")
+        .withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")))
+        .where(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") - 1 < n_lists * stride))
+        .collect()
+    )
+    seed_ids = [int(r["vec_id"]) for r in seed_rows][:n_lists]
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_topk_ivf(
         emb, queries, k=5, n_lists=n_lists, nprobe=2, iters=2, seed_ids=seed_ids
@@ -1119,10 +1131,17 @@ vx AS (
   SELECT id, i AS pos, qe[i + 1] AS x
   FROM v CROSS JOIN (SELECT unnest(generate_series(0, len((SELECT qe FROM v LIMIT 1)) - 1)) AS i) ii
 ),
+idrank AS (
+  SELECT id, row_number() OVER (ORDER BY id) - 1 AS rn FROM v
+),
 cents0 AS (
-  SELECT CAST(v.id // params.stride AS INT) AS cl, pos, CAST(qe[pos + 1] AS BIGINT) AS val
-  FROM v, params, (SELECT unnest(generate_series(0, len((SELECT qe FROM v LIMIT 1)) - 1)) AS pos) pp
-  WHERE v.id % params.stride = 0 AND v.id < {n_lists} * params.stride
+  -- positional seeding (every stride-th id in sorted order): robust to
+  -- gapped id spaces; equals id-stride seeding when ids are contiguous
+  SELECT CAST(r.rn // params.stride AS INT) AS cl, pos, CAST(qe[pos + 1] AS BIGINT) AS val
+  FROM idrank r
+  JOIN v ON v.id = r.id, params,
+       (SELECT unnest(generate_series(0, len((SELECT qe FROM v LIMIT 1)) - 1)) AS pos) pp
+  WHERE r.rn % params.stride = 0 AND r.rn < {n_lists} * params.stride
 )"""
     its = ""
     cur = "cents0"
