@@ -1390,6 +1390,10 @@ def _hll_sql(p: int = 12) -> str:
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
     w_bits = 60 - p
+    # exact-integer harmonic-sum base: max rho is w_bits + 1 = 61 - p, so
+    # weight 2^(b - mj) with b = 61 - p keeps every term a non-negative
+    # integer power of two (b == 49 only at the default p=12)
+    b = 61 - p
     hexpr = (
         "("
         + " + ".join(
@@ -1411,14 +1415,14 @@ regs AS (
 ),
 agg AS (
   SELECT event_type,
-         sum(CAST(1 AS BIGINT) << CAST(49 - mj AS INT)) AS s_nz,
+         sum(CAST(1 AS BIGINT) << CAST({b} - mj AS INT)) AS s_nz,
          count(*) AS nz
   FROM regs GROUP BY event_type
 ),
 est AS (
   SELECT event_type,
-         CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({1 << 49} AS DOUBLE)
-           / CAST(s_nz + ({m} - nz) * {1 << 49} AS DOUBLE) AS raw,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({1 << b} AS DOUBLE)
+           / CAST(s_nz + ({m} - nz) * {1 << b} AS DOUBLE) AS raw,
          nz
   FROM agg
 )
@@ -3739,7 +3743,12 @@ def _replay_three_files(ev: DataFrame, name: str, sf_dir: str) -> tuple[str, str
     import shutil
     import zlib
 
-    base = f"/tmp/rustiflow_{name}_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    # PID in the path: two concurrent gate/bench runs over the same fixture
+    # dir must not rmtree each other's live stream source/checkpoint
+    base = (
+        f"/tmp/rustiflow_{name}_"
+        f"{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}_{os.getpid()}"
+    )
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
     shutil.rmtree(base, ignore_errors=True)
     lo, hi = ev.selectExpr("min(ts_us)", "max(ts_us)").first()
@@ -3851,6 +3860,8 @@ def _hll_stream_sql(p: int = 12) -> str:
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
     w_bits = 60 - p
+    b = 61 - p  # harmonic-sum base exponent; see _hll_sql
+
     hexpr = (
         "("
         + " + ".join(
@@ -3878,7 +3889,7 @@ regs AS (
 ),
 agg AS (
   SELECT event_type, bucket_s,
-         sum(CAST(1 AS BIGINT) << CAST(49 - mj AS INT)) AS s_nz,
+         sum(CAST(1 AS BIGINT) << CAST({b} - mj AS INT)) AS s_nz,
          count(*) AS nz
   FROM regs, wm
   WHERE (bucket_s + 3600) * 1000000 <= wm_us
@@ -3886,8 +3897,8 @@ agg AS (
 ),
 est AS (
   SELECT event_type, bucket_s,
-         CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({1 << 49} AS DOUBLE)
-           / CAST(s_nz + ({m} - nz) * {1 << 49} AS DOUBLE) AS raw,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({1 << b} AS DOUBLE)
+           / CAST(s_nz + ({m} - nz) * {1 << b} AS DOUBLE) AS raw,
          nz
   FROM agg
 )

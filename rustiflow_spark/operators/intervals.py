@@ -64,7 +64,13 @@ def range_join(
     """
     keys = list(extra_keys or [])
     w = int(bucket_width_us)
-    ev = events.withColumn("__rb", F.floor(_us(ts_col, events) / w))
+    # resolve ts/lo/hi on their OWN side before the join and carry them as
+    # reserved __-prefixed columns: if the two inputs share a column name
+    # (both have a 'ts'), an unqualified post-join reference would be
+    # ambiguous
+    ev = events.withColumn("__ts_us", _us(ts_col, events)).withColumn(
+        "__rb", F.floor(F.col("__ts_us") / w)
+    )
     if n_salts > 1:
         # salt from a per-ROW value, not the timestamp: the typical hot
         # bucket is a burst of identical/coarse timestamps, which a
@@ -75,12 +81,15 @@ def range_join(
             "__rs",
             F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(7)), n_salts),
         )
-    lo_us, hi_us = _us(lo_col, intervals), _us(hi_col, intervals)
+    iv0 = intervals.withColumn("__lo_us", _us(lo_col, intervals)).withColumn(
+        "__hi_us", _us(hi_col, intervals)
+    )
+    lo_us, hi_us = F.col("__lo_us"), F.col("__hi_us")
     # guard on the arithmetic span BEFORE materializing the sequence — a
     # pathological interval must hit this error, not Spark's array-length
     # limit (or an OOM) inside sequence()
     span = F.floor(hi_us / w) - F.floor(lo_us / w) + 1
-    iv = intervals.withColumn(
+    iv = iv0.withColumn(
         "__rbs",
         F.when(
             span > max_fanout,
@@ -101,9 +110,9 @@ def range_join(
         )
         join_keys = ["__rb", "__rs", *keys]
     joined = ev.join(iv, join_keys).where(
-        _us(ts_col, events).between(lo_us, hi_us)
+        F.col("__ts_us").between(F.col("__lo_us"), F.col("__hi_us"))
     )
-    return joined.drop("__rb", "__rs")
+    return joined.drop("__rb", "__rs", "__ts_us", "__lo_us", "__hi_us")
 
 
 def time_bucket_rollup(

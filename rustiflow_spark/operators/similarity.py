@@ -211,9 +211,10 @@ def ivf_fit(
             )
         else:
             seeds = q.orderBy("__id").limit(n_lists).collect()
-        if len(seeds) < n_lists:
+        if len(seeds) != n_lists:
             raise ValueError(
-                f"ivf_fit: {len(seeds)} seed vectors found, need n_lists={n_lists}"
+                f"ivf_fit: {len(seeds)} seed vectors found, need exactly"
+                f" n_lists={n_lists} (truncate seed_ids explicitly if over)"
             )
         cents = np.array([r["__qe"] for r in seeds], dtype=np.int64)
         for _ in range(iters):
@@ -232,8 +233,9 @@ def ivf_fit(
             )
             new = cents.copy()  # empty cluster keeps its previous centroid
             for r in stats:
-                # floor(s / n) — exact: |s| < 2^53, the double divide is safe
-                new[r["__cl"], r["__pos"]] = int(np.floor(r["s"] / r["n"]))
+                # exact integer floor division (n > 0, so // == floor even
+                # for negative sums); no 2^53 double-precision cliff
+                new[r["__cl"], r["__pos"]] = int(r["s"]) // int(r["n"])
             cents = new
     finally:
         q.unpersist()
