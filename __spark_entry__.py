@@ -2594,24 +2594,26 @@ def q_flow_rustiflow203(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _rustiflow203_sql() -> str:
-    """DuckDB oracle for the 203-column materialization: the UDP session
-    framework of _Q_CIC_UDP_SQL extended with population stds, pooled
-    packet stats, bulk-run aggregation, idle-set union (big gaps + trailing
-    idle), and the D1-D7 derived scalars — every column generated in
-    rusti_flow.rs order."""
-    from rustiflow_spark.flows.schemas import RUSTIFLOW_COLUMNS
-
-    def st5(vexpr: str, pred: str, out: str) -> str:
-        """total/mean/std/max/min aggregate fragments (FILTER'd, empty->0)."""
-        f = f"FILTER (WHERE {pred})"
-        return f"""
+def _st5_sql(vexpr: str, pred: str, out: str) -> str:
+    """total/mean/std/max/min aggregate fragments (FILTER'd, empty->0)."""
+    f = f"FILTER (WHERE {pred})"
+    return f"""
            coalesce(CAST(sum({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_total,
            coalesce(CAST(avg({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_mean,
            coalesce(CAST(stddev_pop({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_std,
            coalesce(CAST(max({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_max,
            coalesce(CAST(min({vexpr}) {f} AS DOUBLE), 0.0) AS {out}_min"""
 
+
+def _udp_final_with() -> str:
+    """Shared DuckDB session framework over the synthesized UDP packet
+    table: the WITH-chain of _Q_CIC_UDP_SQL extended with population stds,
+    pooled packet stats, bulk-run aggregation, and the idle-set union —
+    ending in a `final` CTE with one row per exported flow carrying every
+    aggregate the Basic-10 / NF-71 / RustiFlow-203 layouts project from.
+    Split out of _rustiflow203_sql so all three layout oracles replay the
+    identical framework."""
+    st5 = _st5_sql
     bulk_aggs = []
     for dval, d in ((1, "fwd"), (0, "bwd")):
         pred = f"rdir = {dval} AND rcnt >= 4"
@@ -2669,6 +2671,100 @@ def _rustiflow203_sql() -> str:
                 ELSE 0.0 END AS bwd_duration_ms""",
     ]
     agg_sql = ",\n".join(sess_aggs)
+
+    return f"""
+WITH pk AS ({_pk_sql(tcp=False)}),
+flagged AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
+                ELSE 0 END AS new_session,
+           ts_us - lag(ts_us) OVER w AS gap_us
+    FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), sess AS (
+    SELECT *,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
+                                  ROWS UNBOUNDED PRECEDING) AS sid,
+           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS ig
+    FROM flagged
+), rows2 AS (
+    SELECT *,
+           first_value(is_c2s) OVER (PARTITION BY user_id, sid
+                                     ORDER BY ts_us, event_seq
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s,
+           sum(CASE WHEN ig IS NULL OR ig > 5000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_seq
+                     ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM sess
+), rows3 AS (
+    SELECT *, (is_c2s = first_c2s) AS is_fwd,
+           ts_us - lag(ts_us) OVER (PARTITION BY user_id, sid, is_c2s = first_c2s
+                                    ORDER BY ts_us, event_seq) AS dir_gap,
+           28 + data_length AS length,
+           8 AS header_length
+    FROM rows2
+), spans AS (
+    SELECT user_id, sid, span_id, max(ts_us) - min(ts_us) AS dur
+    FROM rows3 GROUP BY user_id, sid, span_id
+), span_agg AS (
+    SELECT user_id, sid,
+           {st5("CAST(dur AS DOUBLE) / 1000.0", "dur > 0", "active")}
+    FROM spans GROUP BY user_id, sid
+), runsrc AS (
+    SELECT user_id, sid, is_fwd, ts_us, event_seq, length,
+           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                WHEN is_fwd != lag(is_fwd) OVER w THEN 1
+                WHEN ts_us - lag(ts_us) OVER w > 1000000 THEN 1
+                ELSE 0 END AS newrun
+    FROM rows3 WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts_us, event_seq)
+), runm AS (
+    SELECT *, sum(newrun) OVER (PARTITION BY user_id, sid
+                                ORDER BY ts_us, event_seq
+                                ROWS UNBOUNDED PRECEDING) AS rid
+    FROM runsrc
+), run_agg AS (
+    SELECT user_id, sid, rid,
+           max(CASE WHEN is_fwd THEN 1 ELSE 0 END) AS rdir,
+           count(*) AS rcnt,
+           CAST(sum(length) AS DOUBLE) AS rbytes,
+           CAST((max(ts_us) - min(ts_us)) // 1000 AS DOUBLE) AS rdur
+    FROM runm GROUP BY user_id, sid, rid
+), bulk_agg AS (
+    SELECT user_id, sid,
+{bulk_sql}
+    FROM run_agg GROUP BY user_id, sid
+), agg AS (
+    SELECT user_id, sid,
+{agg_sql}
+    FROM rows3 GROUP BY user_id, sid
+), meta AS (
+    SELECT a.*, s.* EXCLUDE (user_id, sid), b.* EXCLUDE (user_id, sid),
+           lead(a.first_ts_us) OVER (PARTITION BY a.user_id ORDER BY a.sid)
+               AS next_first
+    FROM agg a
+    JOIN span_agg s USING (user_id, sid)
+    JOIN bulk_agg b USING (user_id, sid)
+), idle_vals AS (
+    SELECT user_id, sid, CAST(ig AS DOUBLE) / 1000.0 AS v
+    FROM sess WHERE ig > 5000000
+    UNION ALL
+    SELECT user_id, sid, CAST(next_first - last_ts_us AS DOUBLE) / 1000.0
+    FROM meta WHERE next_first IS NOT NULL
+), idle_agg AS (
+    SELECT user_id, sid,
+           {st5("v", "TRUE", "idle")}
+    FROM idle_vals GROUP BY user_id, sid
+), final AS (
+    SELECT m.*, i.* EXCLUDE (user_id, sid)
+    FROM meta m LEFT JOIN idle_agg i USING (user_id, sid)
+)"""
+
+
+def _rustiflow203_sql() -> str:
+    """DuckDB oracle for the 203-column materialization: every column of
+    the reference's widest schema generated in rusti_flow.rs order over the
+    shared _udp_final_with framework."""
+    from rustiflow_spark.flows.schemas import RUSTIFLOW_COLUMNS
 
     # outer-select expression per output column
     dur_s = "(CAST(duration_us AS DOUBLE) / 1000000.0)"
@@ -2805,95 +2901,242 @@ def _rustiflow203_sql() -> str:
         outs.append(f"  {e} AS {name}")
     select_sql = ",\n".join(outs)
 
-    return f"""
-WITH pk AS ({_pk_sql(tcp=False)}),
+    return _udp_final_with() + "\nSELECT\n" + select_sql + "\nFROM final\n"
+
+
+def q_flow_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BasicFlow 10-column layout (basic_flow.rs:316-333) materialized by
+    the production flows/schemas.basic_schema projection over the UDP flow
+    table: flow identity, orientation-stable endpoints, integer-us
+    timestamps, and the expire cause — every exported VALUE hash-verified
+    against the DuckDB session framework (round-4 verdict item 1)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.flows.schemas import basic_schema
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
+    )
+    return basic_schema(flows)
+
+
+def _basic_sql() -> str:
+    return _udp_final_with() + f"""
+SELECT
+    {_flow_key_sql(17)} AS flow_id,
+    CASE WHEN fc2s = 1 THEN cip ELSE '{_SERVER_IP}' END AS source_ip,
+    CAST(CASE WHEN fc2s = 1 THEN 1024 + user_id % 60000 ELSE 443 END AS INT)
+        AS source_port,
+    CASE WHEN fc2s = 1 THEN '{_SERVER_IP}' ELSE cip END AS destination_ip,
+    CAST(CASE WHEN fc2s = 1 THEN 443 ELSE 1024 + user_id % 60000 END AS INT)
+        AS destination_port,
+    CAST(17 AS INT) AS protocol,
+    first_ts_us AS first_timestamp,
+    last_ts_us AS last_timestamp,
+    duration_us AS duration,
+    CASE WHEN next_first IS NULL THEN 'Exporter Shutdown'
+         ELSE 'Idle Timeout' END AS flow_expire_cause
+FROM final
+"""
+
+
+def q_flow_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NfFlow 71-column layout (nf_flow.rs:129-290) via the production
+    flows/schemas.nf_schema projection over the UDP flow table: ms-unit
+    timestamp exports, expiration_id, per-direction seen/duration ms, the
+    pooled ps merge (min/mean/stddev/max), piat ms stats, and the 24 flag
+    counters — round(6) on float stats so the DuckDB oracle hash-matches
+    (round-4 verdict item 1: the ms exports and expiration_id were the
+    least-verified path)."""
+    _ensure_package_shipped(spark)
+    from pyspark.sql import types as T
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.flows.schemas import nf_schema
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
+    )
+    full = nf_schema(flows)
+    return full.select(
+        *[
+            F.round(F.col(f.name), 6).alias(f.name)
+            if isinstance(f.dataType, T.DoubleType)
+            else F.col(f.name)
+            for f in full.schema.fields
+        ]
+    )
+
+
+def _nf_sql() -> str:
+    """NF-71 oracle over the shared UDP framework. The pooled flow-level
+    ps stats replay flows/schemas._flow_pkt_{min,mean,variance,max}
+    bit-for-bit (same operand order) from the per-direction aggregates, as
+    _Q_CIC_DERIVED_SQL already does for the CIC derived scalars."""
+    from rustiflow_spark.flows.schemas import NF_COLUMNS
+
+    def sd(num: str, den: str) -> str:
+        return f"CASE WHEN {den} != 0 THEN CAST({num} AS DOUBLE) / ({den}) ELSE 0.0 END"
+
+    mean_ps = sd("fwd_packet_len_total + bwd_packet_len_total", "fn + bn")
+    min_ps = (
+        "CASE WHEN fn > 0 AND bn > 0"
+        " THEN least(fwd_packet_len_min, bwd_packet_len_min)"
+        " WHEN fn > 0 THEN fwd_packet_len_min"
+        " WHEN bn > 0 THEN bwd_packet_len_min ELSE 0.0 END"
+    )
+    max_ps = (
+        "CASE WHEN fn > 0 AND bn > 0"
+        " THEN greatest(fwd_packet_len_max, bwd_packet_len_max)"
+        " WHEN fn > 0 THEN fwd_packet_len_max"
+        " WHEN bn > 0 THEN bwd_packet_len_max ELSE 0.0 END"
+    )
+    # exact two-sample pooled population variance merge, operand order
+    # matching flows/schemas._flow_pkt_variance
+    pooled = (
+        "(CAST(fn AS DOUBLE) * (fwd_packet_len_std * fwd_packet_len_std)"
+        " + CAST(bn AS DOUBLE) * (bwd_packet_len_std * bwd_packet_len_std)"
+        f" + CAST(fn AS DOUBLE) * (fwd_packet_len_mean - ({mean_ps}))"
+        f" * (fwd_packet_len_mean - ({mean_ps}))"
+        f" + CAST(bn AS DOUBLE) * (bwd_packet_len_mean - ({mean_ps}))"
+        f" * (bwd_packet_len_mean - ({mean_ps})))"
+        " / (CAST(fn AS DOUBLE) + CAST(bn AS DOUBLE))"
+    )
+    std_ps = (
+        "sqrt(CASE WHEN CAST(fn AS DOUBLE) + CAST(bn AS DOUBLE) <= 1"
+        f" THEN 0.0 ELSE {pooled} END)"
+    )
+    expr: dict[str, str] = {
+        "id": _flow_key_sql(17),
+        "expiration_id": "CAST(CASE WHEN next_first IS NULL THEN -1 ELSE 0 END AS INT)",
+        "src_ip": f"CASE WHEN fc2s = 1 THEN cip ELSE '{_SERVER_IP}' END",
+        "src_port": "CAST(CASE WHEN fc2s = 1 THEN 1024 + user_id % 60000 ELSE 443 END AS INT)",
+        "dst_ip": f"CASE WHEN fc2s = 1 THEN '{_SERVER_IP}' ELSE cip END",
+        "dst_port": "CAST(CASE WHEN fc2s = 1 THEN 443 ELSE 1024 + user_id % 60000 END AS INT)",
+        "protocol": "CAST(17 AS INT)",
+        "ip_version": "CAST(4 AS INT)",
+        "bidirectional_first_seen_ms": "CAST(first_ts_us // 1000 AS BIGINT)",
+        "bidirectional_last_seen_ms": "CAST(last_ts_us // 1000 AS BIGINT)",
+        "bidirectional_duration_ms": "CAST(duration_us // 1000 AS BIGINT)",
+        "bidirectional_packets": "fn + bn",
+        "bidirectional_bytes": "fwd_packet_len_total + bwd_packet_len_total",
+        "src2dst_first_seen_ms": "first_timestamp_fwd",
+        "src2dst_last_seen_ms": "last_timestamp_fwd",
+        "src2dst_duration_ms": "fwd_duration_ms",
+        "src2dst_packets": "fn",
+        "src2dst_bytes": "fwd_packet_len_total",
+        "dst2src_first_seen_ms": "first_timestamp_bwd",
+        "dst2src_last_seen_ms": "last_timestamp_bwd",
+        "dst2src_duration_ms": "bwd_duration_ms",
+        "dst2src_packets": "bn",
+        "dst2src_bytes": "bwd_packet_len_total",
+        "bidirectional_min_ps": min_ps,
+        "bidirectional_mean_ps": mean_ps,
+        "bidirectional_stddev_ps": std_ps,
+        "bidirectional_max_ps": max_ps,
+    }
+    for d, pre in (("src2dst", "fwd"), ("dst2src", "bwd")):
+        for s, k in (("min", "min"), ("mean", "mean"), ("stddev", "std"), ("max", "max")):
+            expr[f"{d}_{s}_ps"] = f"{pre}_packet_len_{k}"
+    for d, pre in (("bidirectional", ""), ("src2dst", "fwd_"), ("dst2src", "bwd_")):
+        for s, k in (("min", "min"), ("mean", "mean"), ("stddev", "std"), ("max", "max")):
+            expr[f"{d}_{s}_piat_ms"] = f"{pre}iat_{k}"
+    for d in ("bidirectional", "src2dst", "dst2src"):
+        for fl in ("syn", "cwr", "ece", "urg", "ack", "psh", "rst", "fin"):
+            expr[f"{d}_{fl}_packets"] = "CAST(0 AS INT)"
+
+    int_like = {
+        "expiration_id", "src_port", "dst_port", "protocol", "ip_version",
+        "bidirectional_first_seen_ms", "bidirectional_last_seen_ms",
+        "bidirectional_duration_ms", "bidirectional_packets",
+        "src2dst_packets", "dst2src_packets",
+    } | {n for n in NF_COLUMNS if n.endswith("_packets")}
+    str_like = {"id", "src_ip", "dst_ip"}
+    outs = []
+    for name in NF_COLUMNS:
+        e = expr[name]
+        if name not in int_like and name not in str_like:
+            e = f"round(CAST({e} AS DOUBLE), 6)"
+        outs.append(f"  {e} AS {name}")
+    return _udp_final_with() + "\nSELECT\n" + ",\n".join(outs) + "\nFROM final\n"
+
+
+def q_flow_cidds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CiddsFlow 10-column layout (cidds_flow.rs:79-109) via the production
+    flows/schemas.cidds_schema projection over the TCP flow table, so the
+    Proto string and the UAPRSF Flags column carry real values — Bytes /
+    Packets / Duration(ms) / Date-first-seen hash-verified against the
+    TCP session framework (round-4 verdict item 1)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.config import EngineConfig
+    from rustiflow_spark.flows.schemas import cidds_schema
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+
+    cfg = EngineConfig(
+        active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
+    )
+    flows = sessionize_packets(
+        _packet_table(spark, sf_dir, tcp=True), cfg, flush_ts=_packet_flush_us(sf_dir)
+    )
+    return cidds_schema(flows)
+
+
+_Q_CIDDS_SQL = f"""
+WITH pk AS ({_pk_sql(tcp=True)}),
 flagged AS (
     SELECT *,
            CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
                 WHEN ts_us - lag(ts_us) OVER w >= {_IDLE_CUT_US} THEN 1
-                ELSE 0 END AS new_session,
-           ts_us - lag(ts_us) OVER w AS gap_us
+                WHEN lag(rst) OVER w = 1 THEN 1
+                ELSE 0 END AS new_session
     FROM pk WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
 ), sess AS (
     SELECT *,
            sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_seq
-                                  ROWS UNBOUNDED PRECEDING) AS sid,
-           CASE WHEN new_session = 1 THEN NULL ELSE gap_us END AS ig
+                                  ROWS UNBOUNDED PRECEDING) AS sid
     FROM flagged
 ), rows2 AS (
     SELECT *,
            first_value(is_c2s) OVER (PARTITION BY user_id, sid
                                      ORDER BY ts_us, event_seq
-                                     ROWS UNBOUNDED PRECEDING) AS first_c2s,
-           sum(CASE WHEN ig IS NULL OR ig > 5000000 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id, sid ORDER BY ts_us, event_seq
-                     ROWS UNBOUNDED PRECEDING) AS span_id
+                                     ROWS UNBOUNDED PRECEDING) AS first_c2s
     FROM sess
-), rows3 AS (
-    SELECT *, (is_c2s = first_c2s) AS is_fwd,
-           ts_us - lag(ts_us) OVER (PARTITION BY user_id, sid, is_c2s = first_c2s
-                                    ORDER BY ts_us, event_seq) AS dir_gap,
-           28 + data_length AS length,
-           8 AS header_length
-    FROM rows2
-), spans AS (
-    SELECT user_id, sid, span_id, max(ts_us) - min(ts_us) AS dur
-    FROM rows3 GROUP BY user_id, sid, span_id
-), span_agg AS (
-    SELECT user_id, sid,
-           {st5("CAST(dur AS DOUBLE) / 1000.0", "dur > 0", "active")}
-    FROM spans GROUP BY user_id, sid
-), runsrc AS (
-    SELECT user_id, sid, is_fwd, ts_us, event_seq, length,
-           CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
-                WHEN is_fwd != lag(is_fwd) OVER w THEN 1
-                WHEN ts_us - lag(ts_us) OVER w > 1000000 THEN 1
-                ELSE 0 END AS newrun
-    FROM rows3 WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts_us, event_seq)
-), runm AS (
-    SELECT *, sum(newrun) OVER (PARTITION BY user_id, sid
-                                ORDER BY ts_us, event_seq
-                                ROWS UNBOUNDED PRECEDING) AS rid
-    FROM runsrc
-), run_agg AS (
-    SELECT user_id, sid, rid,
-           max(CASE WHEN is_fwd THEN 1 ELSE 0 END) AS rdir,
-           count(*) AS rcnt,
-           CAST(sum(length) AS DOUBLE) AS rbytes,
-           CAST((max(ts_us) - min(ts_us)) // 1000 AS DOUBLE) AS rdur
-    FROM runm GROUP BY user_id, sid, rid
-), bulk_agg AS (
-    SELECT user_id, sid,
-{bulk_sql}
-    FROM run_agg GROUP BY user_id, sid
 ), agg AS (
     SELECT user_id, sid,
-{agg_sql}
-    FROM rows3 GROUP BY user_id, sid
-), meta AS (
-    SELECT a.*, s.* EXCLUDE (user_id, sid), b.* EXCLUDE (user_id, sid),
-           lead(a.first_ts_us) OVER (PARTITION BY a.user_id ORDER BY a.sid)
-               AS next_first
-    FROM agg a
-    JOIN span_agg s USING (user_id, sid)
-    JOIN bulk_agg b USING (user_id, sid)
-), idle_vals AS (
-    SELECT user_id, sid, CAST(ig AS DOUBLE) / 1000.0 AS v
-    FROM sess WHERE ig > 5000000
-    UNION ALL
-    SELECT user_id, sid, CAST(next_first - last_ts_us AS DOUBLE) / 1000.0
-    FROM meta WHERE next_first IS NOT NULL
-), idle_agg AS (
-    SELECT user_id, sid,
-           {st5("v", "TRUE", "idle")}
-    FROM idle_vals GROUP BY user_id, sid
-), final AS (
-    SELECT m.*, i.* EXCLUDE (user_id, sid)
-    FROM meta m LEFT JOIN idle_agg i USING (user_id, sid)
+           max(cip) AS cip,
+           max(CASE WHEN first_c2s THEN 1 ELSE 0 END) AS fc2s,
+           min(ts_us) AS first_ts_us,
+           max(ts_us) - min(ts_us) AS duration_us,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length) AS DOUBLE) AS bytes,
+           sum(psh) AS sp,
+           sum(rst) AS sr
+    FROM rows2 GROUP BY user_id, sid
 )
 SELECT
-{select_sql}
-FROM final
+    CASE WHEN fc2s = 1 THEN cip ELSE '{_SERVER_IP}' END AS "Src IP",
+    CAST(CASE WHEN fc2s = 1 THEN 1024 + user_id % 60000 ELSE 443 END AS INT)
+        AS "Src Port",
+    CASE WHEN fc2s = 1 THEN '{_SERVER_IP}' ELSE cip END AS "Dst IP",
+    CAST(CASE WHEN fc2s = 1 THEN 443 ELSE 1024 + user_id % 60000 END AS INT)
+        AS "Dst Port",
+    'TCP' AS "Proto",
+    first_ts_us AS "Date first seen",
+    CAST(duration_us // 1000 AS BIGINT) AS "Duration",
+    bytes AS "Bytes",
+    n AS "Packets",
+    concat('..',
+           CASE WHEN sp > 0 THEN 'P' ELSE '.' END,
+           CASE WHEN sr > 0 THEN 'R' ELSE '.' END,
+           '..') AS "Flags"
+FROM agg
 """
 
 
@@ -4739,15 +4982,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver records correctness rows for the first 50
+    # entries only. Round-4 verdict item 2: the head holds (a) the 8
+    # queries the round-4 driver never reached and (b) this round's new
+    # Basic/CIDDS/NF schema queries; the tail holds queries that already
+    # have driver-green rows from earlier rounds AND full pytest coverage,
+    # so nothing loses its only hard external signal.
     return {
+        # -- never driver-run before round 5 --
+        "session_features_catalyst": q_session_features_catalyst,
+        "corpus_clean": q_corpus_clean,
+        "token_pipeline": q_token_pipeline,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_features": q_multimodal_features,
+        "neardup_jaccard": q_neardup_jaccard,
+        "salted_stats": q_salted_stats,
+        "session_features_split": q_session_features_split,
+        # -- new this round: the three previously value-unverified layouts --
+        "flow_basic": q_flow_basic,
+        "flow_cidds": q_flow_cidds,
+        "flow_nf": q_flow_nf,
+        # -- carried head --
         "session_features": q_session_features,
-        "welford_stats": q_welford_stats,
-        "iat_window": q_iat_window,
-        "flag_counts": q_flag_counts,
         "session_annotation": q_session_annotation,
         "session_annotation_catalyst": q_session_annotation_catalyst,
-        "dedup_exact": q_dedup_exact,
-        "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
         "asof_join": q_asof_join,
         "lag_features": q_lag_features,
@@ -4774,7 +5032,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stream": q_hll_stream,
         "cms_stream": q_cms_stream,
         "hdr_stream": q_hdr_stream,
-        "langid": q_langid,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -4784,20 +5041,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "hdr_quantiles": q_hdr_quantiles,
         "cms_counts": q_cms_counts,
+        "zorder_key": q_zorder_key,
+        # -- tail (entries 51+): driver-green in rounds 2-4, pytest-covered;
+        #    re-verified every round by tools/strict_contract.py --
+        "welford_stats": q_welford_stats,
+        "iat_window": q_iat_window,
+        "flag_counts": q_flag_counts,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "langid": q_langid,
         "grouping_sets": q_grouping_sets,
         "json_extract": q_json_extract,
         "set_ops": q_set_ops,
         "topk_per_group": q_topk_per_group,
-        "zorder_key": q_zorder_key,
         "vocab_topk": q_vocab_topk,
-        "corpus_clean": q_corpus_clean,
-        "token_pipeline": q_token_pipeline,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_features": q_multimodal_features,
-        "neardup_jaccard": q_neardup_jaccard,
-        "salted_stats": q_salted_stats,
-        "session_features_split": q_session_features_split,
-        "session_features_catalyst": q_session_features_catalyst,
     }
 
 
@@ -4869,4 +5126,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_key": _zorder_sql(),
         "vocab_topk": _VOCAB_SQL,
         "corpus_clean": _corpus_clean_sql(),
+        "flow_basic": _basic_sql(),
+        "flow_cidds": _Q_CIDDS_SQL,
+        "flow_nf": _nf_sql(),
     }
