@@ -25,8 +25,19 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     def common(sp):
+        sp.add_argument(
+            "--config",
+            default=None,
+            metavar="FILE.toml",
+            help="TOML config file (the reference's confy config.toml "
+            "analog); explicit CLI flags override file values",
+        )
         sp.add_argument("--input", required=True, help="input parquet path/glob")
-        sp.add_argument("--output", required=True, help="output parquet path")
+        sp.add_argument(
+            "--output",
+            default=None,
+            help="output parquet path (or [output].export_path in --config)",
+        )
         sp.add_argument("--active-timeout", type=int, default=3600)
         sp.add_argument("--idle-timeout", type=int, default=120)
         sp.add_argument("--early-export", type=int, default=None)
@@ -44,6 +55,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--schema",
         default="cic",
         choices=["superset", "basic", "cic", "cic-clean", "cidds", "nf", "rustiflow"],
+    )
+    e.add_argument(
+        "--drop-contaminant-features",
+        action="store_true",
+        default=False,
+        help="export the clean (contaminant-free) variant of the chosen "
+        "schema (args.rs drop_contaminant_features analog)",
     )
     e.add_argument(
         "--input-format",
@@ -74,7 +92,50 @@ def build_parser() -> argparse.ArgumentParser:
         help="auto: zero-Python Catalyst plan when the config permits "
              "(scan off, active timeout disabled); kernel: Arrow block kernel",
     )
+    # subparsers parse into a fresh namespace (bpo-9351), so --config file
+    # defaults must be applied to them directly, not to the root parser
+    p._command_parsers = {"extract": e, "tokens": t}
     return p
+
+
+def load_toml_config(path: str) -> dict:
+    """Parse a reference-style TOML config file (rustiflow/src/args.rs:6-210
+    via confy; config.toml in the reference repo root) into a dict of
+    argparse defaults. Returned keys use argparse dest names, so
+    `parser.set_defaults(**load_toml_config(p))` gives file values default
+    precedence: built-in default < config file < explicit CLI flag."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    c = data.get("config", {})
+    o = data.get("output", {})
+    out: dict = {}
+    # FlowType names (args.rs features enum) -> --schema choices
+    feat_map = {
+        "basic": "basic",
+        "cic": "cic",
+        "cidds": "cidds",
+        "nfstream": "nf",
+        "rustiflow": "rustiflow",
+        "custom": "superset",
+    }
+    if "features" in c:
+        name = str(c["features"]).lower()
+        if name not in feat_map:
+            raise ValueError(f"unknown features type in {path}: {c['features']}")
+        out["schema"] = feat_map[name]
+    for key in ("active_timeout", "idle_timeout", "early_export",
+                "expiration_check_interval"):
+        if key in c:
+            out[key] = int(c[key])
+    if "threads" in c:
+        out["cores"] = int(c["threads"])
+    if "export_path" in o:
+        out["output"] = str(o["export_path"])
+    if "drop_contaminant_features" in o:
+        out["drop_contaminant_features"] = bool(o["drop_contaminant_features"])
+    return out
 
 
 def _engine_config(args):
@@ -90,7 +151,20 @@ def _engine_config(args):
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    parser = build_parser()
+    if "--config" in argv:
+        # load BEFORE parsing so explicit CLI flags still win: file values
+        # become parser defaults, and argparse only falls back to defaults
+        # for flags not given on the command line
+        file_defaults = load_toml_config(argv[argv.index("--config") + 1])
+        for sub in parser._command_parsers.values():
+            sub.set_defaults(**file_defaults)
+    args = parser.parse_args(argv)
+    if args.output is None:
+        parser.error(
+            "--output is required (flag or [output].export_path in --config)"
+        )
     from pyspark.sql import SparkSession
 
     from rustiflow_spark.session import get_spark
@@ -132,7 +206,9 @@ def main(argv: list[str] | None = None) -> int:
                 return flows
             if args.schema == "cic-clean":
                 return cic_schema(flows, without_contamination=True)
-            return SCHEMAS[args.schema](flows)
+            return SCHEMAS[args.schema](
+                flows, without_contamination=args.drop_contaminant_features
+            )
 
         key_cols = ["src_ip", "dst_ip", "src_port", "dst_port", "protocol"]
     else:

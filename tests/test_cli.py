@@ -46,3 +46,71 @@ def test_cli_tokens_parquet(spark, tmp_path, capsys):
     assert rc == 0
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] > 0
+
+
+def test_cli_toml_config(spark, tmp_path, capsys):
+    """confy/TOML analog (args.rs:6-210, config.toml): file values apply
+    as defaults; explicit CLI flags still win; export_path supplies
+    --output; drop_contaminant_features picks the clean variant."""
+    from rustiflow_spark.cli import load_toml_config, main
+
+    out = str(tmp_path / "flows_toml")
+    toml = tmp_path / "config.toml"
+    toml.write_text(
+        f"""
+[config]
+features = "Nfstream"
+active_timeout = 3600
+idle_timeout = 120
+threads = 4
+
+[output]
+export_path = "{out}"
+drop_contaminant_features = true
+"""
+    )
+    cfg = load_toml_config(str(toml))
+    assert cfg == {
+        "schema": "nf",
+        "active_timeout": 3600,
+        "idle_timeout": 120,
+        "cores": 4,
+        "output": out,
+        "drop_contaminant_features": True,
+    }
+    rc = main([
+        "extract", "--config", str(toml),
+        "--input", DATA, "--input-format", "pcap", "--scan-mode", "none",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] > 0
+    from rustiflow_spark.flows.schemas import NF_CLEAN_COLUMNS
+    from rustiflow_spark.session import get_spark
+
+    sp = get_spark("cli-toml-check", cores=4)
+    flows = sp.read.parquet(out)
+    assert flows.columns == NF_CLEAN_COLUMNS  # 61-col clean NF layout
+
+    # explicit flag beats the file: --schema basic (full, 10 cols) ...
+    out2 = str(tmp_path / "flows_toml2")
+    rc = main([
+        "extract", "--config", str(toml),
+        "--input", DATA, "--input-format", "pcap", "--scan-mode", "none",
+        "--schema", "basic", "--output", out2,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    # ... but the file's drop_contaminant_features=true still applies
+    assert len(sp.read.parquet(out2).columns) == 5
+
+
+def test_cli_config_missing_output(tmp_path):
+    import pytest
+
+    from rustiflow_spark.cli import main
+
+    toml = tmp_path / "bare.toml"
+    toml.write_text('[config]\nfeatures = "CIC"\n')
+    with pytest.raises(SystemExit):
+        main(["extract", "--config", str(toml), "--input", "/nonexistent"])
