@@ -1952,6 +1952,114 @@ def _token_pipeline_impl(
     )
 
 
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (operators/packing.py): concatenate each
+    source's documents in doc_id order and cut the token stream every 2048
+    tokens; one row per (document x chunk) segment with exact offsets. One
+    window cumsum + one explode — pure Catalyst, integer-exact, so the
+    DuckDB oracle replays the closed-form assignment bit-for-bit."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.packing import pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"),
+    )
+    out = pack_chunks(toks, ["source"], ["doc_id"], max_len=2048)
+    return out.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+        F.col("seg_len").cast("long").alias("seg_len"),
+    )
+
+
+_Q_PACK_SQL = """
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), c AS (
+    SELECT *, CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                   AS BIGINT) AS cum
+    FROM d
+), spans AS (
+    SELECT *, cum - n_tok AS tok0 FROM c WHERE n_tok > 0
+), ex AS (
+    SELECT source, doc_id, n_tok, cum, tok0,
+           CAST((cum - 1) // 2048 - tok0 // 2048 + 1 AS BIGINT) AS n_chunks,
+           unnest(generate_series(tok0 // 2048, (cum - 1) // 2048)) AS chunk_id
+    FROM spans
+)
+SELECT source, doc_id, n_tok,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       n_chunks,
+       greatest(tok0, chunk_id * 2048) - tok0 AS tok_start,
+       greatest(tok0, chunk_id * 2048) - chunk_id * 2048 AS chunk_offset,
+       least(cum, (chunk_id + 1) * 2048) - greatest(tok0, chunk_id * 2048)
+           AS seg_len
+FROM ex
+"""
+
+
+def q_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking with overlap (operators/packing.py):
+    each document's synthesized token array split into 32-token windows at
+    stride 24; per-chunk integer checksum so content — not just shape — is
+    hash-verified. explode(sequence) + slice, zero Python."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.packing import chunk_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), w -> CAST(length(w) * 31 + ascii(w) AS INT))"
+        ).alias("tokens"),
+    )
+    out = chunk_tokens(toks, "tokens", chunk_len=32, overlap=8)
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        F.col("chunk_n_tok").cast("long").alias("chunk_n_tok"),
+        F.element_at("chunk", 1).cast("long").alias("first_tok"),
+        F.element_at("chunk", -1).cast("long").alias("last_tok"),
+        F.aggregate(
+            "chunk", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("tok_sum"),
+    )
+
+
+_Q_CHUNK_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           list_transform(string_split(text, ' '),
+                          w -> CAST(length(w) * 31 + ascii(w) AS INT)) AS tokens
+    FROM documents
+), nz AS (
+    SELECT doc_id, tokens, len(tokens) AS n FROM t WHERE len(tokens) > 0
+), ex AS (
+    SELECT doc_id, tokens, n,
+           unnest(generate_series(0, n - 1, 24)) AS s
+    FROM nz
+)
+SELECT doc_id,
+       CAST(s // 24 AS BIGINT) AS chunk_index,
+       CAST(least(s + 32, n) - s AS BIGINT) AS chunk_n_tok,
+       CAST(tokens[s + 1] AS BIGINT) AS first_tok,
+       CAST(tokens[least(s + 32, n)] AS BIGINT) AS last_tok,
+       CAST(list_sum(list_slice(tokens, s + 1, least(s + 32, n))) AS BIGINT)
+           AS tok_sum
+FROM ex
+"""
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus mixing + split assignment (operators/sampling.py):
     per-source keep rates decided by a pure per-row id mix (scan-pushable
@@ -5002,14 +5110,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_basic": q_flow_basic,
         "flow_cidds": q_flow_cidds,
         "flow_nf": q_flow_nf,
+        "pack_chunks": q_pack_chunks,
+        "chunk_tokens": q_chunk_tokens,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
-        "session_annotation_catalyst": q_session_annotation_catalyst,
         "similarity_topk": q_similarity_topk,
         "asof_join": q_asof_join,
         "lag_features": q_lag_features,
-        "rolling_features": q_rolling_features,
         "flow_cic_udp": q_flow_cic_udp,
         "flow_cic_derived": q_flow_cic_derived,
         "flow_rustiflow203": q_flow_rustiflow203,
@@ -5055,6 +5163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "topk_per_group": q_topk_per_group,
         "vocab_topk": q_vocab_topk,
+        "session_annotation_catalyst": q_session_annotation_catalyst,
+        "rolling_features": q_rolling_features,
     }
 
 
@@ -5129,4 +5239,6 @@ def oracle_sql() -> dict[str, str]:
         "flow_basic": _basic_sql(),
         "flow_cidds": _Q_CIDDS_SQL,
         "flow_nf": _nf_sql(),
+        "pack_chunks": _Q_PACK_SQL,
+        "chunk_tokens": _Q_CHUNK_SQL,
     }
