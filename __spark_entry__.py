@@ -2060,6 +2060,61 @@ FROM ex
 """
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): per-document word
+    n-gram overlap against a broadcast benchmark set (docs with
+    doc_id % 37 == 0 stand in for the eval set). Raw-string gram join
+    (use_hash=False) so the oracle replays it collision-free; the
+    production xxhash64-keyed path is pytest-asserted identical."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.decontam import ngram_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where("doc_id % 37 = 0")
+    out = ngram_overlap(
+        docs, bench, n=3, threshold=0.25, use_hash=False
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_grams",
+        "matched_grams",
+        F.round("overlap_frac", 6).alias("overlap_frac"),
+        "contaminated",
+    )
+
+
+_Q_DECONTAM_SQL = """
+WITH corpus AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), bench AS (
+    SELECT DISTINCT array_to_string(b.words[i.i : i.i + 2], ' ') AS g
+    FROM (SELECT words FROM corpus WHERE doc_id % 37 = 0) b,
+         LATERAL (SELECT unnest(range(1, len(b.words) - 1)) AS i) i
+), grams AS (
+    SELECT c.doc_id, array_to_string(c.words[i.i : i.i + 2], ' ') AS g
+    FROM corpus c,
+         LATERAL (SELECT unnest(range(1, len(c.words) - 1)) AS i) i
+), matched AS (
+    SELECT g.doc_id, count(*) AS m
+    FROM grams g JOIN bench b ON g.g = b.g
+    GROUP BY g.doc_id
+), tot AS (
+    SELECT doc_id, greatest(len(words) - 2, 0) AS n_grams FROM corpus
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(m.m, 0) AS BIGINT) AS matched_grams,
+       CASE WHEN t.n_grams > 0
+            THEN round(CAST(coalesce(m.m, 0) AS DOUBLE) / t.n_grams, 6)
+            ELSE CAST(0.0 AS DOUBLE) END AS overlap_frac,
+       CASE WHEN t.n_grams > 0
+            THEN CAST(coalesce(m.m, 0) AS DOUBLE) / t.n_grams
+                 >= CAST(0.25 AS DOUBLE)
+            ELSE FALSE END AS contaminated
+FROM tot t LEFT JOIN matched m USING (doc_id)
+"""
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus mixing + split assignment (operators/sampling.py):
     per-source keep rates decided by a pure per-row id mix (scan-pushable
@@ -5112,6 +5167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_nf": q_flow_nf,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
+        "decontam": q_decontam,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -5241,4 +5297,5 @@ def oracle_sql() -> dict[str, str]:
         "flow_nf": _nf_sql(),
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
+        "decontam": _Q_DECONTAM_SQL,
     }
