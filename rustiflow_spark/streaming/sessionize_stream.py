@@ -5,20 +5,30 @@ The reference drains kernel ring buffers into sharded in-memory flow tables;
 the Spark-native re-expression is ``readStream -> groupBy(key) ->
 applyInPandasWithState`` with event-time timeouts:
 
-  * per-key state = the open (not yet exported) session's event buffer
-  * every micro-batch merges buffered + new events, runs the SAME
-    segmentation kernel as the batch path (kernel/event_kernel.py), emits
-    all sessions that are provably closed (a successor event observed their
-    expiry, or a terminator event ended them)
+  * per-key state = an O(1) feature ACCUMULATOR for the open session's
+    watermark-frozen prefix (kernel/event_accum.py — the reference's
+    "state never holds raw packets" rule, flow_table.rs:24) plus only the
+    raw events still inside the watermark horizon, where late data may yet
+    interleave. State size is O(watermark_delay x event_rate), independent
+    of session length: a key emitting 10k ev/s inside a 1-hour active
+    window holds ~delay-seconds of raw events, not 36M.
+  * every micro-batch sorts the horizon buffer + new events, segments them
+    with the SAME cut rules as the batch kernel (prefix-aware variant of
+    kernel/event_kernel.py:segment_events), emits every session that is
+    provably closed (a successor event observed its expiry, or a
+    terminator event ended it), folds the surviving open session's
+    now-frozen events (ts < current watermark) into the accumulator and
+    keeps the rest raw
   * the trailing open session stays in state; an event-time timeout set at
-    its idle-expiry instant flushes it with cause Idle Timeout when the
-    watermark passes
+    its idle/active-expiry instant flushes it when the watermark passes
 
 Differences vs batch (documented, not hidden): close timestamps for
 timeout-flushed sessions are the idle-expiry instant rather than the
 reference's scan-time (the periodic scan is a single-process construct);
-segmentation and all feature values are identical — asserted by the
-equivalence test in tests/test_streaming.py.
+statistic blocks of sessions spanning micro-batches are Chan-merged
+partials, equal to the batch two-pass values up to float associativity
+(np.isclose-asserted by the equivalence tests in tests/test_streaming.py;
+the contract query rounds emitted floats).
 """
 
 from __future__ import annotations
@@ -28,11 +38,22 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from rustiflow_spark.config import CAUSE_ACTIVE, CAUSE_IDLE, EngineConfig
-from rustiflow_spark.kernel.event_kernel import featurize_key_events, segment_events
+from rustiflow_spark.config import (
+    CAUSE_ACTIVE,
+    CAUSE_IDLE,
+    CAUSE_SHUTDOWN,
+    CAUSE_TCP_TERM,
+    US_PER_S,
+    EngineConfig,
+)
+from rustiflow_spark.kernel.event_accum import acc_finalize, acc_fold
+from rustiflow_spark.kernel.event_kernel import segment_events
+from rustiflow_spark.kernel.flow_kernel import _timeout_close
 
 STATE_SCHEMA = T.StructType(
     [
+        T.StructField("acc_i", T.ArrayType(T.LongType())),
+        T.StructField("acc_f", T.ArrayType(T.DoubleType())),
         T.StructField("ts", T.ArrayType(T.LongType())),
         T.StructField("value", T.ArrayType(T.DoubleType())),
         T.StructField("direction", T.ArrayType(T.LongType())),
@@ -40,6 +61,141 @@ STATE_SCHEMA = T.StructType(
         T.StructField("session_base", T.LongType()),
     ]
 )
+
+_NO_SCANS = np.empty(0, dtype=np.int64)
+
+
+def _segment_tail_with_prefix(
+    acc_first: int,
+    acc_last: int,
+    ts: np.ndarray,
+    terminator: np.ndarray,
+    cfg: EngineConfig,
+    flush_ts: int,
+) -> tuple[int, str, int, bool, bool]:
+    """Where does the accumulator-anchored open session end within the raw
+    tail? Mirrors segment_events' cut precedence (event_kernel.py:39) with
+    the session's first event virtualized at acc_first and the previous
+    event at acc_last. Returns (n_tail_events_in_session, cause, close_ts,
+    closed, still_open)."""
+    n = ts.size
+    if n == 0:
+        cause, close_ts = _timeout_close(
+            cfg, acc_first, acc_last, -1, _NO_SCANS, flush_ts
+        )
+        return 0, cause, close_ts, True, True
+    active_us = (cfg.active_timeout + 1) * US_PER_S
+    idle_us = (cfg.idle_timeout + 1) * US_PER_S
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = ts[0] - acc_last
+    if n > 1:
+        gaps[1:] = np.diff(ts)
+    idle_pos = np.flatnonzero(gaps >= idle_us)
+    next_idle = int(idle_pos[0]) if idle_pos.size else n
+    next_active = int(np.searchsorted(ts, acc_first + active_us, side="left"))
+    e = min(next_idle, next_active, n)
+    term_pos = np.flatnonzero(terminator > 0)
+    next_term = int(term_pos[0]) + 1 if term_pos.size else n + 1
+    if next_term <= e:
+        return next_term, CAUSE_TCP_TERM, int(ts[next_term - 1]), False, False
+    last = int(ts[e - 1]) if e > 0 else acc_last
+    if e >= n:
+        cause, close_ts = _timeout_close(
+            cfg, acc_first, last, -1, _NO_SCANS, flush_ts
+        )
+        return n, cause, close_ts, True, True
+    cause, close_ts = _timeout_close(
+        cfg, acc_first, last, int(ts[e]), _NO_SCANS, flush_ts
+    )
+    return e, cause, close_ts, True, False
+
+
+def _advance_event_key(
+    acc: tuple[np.ndarray, np.ndarray] | None,
+    ts: np.ndarray,
+    val: np.ndarray,
+    dr: np.ndarray,
+    tm: np.ndarray,
+    cfg: EngineConfig,
+    watermark_us: int,
+    flush_all: bool,
+) -> tuple[list[dict], tuple[np.ndarray, np.ndarray] | None, dict | None]:
+    """Pure per-key micro-batch transition (unit-testable without Spark).
+
+    Inputs: the open session's accumulator (or None), the sorted raw event
+    arrays (horizon buffer + this batch), the current watermark and whether
+    this is a timeout flush. Returns (emitted_rows, new_acc, new_tail) with
+    new_tail a dict of arrays holding ONLY events >= watermark_us (None
+    alongside new_acc=None when every session closed)."""
+    from rustiflow_spark.kernel.event_accum import I_FIRST_TS, I_LAST_TS
+
+    n = ts.size
+    if acc is None and n == 0:
+        return [], None, None
+    flush_ts = int(ts[-1]) if n else int(acc[0][I_LAST_TS])
+
+    # (start, end, cause, close_ts, closed, uses_acc) over the raw tail
+    sessions: list[tuple[int, int, str, int, bool, bool]] = []
+    if acc is not None:
+        e0, cause0, cts0, closed0, open0 = _segment_tail_with_prefix(
+            int(acc[0][I_FIRST_TS]), int(acc[0][I_LAST_TS]), ts, tm, cfg, flush_ts
+        )
+        sessions.append((0, e0, cause0, cts0, closed0, True))
+        rest_from = e0 if not open0 else n
+    else:
+        rest_from = 0
+    if rest_from < n:
+        for s, e, cause, close_ts, closed in segment_events(
+            ts[rest_from:], tm[rest_from:], cfg, _NO_SCANS, flush_ts
+        ):
+            sessions.append(
+                (s + rest_from, e + rest_from, cause, close_ts, closed, False)
+            )
+
+    n_emit = len(sessions) if flush_all else len(sessions) - 1
+    if not flush_all and sessions and sessions[-1][2] == CAUSE_TCP_TERM:
+        n_emit = len(sessions)
+
+    rows: list[dict] = []
+    for i in range(n_emit):
+        s, e, cause, close_ts, closed, uses_acc = sessions[i]
+        a = acc_fold(acc if uses_acc else None, ts[s:e], val[s:e], dr[s:e])
+        row = acc_finalize(a, cause, close_ts, closed)
+        if (
+            flush_all
+            and i == len(sessions) - 1
+            and cause == CAUSE_SHUTDOWN
+        ):
+            # timeout flush: the watermark passed the earlier of the two
+            # expiries; active is checked first (basic_flow.rs:361). The
+            # relabel happens AFTER finalize — the feature values stay the
+            # batch kernel's shutdown-flush values (no trailing idle gap).
+            first = int(acc[0][I_FIRST_TS]) if uses_acc else int(ts[s])
+            last = int(ts[e - 1]) if e > s else int(acc[0][I_LAST_TS])
+            active_exp = cfg.active_expiry_us(first)
+            idle_exp = cfg.idle_expiry_us(last)
+            row["cause"] = CAUSE_ACTIVE if active_exp <= idle_exp else CAUSE_IDLE
+        row["session_index"] = i
+        rows.append(row)
+
+    if n_emit >= len(sessions):
+        return rows, None, None
+
+    # trailing open session: fold its watermark-frozen prefix, keep the rest
+    s, e, _, _, _, uses_acc = sessions[-1]
+    frozen_end = s + int(np.searchsorted(ts[s:e], watermark_us, side="left"))
+    new_acc = acc if uses_acc else None
+    if frozen_end > s:
+        new_acc = acc_fold(
+            new_acc, ts[s:frozen_end], val[s:frozen_end], dr[s:frozen_end]
+        )
+    tail = {
+        "ts": ts[frozen_end:e],
+        "value": val[frozen_end:e],
+        "direction": dr[frozen_end:e],
+        "terminator": tm[frozen_end:e],
+    }
+    return rows, new_acc, tail
 
 
 def output_schema(key_fields: list[T.StructField]) -> T.StructType:
@@ -87,13 +243,19 @@ def sessionize_stream(
     key_fields = [f for f in events.schema.fields if f.name in key_cols]
     out_schema = output_schema(key_fields)
     out_cols = [f.name for f in out_schema.fields]
-    no_scans = np.empty(0, dtype=np.int64)
 
     def func(key: tuple, pdfs, state: GroupState):
+        from rustiflow_spark.kernel.event_accum import I_FIRST_TS, I_LAST_TS
+
         if state.exists:
-            ts_b, val_b, dir_b, term_b, base = state.get
+            acc_i, acc_f, ts_b, val_b, dir_b, term_b, base = state.get
+            acc = (
+                (np.asarray(acc_i, dtype=np.int64),
+                 np.asarray(acc_f, dtype=np.float64))
+                if acc_i else None
+            )
         else:
-            ts_b, val_b, dir_b, term_b, base = [], [], [], [], 0
+            acc, ts_b, val_b, dir_b, term_b, base = None, [], [], [], [], 0
 
         new = [pd.DataFrame({
             "ts": pdf[ts_col].to_numpy(np.int64),
@@ -109,39 +271,23 @@ def sessionize_stream(
             "t": np.asarray(term_b, dtype=np.int64),
         })
         allev = pd.concat([buf] + new, ignore_index=True) if new else buf
-        if not len(allev):
+        if not len(allev) and acc is None:
             if state.hasTimedOut:
                 state.remove()
             return
         allev = allev.sort_values("ts", kind="mergesort")
-        ts = allev["ts"].to_numpy(np.int64)
-        val = allev["v"].to_numpy(np.float64)
-        dr = allev["d"].to_numpy(np.int64)
-        tm = allev["t"].to_numpy(np.int64)
 
-        flush_all = state.hasTimedOut
-        # closed sessions = every session except the trailing open one,
-        # unless we are flushing on timeout
-        sessions = segment_events(ts, tm, cfg, no_scans, int(ts[-1]))
-        n_emit = len(sessions) if flush_all else len(sessions) - 1
-        # a trailing session ended by a terminator is closed too
-        if not flush_all and sessions and sessions[-1][2] == "TCP Normal Termination":
-            n_emit = len(sessions)
-
-        rows = []
-        if n_emit > 0:
-            feats = featurize_key_events(ts, val, dr, tm, cfg, no_scans, int(ts[-1]))
-            for i in range(n_emit):
-                r = feats[i]
-                if flush_all and i == len(sessions) - 1 and r["cause"] == "Exporter Shutdown":
-                    # timeout flush: the watermark passed the earlier of the
-                    # two expiries; active is checked first (basic_flow.rs:361)
-                    r = dict(r)
-                    s0, e0 = sessions[i][0], sessions[i][1]
-                    active_exp = cfg.active_expiry_us(int(ts[s0]))
-                    idle_exp = cfg.idle_expiry_us(int(ts[e0 - 1]))
-                    r["cause"] = CAUSE_ACTIVE if active_exp <= idle_exp else CAUSE_IDLE
-                rows.append(r)
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows, new_acc, tail = _advance_event_key(
+            acc,
+            allev["ts"].to_numpy(np.int64),
+            allev["v"].to_numpy(np.float64),
+            allev["d"].to_numpy(np.int64),
+            allev["t"].to_numpy(np.int64),
+            cfg,
+            wm_us,
+            state.hasTimedOut,
+        )
 
         # event-time timeouts must land strictly past the current watermark
         # (a backlog replay can make an expiry predate the stream head, and
@@ -151,29 +297,39 @@ def sessionize_stream(
                 max(at_us // 1000, state.getCurrentWatermarkMs() + 1)
             )
 
-        if n_emit >= len(sessions):
+        if new_acc is None and tail is None:
             # keep the per-key session ordinal across micro-batches: an
-            # empty buffer + the advanced base. Removing state here would
+            # empty entry + the advanced base. Removing state here would
             # restart session_index at 0 for the key's next event and emit
             # duplicate (key, session_index) rows, diverging from the batch
             # path's continuous ordinal. The entry expires after
             # ordinal_ttl_s of event time (the timeout handler sees an
-            # empty buffer and removes it) so state stays bounded.
-            state.update(([], [], [], [], base + n_emit))
-            set_timeout(int(ts[-1]) + ordinal_ttl_s * 1_000_000)
+            # empty entry and removes it) so state stays bounded.
+            last_ts = int(allev["ts"].iloc[-1]) if len(allev) else wm_us
+            state.update(([], [], [], [], [], [], base + len(rows)))
+            set_timeout(last_ts + ordinal_ttl_s * 1_000_000)
         else:
-            s, e = sessions[-1][0], sessions[-1][1]
+            ai = new_acc[0] if new_acc is not None else None
+            first_ts = (
+                int(ai[I_FIRST_TS]) if ai is not None else int(tail["ts"][0])
+            )
+            last_ts = (
+                int(tail["ts"][-1]) if tail["ts"].size
+                else int(ai[I_LAST_TS])
+            )
             state.update((
-                [int(x) for x in ts[s:e]],
-                [float(x) for x in val[s:e]],
-                [int(x) for x in dr[s:e]],
-                [int(x) for x in tm[s:e]],
-                base + n_emit,
+                [int(x) for x in new_acc[0]] if new_acc is not None else [],
+                [float(x) for x in new_acc[1]] if new_acc is not None else [],
+                [int(x) for x in tail["ts"]],
+                [float(x) for x in tail["value"]],
+                [int(x) for x in tail["direction"]],
+                [int(x) for x in tail["terminator"]],
+                base + len(rows),
             ))
             # flush at whichever expiry comes first: idle (vs last event) or
             # active (vs the open session's first event)
             expiry_us = min(
-                cfg.idle_expiry_us(int(ts[e - 1])), cfg.active_expiry_us(int(ts[s]))
+                cfg.idle_expiry_us(last_ts), cfg.active_expiry_us(first_ts)
             )
             set_timeout(expiry_us)
 
