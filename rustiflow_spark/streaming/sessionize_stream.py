@@ -369,6 +369,225 @@ PACKET_STATE_SCHEMA = T.StructType(
     + [T.StructField("dir_a", T.ArrayType(T.BooleanType()))]
 )
 
+# acc mode: fixed-size accumulator + retrans range lists + the raw
+# watermark-horizon buffer
+PACKET_ACC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("acc_i", T.ArrayType(T.LongType())),
+        T.StructField("acc_f", T.ArrayType(T.DoubleType())),
+        T.StructField("rf_s", T.ArrayType(T.LongType())),
+        T.StructField("rf_e", T.ArrayType(T.LongType())),
+        T.StructField("rb_s", T.ArrayType(T.LongType())),
+        T.StructField("rb_e", T.ArrayType(T.LongType())),
+    ]
+    + [T.StructField(c, T.ArrayType(T.LongType())) for c in _PKT_STATE_COLS]
+    + [T.StructField("dir_a", T.ArrayType(T.BooleanType()))]
+)
+
+
+def _segment_flow_tail_with_prefix(acc: dict, g: dict, cfg: EngineConfig,
+                                   flush_ts: int):
+    """Continue the accumulator-anchored open flow's segmentation over the
+    raw tail — the resume twin of flow_kernel.segment_biflow's per-session
+    loop, with the session's first packet virtualized at the accumulator's
+    first_ts and the TCP lifecycle machine restored from the accumulator.
+    Returns (n_tail_pkts_in_flow, cause, close_ts, closed, still_open, st);
+    st is a COPY advanced over tail[0:n_tail_pkts] (the durable machine in
+    the accumulator only advances at fold time)."""
+    from rustiflow_spark.kernel import flow_accum as fa
+    from rustiflow_spark.config import PROTO_TCP
+
+    ai = acc["i"]
+    first = int(ai[fa.I_FIRST_TS])
+    acc_last = int(ai[fa.I_LAST_TS])
+    fwd_dir = bool(ai[fa.I_FIRST_DIR_A])
+    protocol = int(ai[fa.I_PROTOCOL])
+    st = fa.tcp_state_from_acc(ai)
+    ts = g["ts_us"]
+    n = ts.size
+    if n == 0:
+        cause, close_ts = _timeout_close(
+            cfg, first, acc_last, -1, _NO_SCANS, flush_ts
+        )
+        return 0, cause, close_ts, True, True, st
+    active_us = (cfg.active_timeout + 1) * US_PER_S
+    idle_us = (cfg.idle_timeout + 1) * US_PER_S
+    act_lim = first + active_us
+
+    if protocol != PROTO_TCP:
+        gaps = np.empty(n, dtype=np.int64)
+        gaps[0] = ts[0] - acc_last
+        if n > 1:
+            gaps[1:] = np.diff(ts)
+        idle_pos = np.flatnonzero(gaps >= idle_us)
+        next_idle = int(idle_pos[0]) if idle_pos.size else n
+        next_active = int(np.searchsorted(ts, act_lim, side="left"))
+        e = min(next_idle, next_active, n)
+        last = int(ts[e - 1]) if e > 0 else acc_last
+        if e >= n:
+            cause, close_ts = _timeout_close(
+                cfg, first, last, -1, _NO_SCANS, flush_ts
+            )
+            return n, cause, close_ts, True, True, st
+        cause, close_ts = _timeout_close(
+            cfg, first, last, int(ts[e]), _NO_SCANS, flush_ts
+        )
+        return e, cause, close_ts, True, False, st
+
+    # TCP: the per-packet lifecycle loop (segment_biflow's slow path with
+    # the expiry check applied from packet 0 — mid-session resume)
+    from rustiflow_spark.config import CAUSE_TCP_RESET
+
+    ts_l = ts.tolist()
+    dir_l = g["dir_a"].tolist()
+    fin = g["fin_flag"].tolist()
+    rst = g["rst_flag"].tolist()
+    syn = g["syn_flag"].tolist()
+    ack = g["ack_flag"].tolist()
+    seq = g["sequence_number"].tolist()
+    ack_seq = g["sequence_number_ack"].tolist()
+    data_len = g["data_length"].tolist()
+    prev_t = acc_last
+    i = 0
+    terminated = False
+    term_cause = ""
+    while i < n:
+        t = ts_l[i]
+        if t >= act_lim or t - prev_t >= idle_us:
+            break
+        fwd = dir_l[i] == fwd_dir
+        if syn[i] or ack[i]:
+            st.observe_handshake(fwd, syn[i] > 0, ack[i] > 0, seq[i], ack_seq[i])
+        if (fin[i] or st.state_fwd or st.state_bwd) and st.is_finished(
+            fwd, fin[i] > 0, seq[i], ack_seq[i], data_len[i]
+        ):
+            terminated = True
+            term_cause = CAUSE_TCP_TERM
+            i += 1
+            break
+        if rst[i]:
+            if st.handshake:
+                st.reset_after = True
+            else:
+                st.reset_before = True
+            terminated = True
+            term_cause = CAUSE_TCP_RESET
+            i += 1
+            break
+        prev_t = t
+        i += 1
+    if terminated:
+        return i, term_cause, ts_l[i - 1], False, False, st
+    last = ts_l[i - 1] if i > 0 else acc_last
+    if i >= n:
+        cause, close_ts = _timeout_close(
+            cfg, first, last, -1, _NO_SCANS, flush_ts
+        )
+        return n, cause, close_ts, True, True, st
+    cause, close_ts = _timeout_close(
+        cfg, first, last, int(ts_l[i]), _NO_SCANS, flush_ts
+    )
+    return i, cause, close_ts, True, False, st
+
+
+def _advance_packet_key(
+    acc: dict | None,
+    g: dict[str, np.ndarray],
+    cfg: EngineConfig,
+    watermark_us: int,
+    flush_all: bool,
+    meta: dict,
+) -> tuple[list[dict], dict | None, dict | None]:
+    """Pure per-key micro-batch transition for the packet path (acc mode).
+    Same contract as _advance_event_key: returns (rows, new_acc, new_tail)
+    with the tail holding only packets >= watermark_us."""
+    from rustiflow_spark.config import CAUSE_TCP_RESET, PROTO_TCP
+    from rustiflow_spark.kernel import flow_accum as fa
+    from rustiflow_spark.kernel.flow_kernel import segment_biflow
+
+    ts = g["ts_us"]
+    n = ts.size
+    if acc is None and n == 0:
+        return [], None, None
+    flush_ts = int(ts[-1]) if n else int(acc["i"][fa.I_LAST_TS])
+
+    # (s, e, cause, close_ts, closed, uses_acc, handshake, rst_before,
+    #  rst_after, close_style)
+    entries: list[tuple] = []
+    trailing_open = False
+    if acc is not None:
+        e0, cause0, cts0, closed0, open0, st0 = _segment_flow_tail_with_prefix(
+            acc, g, cfg, flush_ts
+        )
+        entries.append((
+            0, e0, cause0, cts0, closed0, True,
+            st0.handshake, st0.reset_before, st0.reset_after,
+            st0.close_style(cause0),
+        ))
+        rest_from = n if open0 else e0
+        trailing_open = open0
+    else:
+        rest_from = 0
+    if rest_from < n:
+        sub = {c: v[rest_from:] for c, v in g.items()}
+        protocol = int(sub["protocol"][0])
+        tcp_ctl = None
+        if protocol == PROTO_TCP:
+            tcp_ctl = {
+                "fin": sub["fin_flag"], "rst": sub["rst_flag"],
+                "syn": sub["syn_flag"], "ack": sub["ack_flag"],
+                "seq": sub["sequence_number"],
+                "ack_seq": sub["sequence_number_ack"],
+                "data_len": sub["data_length"],
+            }
+        sessions = [
+            x for x in segment_biflow(
+                sub["ts_us"], sub["dir_a"], protocol, tcp_ctl, cfg,
+                _NO_SCANS, flush_ts,
+            )
+            if x.snapshot_of < 0  # acc mode requires early_export=None
+        ]
+        for sess in sessions:
+            entries.append((
+                sess.start + rest_from, sess.end + rest_from, sess.cause,
+                sess.close_ts, sess.closed, False, sess.handshake_completed,
+                sess.reset_before_handshake, sess.reset_after_handshake,
+                sess.close_style,
+            ))
+        trailing_open = sessions[-1].cause not in (
+            CAUSE_TCP_TERM, CAUSE_TCP_RESET,
+        )
+
+    n_emit = len(entries) - 1 if (trailing_open and not flush_all) else len(entries)
+
+    rows: list[dict] = []
+    for i in range(n_emit):
+        s, e, cause, cts, closed, uses_acc, hs, rb, ra, style = entries[i]
+        a = fa.flow_acc_fold(
+            acc if uses_acc else None, {c: v[s:e] for c, v in g.items()}
+        )
+        row = fa.flow_acc_finalize(a, meta, cause, cts, closed, hs, rb, ra, style)
+        if flush_all and i == len(entries) - 1 and cause == CAUSE_SHUTDOWN:
+            first = int(a["i"][fa.I_FIRST_TS])
+            last = int(a["i"][fa.I_LAST_TS])
+            active_exp = cfg.active_expiry_us(first)
+            idle_exp = cfg.idle_expiry_us(last)
+            row["cause"] = CAUSE_ACTIVE if active_exp <= idle_exp else CAUSE_IDLE
+        rows.append(row)
+
+    if n_emit >= len(entries):
+        return rows, None, None
+
+    s, e, _, _, _, uses_acc, _, _, _, _ = entries[-1]
+    frozen_end = s + int(np.searchsorted(ts[s:e], watermark_us, side="left"))
+    new_acc = acc if uses_acc else None
+    if frozen_end > s:
+        new_acc = fa.flow_acc_fold(
+            new_acc, {c: v[s:frozen_end] for c, v in g.items()}
+        )
+    tail = {c: v[frozen_end:e] for c, v in g.items()}
+    return rows, new_acc, tail
+
 
 def sessionize_packets_stream(
     events: DataFrame,
@@ -383,7 +602,15 @@ def sessionize_packets_stream(
     observed its expiry, or TCP termination (FIN sequence / RST) ended it —
     and the trailing open flow flushes on an event-time timeout at its
     idle/active expiry instant. Same documented close-ts divergence as the
-    event path (expiry instant instead of scan time)."""
+    event path (expiry instant instead of scan time).
+
+    State (default): an O(1) FlowAccum (kernel/flow_accum.py) for the open
+    flow's watermark-frozen prefix plus only the raw packets inside the
+    watermark horizon — the reference's state-never-holds-raw-packets rule
+    (flow_table.rs:24). With ``cfg.early_export`` set, the legacy raw
+    buffer is used instead: early export re-exports the live flow's full
+    prefix per packet past the threshold, so snapshots there are
+    regenerated from the buffered packets each batch."""
     from rustiflow_spark.config import CAUSE_TCP_RESET, CAUSE_TCP_TERM
     from rustiflow_spark.kernel.flow_kernel import (
         compute_session_features,
@@ -396,6 +623,99 @@ def sessionize_packets_stream(
     key_cols = ["key_ip_a", "key_port_a", "key_ip_b", "key_port_b", "protocol"]
     no_scans = np.empty(0, dtype=np.int64)
     proto_tcp = 6
+    use_acc = cfg.early_export is None
+
+    def _read_batches(pdfs) -> list[dict]:
+        parts = []
+        for pdf in pdfs:
+            p = {}
+            for c in _PKT_STATE_COLS:
+                if c in ("icmp_type", "icmp_code"):
+                    p[c] = pdf[c].to_numpy(dtype=np.float64, na_value=-1).astype(np.int64)
+                else:
+                    p[c] = pdf[c].to_numpy(dtype=np.int64, na_value=0)
+            p["dir_a"] = pdf["dir_a"].to_numpy(dtype=bool)
+            parts.append(p)
+        return parts
+
+    def func_acc(key: tuple, pdfs, state: GroupState):
+        from rustiflow_spark.kernel import flow_accum as fa
+
+        acc = None
+        if state.exists:
+            stored = state.get
+            if stored[0]:
+                acc = {
+                    "i": np.asarray(stored[0], dtype=np.int64),
+                    "f": np.asarray(stored[1], dtype=np.float64),
+                    "rf_s": list(stored[2]), "rf_e": list(stored[3]),
+                    "rb_s": list(stored[4]), "rb_e": list(stored[5]),
+                }
+            bufs = {c: np.asarray(stored[6 + i], dtype=np.int64)
+                    for i, c in enumerate(_PKT_STATE_COLS)}
+            bufs["dir_a"] = np.asarray(
+                stored[6 + len(_PKT_STATE_COLS)], dtype=bool
+            )
+        else:
+            bufs = {c: np.empty(0, dtype=np.int64) for c in _PKT_STATE_COLS}
+            bufs["dir_a"] = np.empty(0, dtype=bool)
+
+        parts = [bufs] + _read_batches(pdfs)
+        merged = {
+            c: np.concatenate([p[c] for p in parts])
+            for c in (*_PKT_STATE_COLS, "dir_a")
+        }
+        if merged["ts_us"].size == 0 and acc is None:
+            if state.hasTimedOut:
+                state.remove()
+            return
+        order = np.lexsort((merged["event_seq"], merged["ts_us"]))
+        merged = {c: v[order] for c, v in merged.items()}
+        meta = {
+            "src_ip_a": key[0], "src_port_a": int(key[1]),
+            "dst_ip_a": key[2], "dst_port_a": int(key[3]),
+        }
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        rows, new_acc, tail = _advance_packet_key(
+            acc, merged, cfg, wm_us, state.hasTimedOut, meta
+        )
+
+        if new_acc is None and tail is None:
+            state.remove()  # flows carry no per-key ordinal; nothing to keep
+        else:
+            if new_acc is not None:
+                acc_cols = (
+                    [int(x) for x in new_acc["i"]],
+                    [float(x) for x in new_acc["f"]],
+                    [int(x) for x in new_acc["rf_s"]],
+                    [int(x) for x in new_acc["rf_e"]],
+                    [int(x) for x in new_acc["rb_s"]],
+                    [int(x) for x in new_acc["rb_e"]],
+                )
+                first_ts = int(new_acc["i"][fa.I_FIRST_TS])
+                last_ts = (
+                    int(tail["ts_us"][-1]) if tail["ts_us"].size
+                    else int(new_acc["i"][fa.I_LAST_TS])
+                )
+            else:
+                acc_cols = ([], [], [], [], [], [])
+                first_ts = int(tail["ts_us"][0])
+                last_ts = int(tail["ts_us"][-1])
+            state.update(acc_cols + tuple(
+                [[int(x) for x in tail[c]] for c in _PKT_STATE_COLS]
+                + [[bool(x) for x in tail["dir_a"]]]
+            ))
+            expiry_us = min(
+                cfg.idle_expiry_us(last_ts), cfg.active_expiry_us(first_ts)
+            )
+            # clamp strictly past the watermark (backlog replay can put an
+            # idle expiry behind the stream head; Spark rejects <= watermark)
+            state.setTimeoutTimestamp(
+                max(expiry_us // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+
+        if rows:
+            yield pd.DataFrame(rows).reindex(columns=FLOW_SUPERSET_COLUMNS)
 
     def func(key: tuple, pdfs, state: GroupState):
         if state.exists:
@@ -508,9 +828,9 @@ def sessionize_packets_stream(
     ).withWatermark("__event_time", watermark_delay)
 
     return keyed.groupBy(*key_cols).applyInPandasWithState(
-        func,
+        func_acc if use_acc else func,
         outputStructType=FLOW_SUPERSET_SCHEMA,
-        stateStructType=PACKET_STATE_SCHEMA,
+        stateStructType=PACKET_ACC_STATE_SCHEMA if use_acc else PACKET_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
