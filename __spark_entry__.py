@@ -2278,6 +2278,19 @@ def _packet_flush_us(sf_dir: str) -> int | None:
     return None if raw is None else (raw // 40000) * 1000
 
 
+def _sessionize_pruned(spark, df, cfg, flush_ts, build):
+    """sessionize_packets with kernel column pruning derived from ``build``'s
+    attribute references: the Arrow batch out of the Python kernel carries
+    only the superset columns the downstream projection reads, and unneeded
+    feature blocks are skipped entirely (the reference's "serialization
+    dominates" lesson, engineering-notes.md:671-699)."""
+    from rustiflow_spark.operators.sessionize import sessionize_packets
+    from rustiflow_spark.schema import projection_superset_columns
+
+    cols = projection_superset_columns(spark, build)
+    return build(sessionize_packets(df, cfg, flush_ts=flush_ts, columns=cols))
+
+
 # ICMP type from event_id % 5: echo request, echo reply, dest-unreachable,
 # time-exceeded (error class), timestamp (neither) — icmp_stats.rs taxonomy
 _ICMP_TYPE = "CASE event_id % 5 WHEN 0 THEN 8 WHEN 1 THEN 0 WHEN 2 THEN 3 WHEN 3 THEN 11 ELSE 13 END"
@@ -2538,10 +2551,8 @@ def q_flow_cic_udp(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = EngineConfig(
         active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
     )
-    flows = sessionize_packets(
-        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
-    )
-    return flows.select(
+    def build(flows):
+        return flows.select(
         "flow_key",
         F.col("src_port").cast("long").alias("src_port"),
         F.col("dst_port").cast("long").alias("dst_port"),
@@ -2587,6 +2598,14 @@ def q_flow_cic_udp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_max",
         "fwd_duration_ms",
         "bwd_duration_ms",
+    )
+
+    return _sessionize_pruned(
+        spark,
+        _packet_table(spark, sf_dir, tcp=False),
+        cfg,
+        _packet_flush_us(sf_dir),
+        build,
     )
 
 
@@ -3077,12 +3096,18 @@ def q_flow_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.config import EngineConfig
     from rustiflow_spark.flows.schemas import basic_schema
     from rustiflow_spark.operators.sessionize import sessionize_packets
+    from rustiflow_spark.schema import projection_superset_columns
 
     cfg = EngineConfig(
         active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
     )
+    # narrow schema → the kernel computes + transfers only the referenced
+    # superset columns (engineering-notes.md:671-699: serialization dominates)
     flows = sessionize_packets(
-        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
+        _packet_table(spark, sf_dir, tcp=False),
+        cfg,
+        flush_ts=_packet_flush_us(sf_dir),
+        columns=projection_superset_columns(spark, basic_schema),
     )
     return basic_schema(flows)
 
@@ -3120,12 +3145,16 @@ def q_flow_nf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.config import EngineConfig
     from rustiflow_spark.flows.schemas import nf_schema
     from rustiflow_spark.operators.sessionize import sessionize_packets
+    from rustiflow_spark.schema import projection_superset_columns
 
     cfg = EngineConfig(
         active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
     )
     flows = sessionize_packets(
-        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
+        _packet_table(spark, sf_dir, tcp=False),
+        cfg,
+        flush_ts=_packet_flush_us(sf_dir),
+        columns=projection_superset_columns(spark, nf_schema),
     )
     full = nf_schema(flows)
     return full.select(
@@ -3241,12 +3270,16 @@ def q_flow_cidds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.config import EngineConfig
     from rustiflow_spark.flows.schemas import cidds_schema
     from rustiflow_spark.operators.sessionize import sessionize_packets
+    from rustiflow_spark.schema import projection_superset_columns
 
     cfg = EngineConfig(
         active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
     )
     flows = sessionize_packets(
-        _packet_table(spark, sf_dir, tcp=True), cfg, flush_ts=_packet_flush_us(sf_dir)
+        _packet_table(spark, sf_dir, tcp=True),
+        cfg,
+        flush_ts=_packet_flush_us(sf_dir),
+        columns=projection_superset_columns(spark, cidds_schema),
     )
     return cidds_schema(flows)
 
@@ -3421,12 +3454,8 @@ def q_flow_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = EngineConfig(
         active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
     )
-    flows = sessionize_packets(
-        _packet_table(spark, sf_dir, tcp=False, icmp=True),
-        cfg,
-        flush_ts=_packet_flush_us(sf_dir),
-    )
-    return flows.select(
+    def build(flows):
+        return flows.select(
         "flow_key",
         "first_ts_us",
         "last_ts_us",
@@ -3444,6 +3473,14 @@ def q_flow_icmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
         .cast("long")
         .alias("packet_count"),
+    )
+
+    return _sessionize_pruned(
+        spark,
+        _packet_table(spark, sf_dir, tcp=False, icmp=True),
+        cfg,
+        _packet_flush_us(sf_dir),
+        build,
     )
 
 
@@ -3588,10 +3625,8 @@ def q_flow_tcp_fin(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = EngineConfig(
         active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
     )
-    flows = sessionize_packets(
-        _tcp_fin_packets(spark, sf_dir), cfg, flush_ts=_packet_flush_us(sf_dir)
-    )
-    return flows.select(
+    def build(flows):
+        return flows.select(
         "flow_key",
         "first_ts_us",
         "last_ts_us",
@@ -3607,6 +3642,10 @@ def q_flow_tcp_fin(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
         .cast("long")
         .alias("packet_count"),
+    )
+
+    return _sessionize_pruned(
+        spark, _tcp_fin_packets(spark, sf_dir), cfg, _packet_flush_us(sf_dir), build
     )
 
 
@@ -3771,10 +3810,8 @@ def q_flow_od_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = EngineConfig(
         active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
     )
-    flows = sessionize_packets(
-        _od_packets(spark, sf_dir), cfg, flush_ts=_packet_flush_us(sf_dir)
-    )
-    return flows.select(
+    def build(flows):
+        return flows.select(
         "flow_key",
         "first_ts_us",
         "cause",
@@ -3795,6 +3832,10 @@ def q_flow_od_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fwd_packet_len_count") + F.col("bwd_packet_len_count"))
         .cast("long")
         .alias("packet_count"),
+    )
+
+    return _sessionize_pruned(
+        spark, _od_packets(spark, sf_dir), cfg, _packet_flush_us(sf_dir), build
     )
 
 
@@ -4662,10 +4703,8 @@ def q_flow_tcp_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = EngineConfig(
         active_timeout=BIG_ACTIVE_S, idle_timeout=IDLE_S, scan_mode="none"
     )
-    flows = sessionize_packets(
-        _packet_table(spark, sf_dir, tcp=True), cfg, flush_ts=_packet_flush_us(sf_dir)
-    )
-    return flows.select(
+    def build(flows):
+        return flows.select(
         "flow_key",
         F.col("protocol").cast("long").alias("protocol"),
         "first_ts_us",
@@ -4686,6 +4725,14 @@ def q_flow_tcp_rst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fwd_init_window_size").cast("long").alias("fwd_init_window_size"),
         F.col("bwd_init_window_size").cast("long").alias("bwd_init_window_size"),
         F.col("subflow_count").cast("long").alias("subflow_count"),
+    )
+
+    return _sessionize_pruned(
+        spark,
+        _packet_table(spark, sf_dir, tcp=True),
+        cfg,
+        _packet_flush_us(sf_dir),
+        build,
     )
 
 

@@ -199,15 +199,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.command == "extract":
         from rustiflow_spark.flows.schemas import SCHEMAS, cic_schema
         from rustiflow_spark.operators.sessionize import sessionize_packets
+        from rustiflow_spark.schema import projection_superset_columns
+
+        if args.schema == "superset":
+            project, columns = (lambda flows: flows), None
+        elif args.schema == "cic-clean":
+            project = lambda flows: cic_schema(flows, without_contamination=True)
+            columns = projection_superset_columns(spark, project)
+        else:
+            project = lambda flows: SCHEMAS[args.schema](
+                flows, without_contamination=args.drop_contaminant_features
+            )
+            columns = projection_superset_columns(spark, project)
 
         def process(part):
-            flows = sessionize_packets(part, cfg, flush_ts=flush_ts)
-            if args.schema == "superset":
-                return flows
-            if args.schema == "cic-clean":
-                return cic_schema(flows, without_contamination=True)
-            return SCHEMAS[args.schema](
-                flows, without_contamination=args.drop_contaminant_features
+            # kernel computes + ships only the superset columns the selected
+            # schema reads (serialization dominates at narrow layouts)
+            return project(
+                sessionize_packets(part, cfg, flush_ts=flush_ts, columns=columns)
             )
 
         key_cols = ["src_ip", "dst_ip", "src_port", "dst_port", "protocol"]

@@ -256,6 +256,7 @@ def featurize_packet_block(
     cfg: EngineConfig,
     scan_times: np.ndarray,
     flush_ts: int,
+    columns: set | None = None,
 ) -> dict[str, np.ndarray]:
     """Full feature superset for a sorted packet block.
 
@@ -263,8 +264,25 @@ def featurize_packet_block(
     bool dir_a and int64 key_id. keys: per-ROW canonical endpoint arrays
     (object dtype): key_ip_a, key_port_a, key_ip_b, key_port_b.
     Returns superset column arrays (schema.FLOW_SUPERSET_COLUMNS).
+
+    columns: requested superset column names, or None for the full set.
+    Narrow schemas (Basic-10, CIDDS-10, NF-71, ...) pass the columns their
+    projection actually reads; unneeded feature blocks are skipped entirely
+    (retransmission interval scans, bulk runs, ICMP maps — the expensive
+    order-dependent parts) and the Arrow batch out of Python carries only
+    the requested columns (engineering-notes.md:671-699: serialization
+    dominates at high parallelism). Early-export snapshots force full
+    compute (the snapshot prefix pass reuses every family's aux arrays);
+    output pruning still applies downstream.
     """
     segd = segment_groups(g, cfg, scan_times, flush_ts)
+    if segd.get("snap_starts") is not None:
+        columns = None
+
+    def need(*prefixes: str) -> bool:
+        if columns is None:
+            return True
+        return any(c.startswith(prefixes) for c in columns)
     starts = segd["starts"]
     nsess = starts.size
     out: dict[str, np.ndarray] = {}
@@ -374,39 +392,44 @@ def featurize_packet_block(
     out["src_ip"], out["src_port"] = src_ip, src_port.astype(np.int64)
     out["dst_ip"], out["dst_port"] = dst_ip, dst_port.astype(np.int64)
     out["protocol"] = protocol
-    out["flow_key"] = np.array(
-        [
-            f"{a}:{b}-{c}:{d}-{p}"
-            for a, b, c, d, p in zip(src_ip, src_port, dst_ip, dst_port, protocol)
-        ],
-        dtype=object,
-    )
-    # IP metadata: python parsing only over UNIQUE addresses, then gathered;
-    # path locality via an 8x8 scope-pair lookup table (flows/util.rs:71-97)
-    from rustiflow_spark.flows import ipmeta
+    if need("flow_key"):
+        out["flow_key"] = np.array(
+            [
+                f"{a}:{b}-{c}:{d}-{p}"
+                for a, b, c, d, p in zip(src_ip, src_port, dst_ip, dst_port, protocol)
+            ],
+            dtype=object,
+        )
+    if need("ip_version", "src_ip_scope", "dst_ip_scope", "path_locality"):
+        # IP metadata: python parsing only over UNIQUE addresses, then
+        # gathered; path locality via an 8x8 scope-pair lookup table
+        # (flows/util.rs:71-97)
+        from rustiflow_spark.flows import ipmeta
 
-    uniq, uinv = np.unique(
-        np.concatenate((src_ip, dst_ip)).astype(object), return_inverse=True
-    )
-    u_scope = np.array([ipmeta.ip_scope(x) for x in uniq], dtype=object)
-    u_ver = np.fromiter(
-        (ipmeta.ip_version(x) for x in uniq), dtype=np.int64, count=uniq.size
-    )
-    scope_names = sorted(set(u_scope))
-    code_of = {nme: i for i, nme in enumerate(scope_names)}
-    u_code = np.fromiter((code_of[x] for x in u_scope), dtype=np.int64, count=uniq.size)
-    loc_table = np.array(
-        [
-            [ipmeta.locality_from_scopes(a, b) for b in scope_names]
-            for a in scope_names
-        ],
-        dtype=object,
-    )
-    s_inv, d_inv = uinv[:nsess], uinv[nsess:]
-    out["ip_version"] = u_ver[s_inv]
-    out["src_ip_scope"] = u_scope[s_inv]
-    out["dst_ip_scope"] = u_scope[d_inv]
-    out["path_locality"] = loc_table[u_code[s_inv], u_code[d_inv]]
+        uniq, uinv = np.unique(
+            np.concatenate((src_ip, dst_ip)).astype(object), return_inverse=True
+        )
+        u_scope = np.array([ipmeta.ip_scope(x) for x in uniq], dtype=object)
+        u_ver = np.fromiter(
+            (ipmeta.ip_version(x) for x in uniq), dtype=np.int64, count=uniq.size
+        )
+        scope_names = sorted(set(u_scope))
+        code_of = {nme: i for i, nme in enumerate(scope_names)}
+        u_code = np.fromiter(
+            (code_of[x] for x in u_scope), dtype=np.int64, count=uniq.size
+        )
+        loc_table = np.array(
+            [
+                [ipmeta.locality_from_scopes(a, b) for b in scope_names]
+                for a in scope_names
+            ],
+            dtype=object,
+        )
+        s_inv, d_inv = uinv[:nsess], uinv[nsess:]
+        out["ip_version"] = u_ver[s_inv]
+        out["src_ip_scope"] = u_scope[s_inv]
+        out["dst_ip_scope"] = u_scope[d_inv]
+        out["path_locality"] = loc_table[u_code[s_inv], u_code[d_inv]]
 
     out["first_ts_us"] = first_ts
     out["last_ts_us"] = last_ts
@@ -433,8 +456,11 @@ def featurize_packet_block(
     gaps[1:] = ts[1:] - ts[:-1]
     gaps[starts] = -1
     intra = np.flatnonzero(gaps >= 0)
-    seg("iat", gaps[intra] / 1000.0, intra)
+    if need("iat_"):
+        seg("iat", gaps[intra] / 1000.0, intra)
     for rows, name in ((fwd_rows, "fwd_iat"), (bwd_rows, "bwd_iat")):
+        if not need(name + "_"):
+            continue
         if rows.size > 1:
             same = seg_of_row[rows[1:]] == seg_of_row[rows[:-1]]
             vals = (ts[rows[1:]] - ts[rows[:-1]])[same] / 1000.0
@@ -450,46 +476,51 @@ def featurize_packet_block(
         snap_aux["bwd_rows"] = bwd_rows
 
     # subflow (strict > 1s)
-    sub_rows = intra[gaps[intra] > SUBFLOW_TIMEOUT_US]
-    subflow_contig = 1 + np.bincount(seg_of_row[sub_rows], minlength=nsess)
-    out["subflow_count"] = subflow_contig[inv].astype(np.int64)
+    closed_c = closed[order]  # contiguous order
+    if need("subflow_count"):
+        sub_rows = intra[gaps[intra] > SUBFLOW_TIMEOUT_US]
+        subflow_contig = 1 + np.bincount(seg_of_row[sub_rows], minlength=nsess)
+        out["subflow_count"] = subflow_contig[inv].astype(np.int64)
+        if snap_pending is not None:
+            snap_aux["sub_rows"] = sub_rows
 
     # active/idle (strict > 5s) with close semantics
-    big_rows = intra[gaps[intra] > ACTIVE_IDLE_TIMEOUT_US]
-    if snap_pending is not None:
-        snap_aux["sub_rows"] = sub_rows
-        snap_aux["big_rows"] = big_rows
-    idle_vals = gaps[big_rows] / 1000.0
-    idle_seg = seg_of_row[big_rows]
-    closed_c = closed[order]  # contiguous order
-    cause_c = cause[order]
-    close_ts_c = close_ts[order]
-    last_ts_c = ts[ends[order] - 1]
-    trail = np.flatnonzero(closed_c & (cause_c == CAUSE_IDLE))
-    idle_all = np.concatenate((idle_vals, (close_ts_c[trail] - last_ts_c[trail]) / 1000.0))
-    idle_all_seg = np.concatenate((idle_seg, trail))
-    o2 = np.argsort(idle_all_seg, kind="stable")
-    tmp: dict[str, np.ndarray] = {}
-    _seg_stats(idle_all[o2], idle_all_seg[o2], nsess, "idle", tmp)
-    for k, v in tmp.items():
-        out[k] = v[inv]
+    if need("active_", "idle_"):
+        big_rows = intra[gaps[intra] > ACTIVE_IDLE_TIMEOUT_US]
+        if snap_pending is not None:
+            snap_aux["big_rows"] = big_rows
+        idle_vals = gaps[big_rows] / 1000.0
+        idle_seg = seg_of_row[big_rows]
+        cause_c = cause[order]
+        close_ts_c = close_ts[order]
+        last_ts_c = ts[ends[order] - 1]
+        trail = np.flatnonzero(closed_c & (cause_c == CAUSE_IDLE))
+        idle_all = np.concatenate(
+            (idle_vals, (close_ts_c[trail] - last_ts_c[trail]) / 1000.0)
+        )
+        idle_all_seg = np.concatenate((idle_seg, trail))
+        o2 = np.argsort(idle_all_seg, kind="stable")
+        tmp: dict[str, np.ndarray] = {}
+        _seg_stats(idle_all[o2], idle_all_seg[o2], nsess, "idle", tmp)
+        for k, v in tmp.items():
+            out[k] = v[inv]
 
-    starts_c = starts[order]
-    ends_c = ends[order]
-    span_starts = np.unique(np.concatenate((starts_c, big_rows)))
-    span_seg = seg_of_row[span_starts]
-    span_ends_rows = np.append(span_starts[1:] - 1, n - 1)
-    sess_last_row = (ends_c - 1)[span_seg]
-    span_end = np.minimum(span_ends_rows, sess_last_row)
-    span_dur = (ts[span_end] - ts[span_starts]).astype(np.float64)
-    is_trailing = span_end == sess_last_row
-    keep = (span_dur > 0) & (~is_trailing | closed_c[span_seg])
-    tmp = {}
-    kept_seg = span_seg[keep]
-    o3 = np.argsort(kept_seg, kind="stable")
-    _seg_stats((span_dur[keep] / 1000.0)[o3], kept_seg[o3], nsess, "active", tmp)
-    for k, v in tmp.items():
-        out[k] = v[inv]
+        starts_c = starts[order]
+        ends_c = ends[order]
+        span_starts = np.unique(np.concatenate((starts_c, big_rows)))
+        span_seg = seg_of_row[span_starts]
+        span_ends_rows = np.append(span_starts[1:] - 1, n - 1)
+        sess_last_row = (ends_c - 1)[span_seg]
+        span_end = np.minimum(span_ends_rows, sess_last_row)
+        span_dur = (ts[span_end] - ts[span_starts]).astype(np.float64)
+        is_trailing = span_end == sess_last_row
+        keep = (span_dur > 0) & (~is_trailing | closed_c[span_seg])
+        tmp = {}
+        kept_seg = span_seg[keep]
+        o3 = np.argsort(kept_seg, kind="stable")
+        _seg_stats((span_dur[keep] / 1000.0)[o3], kept_seg[o3], nsess, "active", tmp)
+        for k, v in tmp.items():
+            out[k] = v[inv]
 
     # payload / header / packet-length / window stats
     data_len = g["data_length"].astype(np.float64)
@@ -497,101 +528,137 @@ def featurize_packet_block(
     length = g["length"].astype(np.float64)
     win = g["window_size"].astype(np.float64)
     allrows = np.arange(n)
-    seg("payload_len", data_len, allrows)
-    seg("fwd_payload_len", data_len[fwd_rows], fwd_rows)
-    seg("bwd_payload_len", data_len[bwd_rows], bwd_rows)
-    nz_f = fwd_rows[data_len[fwd_rows] > 0]
-    nz_b = bwd_rows[data_len[bwd_rows] > 0]
-    if snap_pending is not None:
-        snap_aux["nz_f"] = nz_f
-        snap_aux["nz_b"] = nz_b
-    out["fwd_non_zero_payload_packets"] = np.bincount(
-        seg_of_row[nz_f], minlength=nsess
-    )[inv].astype(np.int64)
-    out["bwd_non_zero_payload_packets"] = np.bincount(
-        seg_of_row[nz_b], minlength=nsess
-    )[inv].astype(np.int64)
-    seg("header_len", hdr, allrows)
-    seg("fwd_header_len", hdr[fwd_rows], fwd_rows)
-    seg("bwd_header_len", hdr[bwd_rows], bwd_rows)
-    seg("fwd_packet_len", length[fwd_rows], fwd_rows)
-    seg("bwd_packet_len", length[bwd_rows], bwd_rows)
-    seg("window_size", win, allrows)
-    seg("fwd_window_size", win[fwd_rows], fwd_rows)
-    seg("bwd_window_size", win[bwd_rows], bwd_rows)
+    if need("payload_len_"):
+        seg("payload_len", data_len, allrows)
+    if need("fwd_payload_len_"):
+        seg("fwd_payload_len", data_len[fwd_rows], fwd_rows)
+    if need("bwd_payload_len_"):
+        seg("bwd_payload_len", data_len[bwd_rows], bwd_rows)
+    if need("fwd_non_zero", "bwd_non_zero"):
+        nz_f = fwd_rows[data_len[fwd_rows] > 0]
+        nz_b = bwd_rows[data_len[bwd_rows] > 0]
+        if snap_pending is not None:
+            snap_aux["nz_f"] = nz_f
+            snap_aux["nz_b"] = nz_b
+        out["fwd_non_zero_payload_packets"] = np.bincount(
+            seg_of_row[nz_f], minlength=nsess
+        )[inv].astype(np.int64)
+        out["bwd_non_zero_payload_packets"] = np.bincount(
+            seg_of_row[nz_b], minlength=nsess
+        )[inv].astype(np.int64)
+    if need("header_len_"):
+        seg("header_len", hdr, allrows)
+    if need("fwd_header_len_"):
+        seg("fwd_header_len", hdr[fwd_rows], fwd_rows)
+    if need("bwd_header_len_"):
+        seg("bwd_header_len", hdr[bwd_rows], bwd_rows)
+    if need("fwd_packet_len_"):
+        seg("fwd_packet_len", length[fwd_rows], fwd_rows)
+    if need("bwd_packet_len_"):
+        seg("bwd_packet_len", length[bwd_rows], bwd_rows)
+    if need("window_size_"):
+        seg("window_size", win, allrows)
+    if need("fwd_window_size_"):
+        seg("fwd_window_size", win[fwd_rows], fwd_rows)
+    if need("bwd_window_size_"):
+        seg("bwd_window_size", win[bwd_rows], bwd_rows)
 
     # init window sizes: first packet per direction per session
-    for rows, name in ((fwd_rows, "fwd_init_window_size"), (bwd_rows, "bwd_init_window_size")):
-        firsts, _, cnt, ne = _first_last_per_segment(
-            g["window_size"], rows, seg_of_row, nsess
-        )
-        init = np.zeros(nsess, dtype=np.int64)
-        if rows.size and ne.size:
-            bounds = _seg_bounds(cnt)
-            init[ne] = g["window_size"][rows][bounds[ne]]
-        out[name] = init[inv]
+    if need("fwd_init_window_size", "bwd_init_window_size"):
+        for rows, name in (
+            (fwd_rows, "fwd_init_window_size"),
+            (bwd_rows, "bwd_init_window_size"),
+        ):
+            firsts, _, cnt, ne = _first_last_per_segment(
+                g["window_size"], rows, seg_of_row, nsess
+            )
+            init = np.zeros(nsess, dtype=np.int64)
+            if rows.size and ne.size:
+                bounds = _seg_bounds(cnt)
+                init[ne] = g["window_size"][rows][bounds[ne]]
+            out[name] = init[inv]
 
     # timing (ms floats, 0.0 when absent)
-    for rows, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
-        firsts, lasts, cnt, ne = _first_last_per_segment(ts, rows, seg_of_row, nsess)
-        has = cnt > 0
-        out[f"first_ts_{pre}_ms"] = np.where(has, firsts / 1000.0, 0.0)[inv]
-        out[f"last_ts_{pre}_ms"] = np.where(has, lasts / 1000.0, 0.0)[inv]
-        out[f"{pre}_duration_ms"] = np.where(has, (lasts - firsts) / 1000.0, 0.0)[inv]
+    if need(
+        "first_ts_fwd_ms", "first_ts_bwd_ms", "last_ts_fwd_ms",
+        "last_ts_bwd_ms", "fwd_duration_ms", "bwd_duration_ms",
+    ):
+        for rows, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
+            firsts, lasts, cnt, ne = _first_last_per_segment(
+                ts, rows, seg_of_row, nsess
+            )
+            has = cnt > 0
+            out[f"first_ts_{pre}_ms"] = np.where(has, firsts / 1000.0, 0.0)[inv]
+            out[f"last_ts_{pre}_ms"] = np.where(has, lasts / 1000.0, 0.0)[inv]
+            out[f"{pre}_duration_ms"] = np.where(
+                has, (lasts - firsts) / 1000.0, 0.0
+            )[inv]
 
     # TCP flag counters + flags string
-    flagbits = np.zeros(nsess, dtype=np.int64)  # contiguous order
-    for name, bit in (
-        ("urg", 5), ("ack", 4), ("psh", 3), ("rst", 2), ("syn", 1), ("fin", 0),
+    if columns is None or "flags" in columns or any(
+        c.endswith("_flag_count") for c in columns
     ):
-        col = g[name + "_flag"]
-        fc = np.bincount(seg_of_row[fwd_rows], weights=col[fwd_rows], minlength=nsess)
-        bc = np.bincount(seg_of_row[bwd_rows], weights=col[bwd_rows], minlength=nsess)
-        out[f"fwd_{name}_flag_count"] = fc[inv].astype(np.int64)
-        out[f"bwd_{name}_flag_count"] = bc[inv].astype(np.int64)
-        flagbits |= ((fc + bc) > 0).astype(np.int64) << bit
-    for name in ("cwr", "ece"):
-        col = g[name + "_flag"]
-        out[f"fwd_{name}_flag_count"] = np.bincount(
-            seg_of_row[fwd_rows], weights=col[fwd_rows], minlength=nsess
-        )[inv].astype(np.int64)
-        out[f"bwd_{name}_flag_count"] = np.bincount(
-            seg_of_row[bwd_rows], weights=col[bwd_rows], minlength=nsess
-        )[inv].astype(np.int64)
-    out["flags"] = _FLAGS_LUT[flagbits[inv]]
+        flagbits = np.zeros(nsess, dtype=np.int64)  # contiguous order
+        for name, bit in (
+            ("urg", 5), ("ack", 4), ("psh", 3), ("rst", 2), ("syn", 1), ("fin", 0),
+        ):
+            col = g[name + "_flag"]
+            fc = np.bincount(
+                seg_of_row[fwd_rows], weights=col[fwd_rows], minlength=nsess
+            )
+            bc = np.bincount(
+                seg_of_row[bwd_rows], weights=col[bwd_rows], minlength=nsess
+            )
+            out[f"fwd_{name}_flag_count"] = fc[inv].astype(np.int64)
+            out[f"bwd_{name}_flag_count"] = bc[inv].astype(np.int64)
+            flagbits |= ((fc + bc) > 0).astype(np.int64) << bit
+        for name in ("cwr", "ece"):
+            col = g[name + "_flag"]
+            out[f"fwd_{name}_flag_count"] = np.bincount(
+                seg_of_row[fwd_rows], weights=col[fwd_rows], minlength=nsess
+            )[inv].astype(np.int64)
+            out[f"bwd_{name}_flag_count"] = np.bincount(
+                seg_of_row[bwd_rows], weights=col[bwd_rows], minlength=nsess
+            )[inv].astype(np.int64)
+        out["flags"] = _FLAGS_LUT[flagbits[inv]]
 
     # ICMP
     proto_row = g["protocol"]
-    icmp_rows = np.flatnonzero((proto_row == PROTO_ICMP) | (proto_row == PROTO_ICMPV6))
-    itype = g["icmp_type"]
-    icode = g["icmp_code"]
-    first_t = np.full(nsess, -1, dtype=np.int64)
-    first_c = np.full(nsess, -1, dtype=np.int64)
-    if icmp_rows.size:
-        cnt = np.bincount(seg_of_row[icmp_rows], minlength=nsess)
-        ne = np.flatnonzero(cnt > 0)
-        bounds = _seg_bounds(cnt)
-        first_t[ne] = itype[icmp_rows][bounds[ne]]
-        first_c[ne] = icode[icmp_rows][bounds[ne]]
-        v4 = proto_row[icmp_rows] == PROTO_ICMP
-        t_vals = itype[icmp_rows]
-        req = np.where(v4, t_vals == 8, t_vals == 128)
-        rep = np.where(v4, t_vals == 0, t_vals == 129)
-        dunr = np.where(v4, t_vals == 3, t_vals == 1)
-        err_x = np.where(v4, np.isin(t_vals, (4, 5, 11, 12)), np.isin(t_vals, (2, 3, 4)))
-        sor = seg_of_row[icmp_rows]
-        out["icmp_echo_request_count"] = np.bincount(sor, weights=req, minlength=nsess)[inv].astype(np.int64)
-        out["icmp_echo_reply_count"] = np.bincount(sor, weights=rep, minlength=nsess)[inv].astype(np.int64)
-        out["icmp_error_count"] = np.bincount(sor, weights=(dunr | err_x), minlength=nsess)[inv].astype(np.int64)
-        out["icmp_destination_unreachable_count"] = np.bincount(sor, weights=dunr, minlength=nsess)[inv].astype(np.int64)
-    else:
-        z = np.zeros(nsess, dtype=np.int64)
-        out["icmp_echo_request_count"] = z
-        out["icmp_echo_reply_count"] = z.copy()
-        out["icmp_error_count"] = z.copy()
-        out["icmp_destination_unreachable_count"] = z.copy()
-    out["icmp_type"] = first_t[inv]
-    out["icmp_code"] = first_c[inv]
+    if need("icmp_"):
+        icmp_rows = np.flatnonzero(
+            (proto_row == PROTO_ICMP) | (proto_row == PROTO_ICMPV6)
+        )
+        itype = g["icmp_type"]
+        icode = g["icmp_code"]
+        first_t = np.full(nsess, -1, dtype=np.int64)
+        first_c = np.full(nsess, -1, dtype=np.int64)
+        if icmp_rows.size:
+            cnt = np.bincount(seg_of_row[icmp_rows], minlength=nsess)
+            ne = np.flatnonzero(cnt > 0)
+            bounds = _seg_bounds(cnt)
+            first_t[ne] = itype[icmp_rows][bounds[ne]]
+            first_c[ne] = icode[icmp_rows][bounds[ne]]
+            v4 = proto_row[icmp_rows] == PROTO_ICMP
+            t_vals = itype[icmp_rows]
+            req = np.where(v4, t_vals == 8, t_vals == 128)
+            rep = np.where(v4, t_vals == 0, t_vals == 129)
+            dunr = np.where(v4, t_vals == 3, t_vals == 1)
+            err_x = np.where(
+                v4, np.isin(t_vals, (4, 5, 11, 12)), np.isin(t_vals, (2, 3, 4))
+            )
+            sor = seg_of_row[icmp_rows]
+            out["icmp_echo_request_count"] = np.bincount(sor, weights=req, minlength=nsess)[inv].astype(np.int64)
+            out["icmp_echo_reply_count"] = np.bincount(sor, weights=rep, minlength=nsess)[inv].astype(np.int64)
+            out["icmp_error_count"] = np.bincount(sor, weights=(dunr | err_x), minlength=nsess)[inv].astype(np.int64)
+            out["icmp_destination_unreachable_count"] = np.bincount(sor, weights=dunr, minlength=nsess)[inv].astype(np.int64)
+        else:
+            z = np.zeros(nsess, dtype=np.int64)
+            out["icmp_echo_request_count"] = z
+            out["icmp_echo_reply_count"] = z.copy()
+            out["icmp_error_count"] = z.copy()
+            out["icmp_destination_unreachable_count"] = z.copy()
+        out["icmp_type"] = first_t[inv]
+        out["icmp_code"] = first_c[inv]
 
     # duplicate ACK (vectorized across sessions) + zero window
     flags_bm = g["flags"]
@@ -599,7 +666,12 @@ def featurize_packet_block(
     ack_no = g["sequence_number_ack"]
     win_i = g["window_size"]
     is_tcp_row = proto_row == PROTO_TCP
-    for rows_dir, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
+    dupzw_dirs = (
+        ((fwd_rows, "fwd"), (bwd_rows, "bwd"))
+        if need("fwd_duplicate", "bwd_duplicate", "fwd_zero_window", "bwd_zero_window")
+        else ()
+    )
+    for rows_dir, pre in dupzw_dirs:
         rows = rows_dir[is_tcp_row[rows_dir]]
         zw_rows = rows[win_i[rows] == 0]
         out[f"{pre}_zero_window_count"] = (
@@ -639,7 +711,12 @@ def featurize_packet_block(
     eligible = is_tcp_row & ~((flags_bm == ACK_FLAG) & (dl == 0)) & (seg_len > 0)
     seq = g["sequence_number"]
     _LIFT = np.int64(1) << 33
-    for rows_dir, pre in ((fwd_rows, "fwd"), (bwd_rows, "bwd")):
+    rt_dirs = (
+        ((fwd_rows, "fwd"), (bwd_rows, "bwd"))
+        if need("fwd_retransmission", "bwd_retransmission")
+        else ()
+    )
+    for rows_dir, pre in rt_dirs:
         rows = rows_dir[eligible[rows_dir]]
         res = np.zeros(nsess, dtype=np.int64)
         rt_event_rows: list[int] = []
@@ -700,13 +777,17 @@ def featurize_packet_block(
     # is not the session-trailing run of an unclosed (terminated) flow.
     ts_ms = ts // 1000
     length_i = g["length"]
-    nzrows = np.flatnonzero(length_i > 0)
-    for d in ("fwd", "bwd"):
-        for m in ("packets", "bytes", "duration"):
-            for s_ in ("total", "mean", "std", "max", "min"):
-                out[f"{d}_bulk_{m}_{s_}"] = np.zeros(nsess)
-            out[f"{d}_bulk_{m}_count"] = np.zeros(nsess, dtype=np.int64)
-        out[f"{d}_bulk_rate"] = np.zeros(nsess)
+    bulk_needed = need("fwd_bulk_", "bwd_bulk_")
+    nzrows = (
+        np.flatnonzero(length_i > 0) if bulk_needed else np.empty(0, np.int64)
+    )
+    if bulk_needed:
+        for d in ("fwd", "bwd"):
+            for m in ("packets", "bytes", "duration"):
+                for s_ in ("total", "mean", "std", "max", "min"):
+                    out[f"{d}_bulk_{m}_{s_}"] = np.zeros(nsess)
+                out[f"{d}_bulk_{m}_count"] = np.zeros(nsess, dtype=np.int64)
+            out[f"{d}_bulk_rate"] = np.zeros(nsess)
     if nzrows.size:
         nzsess = seg_of_row[nzrows]
         nzdir = fwd_row[nzrows]

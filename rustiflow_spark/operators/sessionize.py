@@ -90,6 +90,7 @@ def sessionize_packets(
     num_partitions: int | None = None,
     engine: str = "auto",
     flush_ts: int | None = None,
+    columns=None,
 ) -> DataFrame:
     """Full sessionization: returns one row per exported flow with the
     feature superset columns (schema.FLOW_SUPERSET_SCHEMA).
@@ -103,10 +104,27 @@ def sessionize_packets(
 
     flush_ts: known max event timestamp (e.g. parquet/Iceberg column stats
     via sources.tables.parquet_column_max) — skips the extra ts column scan.
+
+    columns: optional iterable of superset column names the caller's
+    downstream projection reads (derive automatically with
+    schema.projection_superset_columns). The kernel then skips unneeded
+    feature blocks and the Arrow batch out of Python carries only those
+    columns — the narrow-schema scale lever (serialization dominates,
+    engineering-notes.md:671-699). None = full superset (unchanged).
     """
     cfg = cfg or EngineConfig()
     if engine == "auto":
         engine = "vectorized"
+    if columns is None:
+        out_schema, out_cols, col_set = FLOW_SUPERSET_SCHEMA, FLOW_SUPERSET_COLUMNS, None
+    else:
+        from rustiflow_spark.schema import pruned_superset_schema
+
+        out_schema = pruned_superset_schema(columns)
+        out_cols = [f.name for f in out_schema.fields]
+        col_set = set(out_cols)
+        if len(col_set) == len(FLOW_SUPERSET_COLUMNS):
+            col_set = None  # full set requested — skip gating overhead
     scan_times, flush_ts = compute_timeline(df, "ts_us", cfg, flush_ts=flush_ts)
 
     keyed = with_canonical_key(df)
@@ -124,9 +142,9 @@ def sessionize_packets(
             }
             rows = process_group(g, meta, cfg, scan_times, flush_ts)
             out = pd.DataFrame(rows)
-            return out.reindex(columns=FLOW_SUPERSET_COLUMNS)
+            return out.reindex(columns=out_cols)
 
-        return keyed.groupBy(*_KEY_COLS).applyInPandas(run, schema=FLOW_SUPERSET_SCHEMA)
+        return keyed.groupBy(*_KEY_COLS).applyInPandas(run, schema=out_schema)
 
     from rustiflow_spark.kernel.packet_segmented import featurize_packet_block
 
@@ -153,10 +171,14 @@ def sessionize_packets(
             "key_ip_b": pdf["key_ip_b"].to_numpy(),
             "key_port_b": pdf["key_port_b"].to_numpy(),
         }
-        res = featurize_packet_block(g, keys, cfg, scan_times, flush_ts)
+        res = featurize_packet_block(g, keys, cfg, scan_times, flush_ts, columns=col_set)
         if "__empty" in res:
-            return pd.DataFrame(columns=FLOW_SUPERSET_COLUMNS)
-        return pd.DataFrame(res).reindex(columns=FLOW_SUPERSET_COLUMNS)
+            return pd.DataFrame(columns=out_cols)
+        if col_set is not None:
+            missing = [c for c in out_cols if c not in res]
+            if missing:  # a gating bug must fail loudly, never emit NaN
+                raise RuntimeError(f"kernel pruning dropped {missing}")
+        return pd.DataFrame(res).reindex(columns=out_cols)
 
     def run_partition(batches):
         carry: pd.DataFrame | None = None
@@ -182,4 +204,4 @@ def sessionize_packets(
     else:
         keyed = keyed.repartition(*_KEY_COLS)
     keyed = keyed.sortWithinPartitions(*sort_cols)
-    return keyed.mapInPandas(run_partition, schema=FLOW_SUPERSET_SCHEMA)
+    return keyed.mapInPandas(run_partition, schema=out_schema)

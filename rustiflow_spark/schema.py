@@ -160,3 +160,50 @@ def flow_superset_schema() -> T.StructType:
 
 FLOW_SUPERSET_SCHEMA = flow_superset_schema()
 FLOW_SUPERSET_COLUMNS = [f.name for f in FLOW_SUPERSET_SCHEMA.fields]
+_FLOW_SUPERSET_SET = frozenset(FLOW_SUPERSET_COLUMNS)
+
+
+def pruned_superset_schema(columns) -> T.StructType:
+    """Superset schema restricted to ``columns`` (superset field order kept).
+
+    Raises on unknown names so a typo in a requested-column set fails loudly
+    instead of silently emitting a NaN column."""
+    want = set(columns)
+    unknown = want - _FLOW_SUPERSET_SET
+    if unknown:
+        raise ValueError(f"not superset columns: {sorted(unknown)}")
+    return T.StructType(
+        [f for f in FLOW_SUPERSET_SCHEMA.fields if f.name in want]
+    )
+
+
+def projection_superset_columns(spark, build) -> set[str]:
+    """Superset columns referenced by a downstream projection.
+
+    ``build`` maps the flow-superset DataFrame to the user's output (a
+    schema function or any select/filter chain). The projection is analyzed
+    against an empty superset relation and every plan node's attribute
+    references are unioned — the exact analog of Catalyst column pruning,
+    resolved *before* the Arrow kernel runs so the Python stage only
+    computes and transfers what the query reads (the reference's
+    "serialization dominates" lesson, engineering-notes.md:671-699).
+
+    Falls back to the full superset on any analysis failure (pruning is an
+    optimization; never a correctness gate)."""
+    try:
+        dummy = spark.createDataFrame([], FLOW_SUPERSET_SCHEMA)
+        plan = build(dummy)._jdf.queryExecution().analyzed()
+        names: set[str] = set()
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            it = node.references().iterator()
+            while it.hasNext():
+                names.add(it.next().name())
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        refs = names & _FLOW_SUPERSET_SET
+        return refs if refs else set(FLOW_SUPERSET_COLUMNS)
+    except Exception:
+        return set(FLOW_SUPERSET_COLUMNS)
