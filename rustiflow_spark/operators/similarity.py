@@ -184,6 +184,8 @@ def ivf_fit(
     n_lists: int = 8,
     iters: int = 2,
     seed_ids: list[int] | None = None,
+    sample_fraction: float | None = None,
+    sample_seed: int = 7,
 ) -> np.ndarray:
     """Train an IVF codebook: (n_lists, d) int64 centroids in QUANT space.
 
@@ -191,13 +193,24 @@ def ivf_fit(
     smallest ids — pass stride-spread ids for better initial coverage; the
     Lloyd iterations wash the seeding out). Each iteration is one
     distributed assign + per-dimension integer sum/count job; only the
-    K×d centroid table ever reaches the driver. At 100 TB, fit on a
-    `.sample()` of the corpus — assignment quality is insensitive to the
-    training sample once lists are balanced.
+    K×d centroid table ever reaches the driver.
+
+    sample_fraction: fit on a Bernoulli sample of the corpus instead of
+    every vector — THE scale path at 100 TB (Lloyd passes over a ~0.1-1%
+    sample cost 100-1000× less and assignment quality is insensitive to
+    the training sample once lists are balanced; recall-vs-exact is
+    asserted in tests/test_training_ops.py). Seeds (default or explicit
+    seed_ids) are drawn from the sample, so seed_ids must survive it —
+    prefer the default seeding with sampled fits. None = full-corpus fit
+    (the bit-replayable oracle default).
     """
     q = corpus.select(
         F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
     )
+    if sample_fraction is not None:
+        if not 0.0 < sample_fraction <= 1.0:
+            raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
+        q = q.sample(fraction=sample_fraction, seed=sample_seed)
     # every Lloyd iteration re-reads the training set: persist the
     # quantized projection once instead of re-scanning the source per pass
     # (released in the finally even when seeding or a pass fails)
@@ -254,6 +267,7 @@ def ann_topk_ivf(
     seed_ids: list[int] | None = None,
     centroids: np.ndarray | None = None,
     broadcast_probes: bool = True,
+    fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the nprobe nearest inverted lists.
 
@@ -269,7 +283,10 @@ def ann_topk_ivf(
     shuffle key has enough cardinality to spread.
     """
     if centroids is None:
-        centroids = ivf_fit(corpus, id_col, emb_col, n_lists, iters, seed_ids)
+        centroids = ivf_fit(
+            corpus, id_col, emb_col, n_lists, iters, seed_ids,
+            sample_fraction=fit_sample_fraction,
+        )
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),

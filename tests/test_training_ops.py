@@ -168,6 +168,29 @@ def test_ann_ivf(spark):
     c3 = ivf_fit(df, n_lists=4, iters=2, seed_ids=[0, 1, 30, 45])
     assert c3.shape == c1.shape
 
+    # sampled fit (THE 100-TB path): a codebook trained on ~half the
+    # corpus must still probe to >=0.9 recall on separated clusters
+    cs = ivf_fit(df, n_lists=4, iters=2, sample_fraction=0.5, sample_seed=11)
+    assert cs.shape == c1.shape
+    approx_s = ann_topk_ivf(
+        df, queries, k=5, n_lists=4, nprobe=2, centroids=cs
+    ).toPandas()
+    recall_s = 0.0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx_s[approx_s["query_id"] == q]["neighbor_id"])
+        recall_s += len(e & a) / len(e)
+    recall_s /= exact["query_id"].nunique()
+    assert recall_s >= 0.9, f"sampled-fit IVF recall too low: {recall_s}"
+
+    # sampled fit through the ann_topk_ivf front door + validation
+    out = ann_topk_ivf(
+        df, queries, k=3, n_lists=4, nprobe=2, fit_sample_fraction=0.5
+    )
+    assert out.count() == 4 * 3
+    with pytest.raises(ValueError):
+        ivf_fit(df, n_lists=4, sample_fraction=0.0)
+
 
 def test_text_stats_and_langid(spark):
     from rustiflow_spark.operators.textstats import (
