@@ -4357,6 +4357,109 @@ FROM est
 """
 
 
+def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming corpus-quality query (streaming/rollup_stream.py
+    corpus_quality_stream): quality filter → fine 600 s (rollup + HLL
+    register) aggregation → chained coarse 3600 s merge — ONE streaming
+    plan with TWO stateful operators (append-mode window_time chaining),
+    under the 3-file availableNow replay. The emitted register table
+    carries the rollup partials, so one batch read yields both the
+    per-hour row/value rollup and the distinct-user estimate. Oracle:
+    direct per-hour aggregation with the same filter, register math
+    replayed in SQL, restricted to coarse buckets the final watermark
+    passed (closed form validated against the chained-operator emission)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sketches import hll_estimate
+    from rustiflow_spark.streaming.rollup_stream import corpus_quality_stream
+
+    ev = _events(spark, sf_dir).select("ts_us", "user_id", "event_type", "value")
+    src, out, ckpt = _replay_three_files(ev, "qualstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = corpus_quality_stream(
+        stream, "ts_us", 600, 3600, "user_id", ["event_type"], "value",
+        min_value=1.0, p=12, watermark_delay="10 seconds", hash_fn="md5",
+    )
+    _run_available_now(q, out, ckpt)
+    emitted = spark.read.parquet(out)
+    est = hll_estimate(emitted, ["event_type", "bucket_s"], p=12)
+    roll = emitted.groupBy("event_type", "bucket_s").agg(
+        F.sum("n_rows").alias("n_rows"), F.sum("sum_value").alias("sum_value")
+    )
+    return roll.join(est, ["event_type", "bucket_s"]).select(
+        "event_type",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("sum_value").cast("double"), 2).alias("sum_value"),
+        F.round("hll_estimate", 4).alias("est_users"),
+    )
+
+
+def _quality_stream_sql(p: int = 12) -> str:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    w_bits = 60 - p
+    b = 61 - p  # harmonic-sum base exponent; see _hll_sql
+
+    hexpr = (
+        "("
+        + " + ".join(
+            f"CAST((strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) AS BIGINT) * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        + ")"
+    )
+    return f"""
+WITH wm AS (
+  SELECT (CAST(floor(max(epoch_us(ts)) / 1000) AS BIGINT) - 10000) * 1000 AS wm_us
+  FROM events
+),
+f AS (
+  SELECT event_type, ts, user_id, CAST(value AS DECIMAL(28,6)) AS dv
+  FROM events WHERE value >= CAST(1.0 AS DOUBLE)
+),
+h AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
+         {hexpr} AS hv, dv
+  FROM (SELECT event_type, ts, dv,
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS hx FROM f)
+),
+regs AS (
+  SELECT event_type, bucket_s, CAST(hv % {m} AS INT) AS reg,
+         max(CASE WHEN hv // {m} = 0 THEN {w_bits + 1}
+                  ELSE {w_bits} - length(bin(hv // {m})) + 1 END) AS mj,
+         count(*) AS n_rows,
+         sum(dv) AS sum_value
+  FROM h GROUP BY event_type, bucket_s, reg
+),
+agg AS (
+  SELECT event_type, bucket_s,
+         sum(CAST(1 AS BIGINT) << CAST({b} - mj AS INT)) AS s_nz,
+         count(*) AS nz,
+         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         sum(sum_value) AS sum_value
+  FROM regs, wm
+  WHERE (bucket_s + 3600) * 1000000 <= wm_us
+  GROUP BY event_type, bucket_s
+),
+est AS (
+  SELECT event_type, bucket_s, n_rows, sum_value,
+         CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({1 << b} AS DOUBLE)
+           / CAST(s_nz + ({m} - nz) * {1 << b} AS DOUBLE) AS raw,
+         nz
+  FROM agg
+)
+SELECT event_type, bucket_s, n_rows,
+       round(CAST(sum_value AS DOUBLE), 2) AS sum_value,
+       round(CASE WHEN raw <= 2.5 * {m} AND nz < {m}
+                  THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / CAST({m} - nz AS DOUBLE))
+                  ELSE raw END, 4) AS est_users
+FROM est
+"""
+
+
 def q_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed Count-Min (streaming/rollup_stream.py
     cms_stream): per-hour frequency counters from the 3-file availableNow
@@ -5243,6 +5346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stream": q_hll_stream,
         "cms_stream": q_cms_stream,
         "hdr_stream": q_hdr_stream,
+        "quality_stream": q_quality_stream,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -5322,6 +5426,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_stream": _hll_stream_sql(),
         "cms_stream": _cms_stream_sql(),
         "hdr_stream": _hdr_stream_sql(),
+        "quality_stream": _quality_stream_sql(),
         "flow_rustiflow203": _rustiflow203_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_topk": _ann_topk_sql(),

@@ -106,6 +106,87 @@ def hll_stream(
     )
 
 
+def corpus_quality_stream(
+    stream: DataFrame,
+    ts_us_col: str,
+    fine_s: int,
+    coarse_s: int,
+    key_col: str,
+    group_cols: list[str],
+    value_col: str,
+    min_value: float | None = None,
+    p: int = 12,
+    watermark_delay: str = "10 seconds",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Composed streaming corpus-quality aggregate: quality filter →
+    fine-bucket (rollup + HLL-register) aggregation → chained coarse-bucket
+    merge — ONE streaming plan with TWO stateful operators (Spark's
+    multi-stateful append-mode chaining via ``window_time``).
+
+    Per (group..., coarse bucket, register) the emitted row carries the
+    merged HLL register (max mj — distinct ``key_col`` sketch), plus the
+    register's share of the rollup (n_rows, exact decimal sum_value);
+    summing over registers recovers the bucket rollup and the register
+    table feeds ``hll_estimate`` directly. Rows failing the quality bar
+    (``value_col`` < min_value) never enter state.
+
+    Scale shape: the fine operator holds O(groups × open fine buckets ×
+    occupied registers) state; the chained coarse operator only ever sees
+    already-reduced fine rows (one per register, not per event), so the
+    second shuffle is sketch-sized — the streaming analog of the batch
+    rollup cascade's never-rescan-raw rule. A coarse bucket emits exactly
+    once, when the watermark passes its end (the fine children finalize
+    strictly earlier; closed form: coarse_end ≤ ms-truncated(max_ts −
+    delay), test-pinned).
+    """
+    if coarse_s % fine_s != 0:
+        raise ValueError(
+            f"coarse_s ({coarse_s}) must be a multiple of fine_s ({fine_s})"
+        )
+    from rustiflow_spark.operators.sketches import _hash_expr, hll_register_cols
+
+    src = stream
+    if min_value is not None:
+        src = src.where(F.col(value_col) >= min_value)
+    reg, rho = hll_register_cols(p)
+    v = F.col(value_col).cast("decimal(28,6)")
+    fine = (
+        src.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))
+        .withColumn("__hll_h", _hash_expr(key_col, hash_fn))
+        .select(*group_cols, "__ts", reg, rho.alias("__rho"), v.alias("__v"))
+        .withWatermark("__ts", watermark_delay)
+        .groupBy(
+            F.window("__ts", f"{fine_s} seconds").alias("__wf"), *group_cols, "reg"
+        )
+        .agg(
+            F.max("__rho").alias("mj"),
+            F.count("*").alias("n_rows"),
+            F.sum("__v").alias("sum_value"),
+        )
+    )
+    return (
+        fine.groupBy(
+            F.window(F.window_time("__wf"), f"{coarse_s} seconds").alias("__wc"),
+            *group_cols,
+            "reg",
+        )
+        .agg(
+            F.max("mj").alias("mj"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        .select(
+            *group_cols,
+            F.unix_timestamp(F.col("__wc.start")).alias("bucket_s"),
+            "reg",
+            "mj",
+            "n_rows",
+            "sum_value",
+        )
+    )
+
+
 def cms_stream(
     stream: DataFrame,
     ts_us_col: str,

@@ -583,3 +583,89 @@ def test_cms_and_hdr_stream_match_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got_hdr[exp_hdr.columns].astype(exp_hdr.dtypes.to_dict()), exp_hdr
     )
+
+
+def test_corpus_quality_stream_chained_operators(spark, tmp_path):
+    """Composed quality filter -> fine agg -> chained coarse agg in one
+    streaming plan (two stateful operators): emitted coarse register rows
+    match the direct batch aggregation on finalized buckets, the quality
+    filter keeps low-value rows out of state, and summing register
+    partials recovers the bucket rollup."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.sketches import hll_registers
+    from rustiflow_spark.streaming.rollup_stream import corpus_quality_stream
+
+    rng = np.random.RandomState(17)
+    pdf = pd.DataFrame(
+        {
+            "ts_us": np.sort(rng.randint(0, 1200 * 1_000_000, size=6000)),
+            "uid": rng.randint(0, 500, size=6000),
+            "g": rng.choice(["x", "y"], size=6000),
+            "v": np.round(rng.randn(6000) * 10, 2),
+        }
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    df = spark.createDataFrame(pdf)
+    df.where("ts_us < 600000000").coalesce(1).write.mode("append").parquet(src)
+    df.where("ts_us >= 600000000").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    cq = corpus_quality_stream(
+        stream, "ts_us", 60, 300, "uid", ["g"], "v",
+        min_value=0.0, watermark_delay="5 seconds",
+    )
+    q = (
+        cq.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+
+    max_us = int(pdf["ts_us"].max())
+    wm_us = (max_us // 1000 - 5000) * 1000
+    filt = df.where("v >= 0.0").withColumn(
+        "bucket_s", (F.floor(F.col("ts_us") / 300_000_000) * 300).cast("long")
+    )
+    # registers match the batch sketch on the coarse grain
+    bregs = hll_registers(filt, "uid", ["g", "bucket_s"], p=12).toPandas()
+    bregs = bregs[(bregs["bucket_s"] + 300) * 1_000_000 <= wm_us]
+    key = ["g", "bucket_s", "reg"]
+    gm = got[key + ["mj"]].sort_values(key).reset_index(drop=True)
+    bm = bregs[key + ["mj"]].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gm.astype(bm.dtypes.to_dict()), bm)
+
+    # summing register partials recovers the exact bucket rollup
+    roll_s = (
+        got.groupby(["g", "bucket_s"])
+        .agg(n_rows=("n_rows", "sum"), sum_value=("sum_value", "sum"))
+        .reset_index()
+    )
+    roll_b = (
+        filt.groupBy("g", "bucket_s")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("v").cast("decimal(28,6)")).alias("sum_value"),
+        )
+        .where((F.col("bucket_s") + 300) * 1_000_000 <= wm_us)
+        .toPandas()
+    )
+    m = roll_s.merge(roll_b, on=["g", "bucket_s"], suffixes=("_s", "_b"))
+    assert len(m) == len(roll_b)
+    assert (m["n_rows_s"].astype("int64") == m["n_rows_b"].astype("int64")).all()
+    assert (m["sum_value_s"].astype(float) == m["sum_value_b"].astype(float)).all()
+
+    # the quality filter kept negative-value rows out entirely
+    neg = pdf[pdf["v"] < 0.0]
+    assert len(neg) > 0
+    assert int(roll_s["n_rows"].sum()) <= len(pdf) - len(neg)
+
+    # width-multiple guard
+    with pytest.raises(ValueError):
+        corpus_quality_stream(stream, "ts_us", 60, 250, "uid", ["g"], "v")
