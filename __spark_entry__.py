@@ -3986,10 +3986,8 @@ def q_flow_early_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan_mode="none",
         early_export=_EARLY_S,
     )
-    flows = sessionize_packets(
-        _packet_table(spark, sf_dir, tcp=False), cfg, flush_ts=_packet_flush_us(sf_dir)
-    )
-    return flows.select(
+    def build(flows):
+        return flows.select(
         "flow_key",
         "first_ts_us",
         "last_ts_us",
@@ -4001,6 +3999,16 @@ def q_flow_early_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("packet_count"),
         "payload_len_total",
         F.col("subflow_count").cast("long").alias("subflow_count"),
+    )
+
+    # early_export forces full kernel compute, but output pruning still
+    # shrinks the Arrow batch to the 10 referenced columns
+    return _sessionize_pruned(
+        spark,
+        _packet_table(spark, sf_dir, tcp=False),
+        cfg,
+        _packet_flush_us(sf_dir),
+        build,
     )
 
 

@@ -209,10 +209,19 @@ def _feature_schema(
     from rustiflow_spark.kernel.segmented import FEATURE_BLOCKS
 
     want = frozenset(FEATURE_BLOCKS) if blocks is None else frozenset(blocks)
+    # per-direction value/iat stats exist only when a block that needs the
+    # direction split is requested — mirrors the kernel's and the Catalyst
+    # builder's need_dir gate, so the schema never names a column no path
+    # emits (which surfaced as NaN columns / unresolved-column errors)
+    need_dir = "direction" in want or "rates" in want
     fields = [f for f in df.schema.fields if f.name in key_cols]
     for name in EVENT_FEATURE_COLUMNS:
         blk = _column_block(name)
         if blk is not None and blk not in want:
+            continue
+        if not need_dir and name.startswith(
+            ("fwd_n_tok", "bwd_n_tok", "fwd_iat", "bwd_iat")
+        ):
             continue
         if name in ("session_index", "event_count", "fwd_event_count", "bwd_event_count",
                     "subflow_count"):

@@ -226,3 +226,26 @@ def test_assign_sessions_catalyst_matches_kernel(spark):
     ca = auto_f.toPandas()[ka.columns].sort_values(sort)
     assert (ka["session_index"].to_numpy() == ca["session_index"].to_numpy()).all()
     assert (ka["session_cause"].to_numpy() == ca["session_cause"].to_numpy()).all()
+
+
+@pytest.mark.parametrize(
+    "feats",
+    [["value", "iat", "subflow"], ["value"], ["rates"], ["iat", "rates"]],
+)
+def test_pruned_features_schema_parity(spark, feats):
+    """Pruned feature sets without the direction/rates split must produce
+    identical schemas and values on both paths, with no phantom
+    fwd_/bwd_ value/iat columns (regression: the schema named columns no
+    path emitted — NaN columns on the kernel path, unresolved-column
+    errors on the Catalyst cast)."""
+    pdf = generate_token_sequences(n_docs=40, seed=9)
+    sdf = spark.createDataFrame(pdf.drop(columns=["tokens"]))
+    cfg = EngineConfig(active_timeout=10_000_000, idle_timeout=60, scan_mode="none")
+    k = sessionize_events(sdf, KEY, cfg, features=feats, strategy="kernel").toPandas()
+    c = sessionize_events(sdf, KEY, cfg, features=feats, strategy="catalyst").toPandas()
+    assert list(k.columns) == list(c.columns)
+    assert not k.isna().any().any(), k.columns[k.isna().any()].tolist()
+    need_dir = "direction" in feats or "rates" in feats
+    if not need_dir:
+        assert not any(col.startswith(("fwd_n_tok", "bwd_n_tok", "fwd_iat", "bwd_iat")) for col in k.columns)
+    _compare(k, c)
