@@ -4404,6 +4404,41 @@ def q_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/dedup_stream.py): first-arrival
+    emission of distinct (user_id, event_type) contents across the 3-file
+    availableNow replay — cross-micro-batch state dedup with the same md5
+    content hash batch exact_dedup groups on. Output restricted to the
+    deterministic columns (first-arrival payloads depend on arrival
+    order). Oracle: SELECT DISTINCT."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.streaming.dedup_stream import dedup_stream
+
+    ev = _events(spark, sf_dir).select("ts_us", "user_id", "event_type")
+    src, out, ckpt = _replay_three_files(ev, "dedupstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    d = dedup_stream(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type", "content_hash"
+    )
+    _run_available_now(d, out, ckpt)
+    return spark.read.parquet(out).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        "content_hash",
+    )
+
+
+_DEDUP_STREAM_SQL = """
+SELECT DISTINCT user_id,
+       event_type,
+       md5(concat_ws(chr(31), CAST(user_id AS VARCHAR), event_type))
+           AS content_hash
+FROM events
+"""
+
+
 def _quality_stream_sql(p: int = 12) -> str:
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
@@ -5355,6 +5390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_stream": q_cms_stream,
         "hdr_stream": q_hdr_stream,
         "quality_stream": q_quality_stream,
+        "dedup_stream": q_dedup_stream,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -5435,6 +5471,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_stream": _cms_stream_sql(),
         "hdr_stream": _hdr_stream_sql(),
         "quality_stream": _quality_stream_sql(),
+        "dedup_stream": _DEDUP_STREAM_SQL,
         "flow_rustiflow203": _rustiflow203_sql(),
         "embedding_neardup": _embedding_neardup_sql(),
         "ann_topk": _ann_topk_sql(),

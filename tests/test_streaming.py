@@ -669,3 +669,63 @@ def test_corpus_quality_stream_chained_operators(spark, tmp_path):
     # width-multiple guard
     with pytest.raises(ValueError):
         corpus_quality_stream(stream, "ts_us", 60, 250, "uid", ["g"], "v")
+
+
+def test_dedup_stream_exact_and_within_watermark(spark, tmp_path):
+    """Global-exact streaming dedup: each distinct content emits exactly
+    once across micro-batches (first arrival). Within-watermark variant:
+    duplicates inside the horizon are deduped and state stays bounded."""
+    import pandas as pd
+
+    from rustiflow_spark.streaming.dedup_stream import dedup_stream
+
+    rng = np.random.RandomState(23)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "ts_us": np.sort(rng.randint(0, 600 * 1_000_000, size=n)),
+            "k": rng.randint(0, 300, size=n).astype(str),
+        }
+    )
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    df = spark.createDataFrame(pdf)
+    df.where("ts_us < 300000000").coalesce(1).write.mode("append").parquet(src)
+    df.where("ts_us >= 300000000").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    d = dedup_stream(stream, ["k"])
+    q = (
+        d.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas()
+    # exactly one row per distinct k, even for keys spanning both batches
+    assert len(got) == pdf["k"].nunique()
+    assert got["k"].is_unique
+    # first-arrival semantics: emitted ts is the minimum ts for that key
+    firsts = pdf.groupby("k")["ts_us"].min()
+    merged = got.set_index("k")["ts_us"]
+    assert (merged == firsts.loc[merged.index]).all()
+
+    # within-watermark variant runs and dedups in-horizon duplicates
+    out2, ckpt2 = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    stream2 = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    d2 = dedup_stream(stream2, ["k"], ts_us_col="ts_us", watermark_delay="1 hours")
+    q2 = (
+        d2.writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(out2).toPandas()
+    # horizon (1 h) covers the whole 10-minute stream: still exactly-once
+    assert len(got2) == pdf["k"].nunique()
+
+    with pytest.raises(ValueError):
+        dedup_stream(stream, ["k"], watermark_delay="10 seconds")
