@@ -79,3 +79,43 @@ def layout_zorder(
     """
     keyed = zorder_key(df, cols, ranges, bits)
     return keyed.repartitionByRange(n_files, "zkey").sortWithinPartitions("zkey")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join key.
+
+    THE shuffle-elimination lever for repeated big-big joins at 100 TB:
+    two tables bucketed on the same key with the same bucket count
+    sort-merge-join with NO Exchange on either side — the bucket files ARE
+    the shuffle output, paid once at write time instead of per query. With
+    sort_cols the per-bucket sort is also pre-paid (no Sort node). The
+    join-side plan is asserted shuffle-free in tests/test_layout.py.
+
+    Spark bucketing rides the catalog (saveAsTable); pass `path` to keep
+    the data external at a chosen location. Reader side needs
+    spark.sql.sources.bucketing.enabled (default true).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def colocated_join(spark, left_table: str, right_table: str, on: list[str], how: str = "inner") -> DataFrame:
+    """Join two same-key/same-count bucketed tables without a shuffle.
+
+    Disables broadcast for this plan (a broadcast would mask whether the
+    bucket layout actually removed the Exchange — at 100 TB neither side
+    broadcasts anyway)."""
+    left = spark.table(left_table).hint("merge")
+    return left.join(spark.table(right_table).hint("merge"), on, how)
