@@ -100,3 +100,61 @@ def salted_welford_agg(
         "min",
         "max",
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    hot_keys: DataFrame | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: fact rows get a random salt, the dim side
+    replicates across all salts, and the join key becomes (key..., salt)
+    — a hot join key fans out over ``n_salts`` reducers instead of
+    serializing one. Exact for inner and left joins (every fact row still
+    meets its dim rows exactly once, in its salt slice).
+
+    hot_keys: optional DataFrame of the keys worth salting (e.g. from a
+    sampled heavy-hitter count). When given, only matching fact rows are
+    salted and only the hot slice of dim replicates — the cold keyspace
+    joins 1:1 with zero replication cost. When None, everything salts
+    (simple, dim bytes × n_salts).
+
+    This is the manual fallback; prefer AQE's skew-join split
+    (spark.sql.adaptive.skewJoin.enabled) when partition-size skew alone
+    triggers it — salting also covers the single-hot-KEY case AQE cannot
+    split (one key's rows are one map-side group in a sort-merge join).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id(), F.lit(11)), n_salts)
+    salts_arr = F.array(*[F.lit(s) for s in range(n_salts)])
+    if hot_keys is None:
+        f = facts.withColumn("__salt", salt)
+        d = dim.withColumn("__salt", F.explode(salts_arr))
+        return f.join(d, on + ["__salt"], how).drop("__salt")
+    hk = F.broadcast(hot_keys.select(*on).distinct().withColumn("__hot", F.lit(1)))
+    f = (
+        facts.join(hk, on, "left")
+        .withColumn(
+            "__salt",
+            F.when(F.col("__hot").isNotNull(), salt).otherwise(F.lit(-1)),
+        )
+        .drop("__hot")
+    )
+    # a generator is illegal inside when(): salt LIST conditionally, then
+    # one top-level explode (cold keys carry the single sentinel salt -1)
+    d = (
+        dim.join(hk, on, "left")
+        .withColumn(
+            "__salts",
+            F.when(F.col("__hot").isNotNull(), salts_arr).otherwise(
+                F.array(F.lit(-1))
+            ),
+        )
+        .withColumn("__salt", F.explode("__salts"))
+        .drop("__salts", "__hot")
+    )
+    return f.join(d, on + ["__salt"], how).drop("__salt")

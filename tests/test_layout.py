@@ -78,3 +78,35 @@ def test_bucketed_groupby_no_shuffle(spark, tables):
     agg = spark.table("bk_facts").groupBy("user_id").agg(F.sum("v").alias("s"))
     plan = _executed(agg)
     assert "Exchange" not in plan, plan[:3000]
+
+
+def test_salted_join_matches_plain(spark):
+    """salted_join (all-salt and hot-key-targeted) must equal the plain
+    join exactly for inner and left, including unmatched left rows."""
+    from rustiflow_spark.operators.skew import salted_join
+
+    facts = spark.range(20_000).select(
+        # one mega-hot key (0) plus a long tail, and keys 900+ miss the dim
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(1000)))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(900).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("attr")
+    )
+    hot = spark.createDataFrame([(0,)], ["k"])
+
+    def canon(df):
+        return sorted(map(tuple, df.select("k", "v", "attr").collect()))
+
+    for how in ("inner", "left"):
+        plain = canon(facts.join(dim, ["k"], how))
+        assert canon(salted_join(facts, dim, ["k"], n_salts=8, how=how)) == plain
+        assert (
+            canon(salted_join(facts, dim, ["k"], n_salts=8, hot_keys=hot, how=how))
+            == plain
+        )
+
+    with pytest.raises(ValueError):
+        salted_join(facts, dim, ["k"], how="full")
