@@ -494,6 +494,68 @@ GROUP BY md5(text)
 """
 
 
+# deterministic PII-bearing text built from doc_id — identical SQL on both
+# engines, so the redaction chain (counts + replacement output) is
+# hash-verifiable without shipping real PII in the fixture
+_PII_TEXT_SQL = (
+    "concat(substr(text, 1, 40),"
+    " ' mail bob', CAST(doc_id AS VARCHAR), '@ex', CAST(doc_id % 7 AS VARCHAR), '.com',"
+    " ' host 10.0.', CAST(doc_id % 256 AS VARCHAR), '.', CAST((doc_id * 7) % 256 AS VARCHAR),"
+    " ' tel +1 555 12', CAST(doc_id % 10 AS VARCHAR), ' 4567',"
+    " ' acct ', CAST(4111111111 + doc_id AS VARCHAR))"
+)
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textstats.py redact_pii): pure-Catalyst
+    regexp chain over a deterministic PII-bearing text derived from
+    doc_id — per-type match counts + the redacted output, both
+    hash-verified against DuckDB's RE2 replay (patterns restricted to the
+    Java∩RE2 regex subset by construction)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.textstats import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        _PII_TEXT_SQL.replace("CAST(doc_id AS VARCHAR)", "CAST(doc_id AS STRING)")
+        .replace("AS VARCHAR", "AS STRING")
+        + " AS text",
+    )
+    out = redact_pii(docs, "text")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pii_email_count",
+        "pii_ipv4_count",
+        "pii_phone_count",
+        "pii_longnum_count",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+def _redact_sql() -> str:
+    from rustiflow_spark.operators.textstats import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    repl = {name: r for name, _, r in PII_PATTERNS}
+    chain = "text"
+    for name, pat, r in PII_PATTERNS:
+        chain = f"regexp_replace({chain}, '{pat}', '{r}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pats[n]}', 0)) AS BIGINT)"
+        f" AS pii_{n}_count"
+        for n in ("email", "ipv4", "phone", "longnum")
+    )
+    return f"""
+WITH p AS (
+  SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       {counts},
+       md5({chain}) AS redacted_md5
+FROM p
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis block: token counting + simple quality ratios."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -5408,6 +5470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_counts": q_flag_counts,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
+        "redact_pii": q_redact_pii,
         "langid": q_langid,
         "grouping_sets": q_grouping_sets,
         "json_extract": q_json_extract,
@@ -5431,6 +5494,7 @@ def oracle_sql() -> dict[str, str]:
         "session_annotation_catalyst": _Q_ANNOTATION_SQL,
         "dedup_exact": _Q_DEDUP_SQL,
         "text_stats": _Q_TEXT_SQL,
+        "redact_pii": _redact_sql(),
         "similarity_topk": _Q_SIM_SQL,
         "asof_join": _Q_ASOF_SQL,
         "lag_features": _Q_LAG_SQL,

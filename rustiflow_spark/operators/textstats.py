@@ -169,3 +169,43 @@ def vocab_topk(
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "rnk", "term", "cnt"
     )
+
+
+# PII patterns chosen from the regex subset Java (Spark) and RE2 (DuckDB,
+# Go, Rust) agree on: no lookaround, no backreferences — so the redaction
+# is replayable by any engine in the fleet.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>"),
+    ("longnum", r"\b[0-9]{9,}\b", "<NUM>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, out_col: str = "text_redacted"
+) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4s, phone-like numbers, long
+    digit runs) — the corpus-hygiene pass every training-data pipeline
+    runs before anything ships.
+
+    Pure Catalyst regexp_replace chain (one pass per pattern, whole-stage
+    codegen, no Python) plus per-type match counts BEFORE redaction, so
+    the pipeline can report how much was scrubbed per source. Patterns
+    apply in PII_PATTERNS order — email first, so its digits are gone
+    before the number patterns look.
+    """
+    out = df
+    redacted = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        out = out.withColumn(
+            f"pii_{name}_count",
+            # pattern as a Column literal — dodges SQL string-literal
+            # backslash escaping entirely
+            F.coalesce(
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+                F.lit(0),
+            ).cast("long"),
+        )
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return out.withColumn(out_col, redacted)

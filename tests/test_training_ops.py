@@ -701,3 +701,32 @@ def test_vocab_topk(spark):
     short = spark.createDataFrame(pd.DataFrame({"text": ["solo", "a b"]}))
     out = vocab_topk(short, "text", k=10, ngram=2).toPandas()
     assert list(out.term) == ["a b"] and out.cnt.iloc[0] == 1
+
+
+def test_redact_pii(spark):
+    from rustiflow_spark.operators.textstats import redact_pii
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "write to alice.smith+x@corp.example.org or call +1 555 123 4567",
+                "server at 192.168.10.45 logged card 4111111111111111",
+                "nothing sensitive here at all",
+            ],
+        }
+    )
+    out = redact_pii(spark.createDataFrame(pdf), "text").toPandas().set_index("doc_id")
+    assert out.loc[0, "pii_email_count"] == 1
+    assert out.loc[0, "pii_phone_count"] == 1
+    assert "<EMAIL>" in out.loc[0, "text_redacted"]
+    assert "alice" not in out.loc[0, "text_redacted"]
+    assert out.loc[1, "pii_ipv4_count"] == 1
+    assert out.loc[1, "pii_longnum_count"] == 1
+    assert "<IP>" in out.loc[1, "text_redacted"]
+    assert "4111" not in out.loc[1, "text_redacted"]
+    assert out.loc[2, "text_redacted"] == pdf.loc[2, "text"]
+    assert (
+        out.loc[2, ["pii_email_count", "pii_ipv4_count", "pii_phone_count", "pii_longnum_count"]]
+        == 0
+    ).all()
