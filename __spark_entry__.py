@@ -556,6 +556,65 @@ FROM p
 """
 
 
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-apply tokenization (operators/textstats.py
+    tokenize_with_vocab): top-200 unigram vocab (vocab_topk) broadcast-
+    joined onto posexploded tokens, order restored via array_sort over
+    (position, id) structs — the step between the vocab builder and
+    sequence packing. Content verified by position-weighted checksum +
+    unk counts, not just shape. Oracle: DuckDB list_position against the
+    same ranked vocab list."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.textstats import tokenize_with_vocab, vocab_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = vocab_topk(docs, "text", k=200, ngram=1)
+    out = tokenize_with_vocab(docs, "doc_id", "text", vocab, tid_col="rnk")
+    ids = F.col("token_ids")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(ids).cast("long").alias("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == 0)).cast("long").alias("n_unk"),
+        F.element_at(ids, 1).cast("long").alias("first_id"),
+        F.element_at(ids, -1).cast("long").alias("last_id"),
+        F.aggregate(
+            F.zip_with(ids, F.sequence(F.lit(1), F.size(ids)), lambda x, i: x * i),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("checksum"),
+    )
+
+
+_TOKENIZE_SQL = """
+WITH counts AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term != '' GROUP BY term
+),
+v AS (
+  SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS tid
+  FROM counts QUALIFY tid <= 200
+),
+vl AS (SELECT list(term ORDER BY tid) AS terms FROM v),
+tok AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split(text, ' '), t -> t != ''),
+           t -> coalesce(list_position(terms, t), 0)
+         ) AS ids
+  FROM documents, vl
+)
+SELECT doc_id,
+       CAST(len(ids) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(ids, x -> x = 0)) AS BIGINT) AS n_unk,
+       CAST(ids[1] AS BIGINT) AS first_id,
+       CAST(ids[-1] AS BIGINT) AS last_id,
+       CAST(list_aggregate(list_transform(ids, (x, i) -> x * i), 'sum')
+            AS BIGINT) AS checksum
+FROM tok
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis block: token counting + simple quality ratios."""
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -5471,6 +5530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "redact_pii": q_redact_pii,
+        "tokenize": q_tokenize,
         "langid": q_langid,
         "grouping_sets": q_grouping_sets,
         "json_extract": q_json_extract,
@@ -5495,6 +5555,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _Q_DEDUP_SQL,
         "text_stats": _Q_TEXT_SQL,
         "redact_pii": _redact_sql(),
+        "tokenize": _TOKENIZE_SQL,
         "similarity_topk": _Q_SIM_SQL,
         "asof_join": _Q_ASOF_SQL,
         "lag_features": _Q_LAG_SQL,

@@ -209,3 +209,44 @@ def redact_pii(
         )
         redacted = F.regexp_replace(redacted, pat, repl)
     return out.withColumn(out_col, redacted)
+
+
+def tokenize_with_vocab(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame,
+    term_col: str = "term",
+    tid_col: str = "tid",
+    unk_id: int = 0,
+    out_col: str = "token_ids",
+) -> DataFrame:
+    """Map whitespace tokens to vocabulary ids — the step between the
+    vocab builder (vocab_topk) and sequence packing (operators/packing).
+
+    Scale shape: posexplode → BROADCAST left join against the vocab (a
+    top-k vocab is always broadcast-sized) → groupBy the doc key with an
+    order-restoring array_sort over (position, id) structs. Everything
+    JVM-side; out-of-vocabulary tokens map to ``unk_id``. Empty tokens
+    (doubled spaces) are dropped, matching vocab_topk's counting.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("__pos", "__term"),
+    ).where(F.col("__term") != "")
+    v = F.broadcast(
+        vocab.select(
+            F.col(term_col).alias("__term"),
+            F.col(tid_col).cast("long").alias("__tid"),
+        )
+    )
+    return (
+        toks.join(v, "__term", "left")
+        .groupBy(F.col("__doc").alias(id_col))
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(__pos, "
+                f"coalesce(__tid, {unk_id}L) as t))), s -> s.t)"
+            ).alias(out_col)
+        )
+    )

@@ -730,3 +730,27 @@ def test_redact_pii(spark):
         out.loc[2, ["pii_email_count", "pii_ipv4_count", "pii_phone_count", "pii_longnum_count"]]
         == 0
     ).all()
+
+
+def test_tokenize_with_vocab(spark):
+    from rustiflow_spark.operators.textstats import tokenize_with_vocab
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1],
+                "text": ["a b  c unseen a", "c c b"],
+            }
+        )
+    )
+    vocab = spark.createDataFrame(
+        pd.DataFrame({"term": ["a", "b", "c"], "tid": [1, 2, 3]})
+    )
+    out = (
+        tokenize_with_vocab(docs, "doc_id", "text", vocab)
+        .toPandas()
+        .set_index("doc_id")["token_ids"]
+    )
+    # order preserved, doubled space dropped, OOV -> 0
+    assert list(out.loc[0]) == [1, 2, 3, 0, 1]
+    assert list(out.loc[1]) == [3, 3, 2]
