@@ -5512,6 +5512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdr_stream": q_hdr_stream,
         "quality_stream": q_quality_stream,
         "dedup_stream": q_dedup_stream,
+        "redact_pii": q_redact_pii,
+        "tokenize": q_tokenize,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
@@ -5529,8 +5531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_counts": q_flag_counts,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
-        "redact_pii": q_redact_pii,
-        "tokenize": q_tokenize,
         "langid": q_langid,
         "grouping_sets": q_grouping_sets,
         "json_extract": q_json_extract,
