@@ -61,16 +61,12 @@ def ngram_overlap(
     grams and are reported with n_grams = 0, matched = 0, clean.
     """
     gram = _gram_array(text_col, n)
-    # the corpus-side explode multiplies every row ~word_count times, but
-    # Spark sizes scan partitions by COMPRESSED input bytes — a small-file
-    # corpus (or heavily compressed text) lands the whole n-gram blowup on
-    # a couple of tasks. Pre-explode repartition when the scan is narrower
-    # than the cluster; a real 100-TB scan already has thousands of
-    # partitions and skips this (observed: sf10 decontam 220 s on 2 tasks
-    # -> 27 s after spreading).
-    sc = corpus.sparkSession.sparkContext
-    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
-        corpus = corpus.repartition(sc.defaultParallelism)
+    # the corpus-side explode multiplies every row ~word_count times —
+    # widen a narrow compressed scan before it (see parallelism.py;
+    # observed: sf10 decontam 220 s on 2 tasks -> 38.7 s spread)
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus)
     key = (lambda c: F.xxhash64(c)) if use_hash else (lambda c: c)
     bench = (
         benchmark.select(F.explode(_gram_array(text_col, n)).alias("__g"))

@@ -124,7 +124,11 @@ def document_fingerprint(
                 {id_col: ids, "fingerprint": fps.view(np.int64), "n_selected": nsel}
             )
 
-    return df.select(id_col, text_col).mapInPandas(batch, schema=schema)
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    return ensure_min_parallelism(df.select(id_col, text_col)).mapInPandas(
+        batch, schema=schema
+    )
 
 
 def vocab_topk(

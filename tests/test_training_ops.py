@@ -754,3 +754,28 @@ def test_tokenize_with_vocab(spark):
     # order preserved, doubled space dropped, OOV -> 0
     assert list(out.loc[0]) == [1, 2, 3, 0, 1]
     assert list(out.loc[1]) == [3, 3, 2]
+
+
+def test_minhash_collapse_exact_matches_direct(spark, docs):
+    """collapse_exact pre-collapses exact-dup cliques; output must be
+    identical to the direct (all-rows) pipeline."""
+    from rustiflow_spark.operators.dedup import minhash_lsh_dedup
+
+    kw = dict(num_perm=64, bands=16, shingle_k=5, threshold=0.6)
+    fast = minhash_lsh_dedup(docs, "doc_id", "text", collapse_exact=True, **kw)
+    slow = minhash_lsh_dedup(docs, "doc_id", "text", collapse_exact=False, **kw)
+    f = fast.toPandas().sort_values("doc_id").reset_index(drop=True)
+    s = slow.toPandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(f[["doc_id", "cluster_id", "is_keeper"]],
+                                  s[["doc_id", "cluster_id", "is_keeper"]])
+
+
+def test_ensure_min_parallelism(spark):
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    narrow = spark.range(100).coalesce(1)
+    widened = ensure_min_parallelism(narrow)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert widened.count() == 100
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism * 2)
+    assert ensure_min_parallelism(wide) is wide
