@@ -5458,6 +5458,212 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_session_features(spark, "/root/testdata/sf0.001")
 
 
+# --------------------------------------------------------------------------
+# Round-5 additions: leakage-free encoders + multi-table point-in-time join
+# --------------------------------------------------------------------------
+
+
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill features (north-rule operator; operators/windows.py
+    forward_fill): gaps carry the most recent PAST non-null value per
+    entity — leakage-free by construction (ROWS UNBOUNDED PRECEDING).
+    Nulls are introduced deterministically (every 5th event) so the fill
+    path is actually exercised."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.windows import forward_fill
+
+    ev = _events(spark, sf_dir).selectExpr(
+        "user_id",
+        "ts_us",
+        "event_seq",
+        "case when event_seq % 5 = 0 then cast(null as double) else value end as v",
+    )
+    out = forward_fill(ev, ["user_id"], "ts_us", ["v"], order_col="event_seq")
+    return out.selectExpr(
+        "user_id",
+        "event_seq",
+        "ts_us",
+        "round(v, 6) as v",
+        "round(v_ffill, 6) as v_ffill",
+    )
+
+
+_Q_BACKFILL_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id AS event_seq,
+           CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+    FROM events
+)
+SELECT user_id, event_seq, ts_us,
+       round(v, 6) AS v,
+       round(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill
+FROM ev
+"""
+
+
+def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table point-in-time enrichment (operators/asof.py
+    point_in_time_join): each event spine row gets its entity's most
+    recent signup AND most recent purchase at or before it — the
+    feature-store PIT join over K feature tables, leakage-free, one
+    window pass per table."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.asof import point_in_time_join
+
+    ev = _events(spark, sf_dir)
+    spine = ev.selectExpr("user_id", "ts_us", "event_seq")
+    sig = (
+        ev.where("event_type = 'signup'")
+        .groupBy("user_id", "ts_us")
+        .agg(F.expr("round(max(value), 6) as sig_value"))
+    )
+    buy = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts_us")
+        .agg(F.expr("round(max(value), 6) as buy_value"))
+    )
+    out = point_in_time_join(spine, [(sig, "_s"), (buy, "_b")], by="user_id")
+    return out.selectExpr(
+        "user_id",
+        "event_seq",
+        "ts_us",
+        "ts_us_s as sig_ts_us",
+        "round(sig_value_s, 6) as sig_value",
+        "ts_us_b as buy_ts_us",
+        "round(buy_value_b, 6) as buy_value",
+        "cast(ts_us - ts_us_s as double) as us_since_signup",
+        "cast(ts_us - ts_us_b as double) as us_since_purchase",
+    )
+
+
+_Q_PIT_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id AS event_seq, value,
+           event_type
+    FROM events
+), sig AS (
+    SELECT user_id, ts_us, round(max(value), 6) AS sig_value
+    FROM ev WHERE event_type = 'signup' GROUP BY user_id, ts_us
+), buy AS (
+    SELECT user_id, ts_us, round(max(value), 6) AS buy_value
+    FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts_us
+), j1 AS (
+    SELECT ev.user_id, ev.event_seq, ev.ts_us,
+           sig.ts_us AS sig_ts_us, sig.sig_value
+    FROM ev ASOF LEFT JOIN sig
+      ON ev.user_id = sig.user_id AND ev.ts_us >= sig.ts_us
+)
+SELECT j1.user_id, j1.event_seq, j1.ts_us,
+       j1.sig_ts_us,
+       round(j1.sig_value, 6) AS sig_value,
+       buy.ts_us AS buy_ts_us,
+       round(buy.buy_value, 6) AS buy_value,
+       CAST(j1.ts_us - j1.sig_ts_us AS DOUBLE) AS us_since_signup,
+       CAST(j1.ts_us - buy.ts_us AS DOUBLE) AS us_since_purchase
+FROM j1 ASOF LEFT JOIN buy
+  ON j1.user_id = buy.user_id AND j1.ts_us >= buy.ts_us
+"""
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Past-only expanding target encoding (operators/encoding.py): each
+    event's category is encoded by the running mean of `value` over
+    STRICTLY earlier events of that category — zero temporal leakage
+    (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.encoding import target_encode_expanding
+
+    # exact cross-engine accumulation: quantize the double target to
+    # integer micro-units so the expanding sum is order-independent
+    # (running accumulation vs DuckDB's segment tree differ in the 6th
+    # decimal on raw doubles — CLAUDE.md oracle conventions)
+    ev = _events(spark, sf_dir).selectExpr(
+        "ts_us",
+        "event_seq",
+        "event_type",
+        "cast(round(value * 1000000) as long) as v_int",
+    )
+    out = target_encode_expanding(
+        ev, "event_type", "v_int", "ts_us", order_col="event_seq"
+    )
+    return out.selectExpr(
+        "event_seq",
+        "event_type",
+        "ts_us",
+        "event_type_te_n as te_n",
+        "round(event_type_te / 1000000.0, 6) as te",
+    )
+
+
+_Q_TARGET_ENCODE_SQL = """
+WITH ev AS (
+    SELECT event_id AS event_seq, event_type, epoch_us(ts) AS ts_us,
+           CAST(round(value * 1000000) AS BIGINT) AS v_int
+    FROM events
+)
+SELECT event_seq, event_type, ts_us,
+       CAST(count(v_int) OVER w AS BIGINT) AS te_n,
+       round((sum(v_int) OVER w / count(v_int) OVER w) / 1000000.0, 6) AS te
+FROM ev
+WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_seq
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth discretization via ntile per group (operators/
+    encoding.py) — exact rank-based binning, reproducible across engines
+    (unlike approx-quantile cutoffs); the training-serving-parity choice."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.encoding import quantile_bin
+
+    ev = _events(spark, sf_dir).select("event_seq", "event_type", "value")
+    out = quantile_bin(ev, "value", 8, by="event_type", order_col="event_seq")
+    return out.selectExpr(
+        "event_seq", "event_type", "round(value, 6) as value", "value_bin"
+    )
+
+
+_Q_QUANTILE_BIN_SQL = """
+SELECT event_id AS event_seq, event_type, round(value, 6) AS value,
+       ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id)
+           AS value_bin
+FROM events
+"""
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (operators/encoding.py): two-phase
+    partial/final aggregate for the O(groups) stats table, broadcast back
+    onto the fact rows — no second shuffle of the wide side."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.encoding import zscore_normalize
+
+    ev = _events(spark, sf_dir).select("event_seq", "event_type", "value")
+    out = zscore_normalize(ev, ["value"], by="event_type")
+    return out.selectExpr(
+        "event_seq",
+        "event_type",
+        "round(value, 6) as value",
+        "round(value_z, 4) as value_z",
+    )
+
+
+_Q_ZSCORE_SQL = """
+WITH stats AS (
+    SELECT event_type, avg(value) AS m, stddev_pop(value) AS s
+    FROM events GROUP BY event_type
+)
+SELECT e.event_id AS event_seq, e.event_type,
+       round(e.value, 6) AS value,
+       round((e.value - st.m) / CASE WHEN st.s <> 0 THEN st.s END, 4)
+           AS value_z
+FROM events e LEFT JOIN stats st USING (event_type)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the first 50
     # entries only. Round-4 verdict item 2: the head holds (a) the 8
@@ -5482,6 +5688,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
+        # -- new: leakage-free encoders + PIT enrichment --
+        "backfill": q_backfill,
+        "point_in_time": q_point_in_time,
+        "target_encode": q_target_encode,
+        "quantile_bin": q_quantile_bin,
+        "zscore": q_zscore,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -5558,6 +5770,11 @@ def oracle_sql() -> dict[str, str]:
         "tokenize": _TOKENIZE_SQL,
         "similarity_topk": _Q_SIM_SQL,
         "asof_join": _Q_ASOF_SQL,
+        "backfill": _Q_BACKFILL_SQL,
+        "point_in_time": _Q_PIT_SQL,
+        "target_encode": _Q_TARGET_ENCODE_SQL,
+        "quantile_bin": _Q_QUANTILE_BIN_SQL,
+        "zscore": _Q_ZSCORE_SQL,
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,

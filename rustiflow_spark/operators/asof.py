@@ -132,6 +132,39 @@ def asof_join(
     )
 
 
+def point_in_time_join(
+    spine: DataFrame,
+    tables: list[tuple[DataFrame, str]],
+    by: str | list[str],
+    spine_ts: str = "ts_us",
+    right_ts: str = "ts_us",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Point-in-time enrichment of an (entity, timestamp) spine against
+    several feature tables — the feature-store "PIT join" (north rule).
+
+    Each (table, suffix) pair contributes its most recent row at or before
+    the spine timestamp per entity, leakage-free. Implementation is K
+    chained backward as-of joins; each is the union+window form above, so
+    the whole enrichment is K single-shuffle window passes over the spine —
+    at 100 TB with range partitioning on (entity, ts) every pass is an
+    in-partition sorted merge, and the spine never round-trips through
+    Python.
+    """
+    out = spine
+    for tbl, suffix in tables:
+        out = asof_join(
+            out,
+            tbl,
+            by=by,
+            left_ts=spine_ts,
+            right_ts=right_ts,
+            tolerance_us=tolerance_us,
+            suffix=suffix,
+        )
+    return out
+
+
 def asof_join_kernel(
     left: DataFrame,
     right: DataFrame,

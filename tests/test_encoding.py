@@ -1,0 +1,136 @@
+"""Leakage-free encoders (operators/encoding.py) + multi-table PIT join.
+
+Oracles are hand-computed pandas expanding/rank equivalents — the same
+strictly-past discipline the contract queries verify against DuckDB.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rustiflow_spark.operators.asof import point_in_time_join
+from rustiflow_spark.operators.encoding import (
+    quantile_bin,
+    target_encode_expanding,
+    zscore_normalize,
+)
+
+
+@pytest.fixture(scope="module")
+def enc_df(spark):
+    rng = np.random.RandomState(7)
+    n = 400
+    pdf = pd.DataFrame(
+        {
+            "cat": rng.choice(["a", "b", "c"], n),
+            "ts_us": rng.randint(0, 10_000_000, n).astype("int64"),
+            "row_id": np.arange(n, dtype="int64"),
+            "y": np.round(rng.randn(n) * 10, 3),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_target_encode_expanding_matches_pandas(spark, enc_df):
+    df, pdf = enc_df
+    out = (
+        target_encode_expanding(df, "cat", "y", "ts_us", order_col="row_id")
+        .orderBy("row_id")
+        .toPandas()
+    )
+    p = pdf.sort_values(["cat", "ts_us", "row_id"]).copy()
+    g = p.groupby("cat")["y"]
+    p["exp_n"] = g.cumcount()
+    p["exp_mean"] = (
+        g.transform(lambda s: s.expanding().mean().shift(1))
+    )
+    p = p.sort_values("row_id")
+    assert out["cat_te_n"].tolist() == p["exp_n"].tolist()
+    assert np.allclose(
+        out["cat_te"].astype(float), p["exp_mean"].astype(float), equal_nan=True
+    )
+
+
+def test_target_encode_smoothing_and_prior(spark, enc_df):
+    df, _ = enc_df
+    out = (
+        target_encode_expanding(
+            df, "cat", "y", "ts_us", order_col="row_id", prior=0.5, smoothing=10.0
+        )
+        .orderBy("row_id")
+        .toPandas()
+    )
+    # first row of each category has no history -> shrunk fully to prior
+    first = out[out["cat_te_n"] == 0]
+    assert len(first) == 3
+    assert np.allclose(first["cat_te"], 0.5)
+    # smoothing requires a prior
+    with pytest.raises(ValueError):
+        target_encode_expanding(df, "cat", "y", "ts_us", smoothing=5.0)
+
+
+def test_quantile_bin_equi_depth(spark, enc_df):
+    df, pdf = enc_df
+    out = (
+        quantile_bin(df, "y", 4, by="cat", order_col="row_id")
+        .orderBy("row_id")
+        .toPandas()
+    )
+    # each group's bins are equi-depth (sizes differ by at most 1)
+    for _, grp in out.groupby("cat"):
+        sizes = grp["y_bin"].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+        # bin order follows value order
+        means = grp.groupby("y_bin")["y"].mean()
+        assert means.sort_index().is_monotonic_increasing
+
+
+def test_zscore_normalize_matches_group_stats(spark, enc_df):
+    df, pdf = enc_df
+    out = zscore_normalize(df, ["y"], by="cat").orderBy("row_id").toPandas()
+    p = pdf.sort_values("row_id").copy()
+    stats = pdf.groupby("cat")["y"].agg(["mean", lambda s: s.std(ddof=0)])
+    stats.columns = ["mean", "std"]
+    exp = (p["y"].values - stats.loc[p["cat"], "mean"].values) / stats.loc[
+        p["cat"], "std"
+    ].values
+    assert np.allclose(out["y_z"].astype(float), exp)
+    # broadcast join: stats side must be a BroadcastExchange, not a shuffle
+    plan = zscore_normalize(df, ["y"], by="cat")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zscore_zero_variance_group_is_null(spark):
+    pdf = pd.DataFrame({"k": ["a"] * 3 + ["b"] * 3, "v": [5.0] * 3 + [1.0, 2.0, 3.0]})
+    out = zscore_normalize(spark.createDataFrame(pdf), ["v"], by="k").toPandas()
+    assert out[out["k"] == "a"]["v_z"].isna().all()
+    assert np.allclose(out[out["k"] == "b"]["v_z"].sort_values(), [-1.224745, 0.0, 1.224745], atol=1e-5)
+
+
+def test_point_in_time_multi_table(spark):
+    spine = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x", "x", "x", "y"],
+                "ts_us": [100, 200, 300, 150],
+                "row_id": [0, 1, 2, 3],
+            }
+        )
+    )
+    t1 = spark.createDataFrame(
+        pd.DataFrame({"k": ["x", "x"], "ts_us": [90, 250], "f1": [1.0, 2.0]})
+    )
+    t2 = spark.createDataFrame(
+        pd.DataFrame({"k": ["x", "y"], "ts_us": [200, 100], "f2": [7.0, 9.0]})
+    )
+    out = (
+        point_in_time_join(spine, [(t1, "_a"), (t2, "_b")], by="k")
+        .orderBy("row_id")
+        .toPandas()
+    )
+    assert out["f1_a"].tolist()[0:3] == [1.0, 1.0, 2.0]
+    assert pd.isna(out["f1_a"].iloc[3])
+    # exact-timestamp match included (ts 200 sees t2@200)
+    assert out["f2_b"].tolist()[1] == 7.0
+    assert pd.isna(out["f2_b"].iloc[0])
+    assert out["f2_b"].iloc[3] == 9.0
