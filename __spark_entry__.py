@@ -5458,6 +5458,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_session_features(spark, "/root/testdata/sf0.001")
 
 
+def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase sketch mergeability proof (the 100-TB incremental story:
+    per-shard sketch tables merge WITHOUT rescanning raw data). Builds
+    HLL registers and HDR histograms on two disjoint halves of the events
+    table, merges each (groupBy-max / groupBy-sum), estimates — and the
+    oracle computes the same sketches directly on the whole table, so the
+    hash match proves merge == direct bit-for-bit."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_merge,
+        hdr_quantiles,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    h0 = events.where("event_id % 2 = 0")
+    h1 = events.where("event_id % 2 = 1")
+
+    regs = hll_merge(
+        hll_registers(h0, "user_id", ["event_type"], p=12, hash_fn="md5").unionByName(
+            hll_registers(h1, "user_id", ["event_type"], p=12, hash_fn="md5")
+        ),
+        ["event_type"],
+    )
+    hll = hll_estimate(regs, ["event_type"], p=12).select(
+        "event_type", F.round("hll_estimate", 4).alias("est_users")
+    )
+
+    hist = hdr_merge(
+        hdr_histogram(h0, "value", ["event_type"], sub_bits=6).unionByName(
+            hdr_histogram(h1, "value", ["event_type"], sub_bits=6)
+        ),
+        ["event_type"],
+    )
+    p90 = (
+        hdr_quantiles(hist, ["event_type"], [0.9], sub_bits=6)
+        .select("event_type", F.round("quantile", 6).alias("p90"))
+    )
+    return hll.join(p90, on="event_type")
+
+
+def _sketch_merge_sql() -> str:
+    # merge-of-halves == whole: the oracle is simply the direct whole-table
+    # sketches (the same generated SQL the hll_distinct / hdr_quantiles
+    # contracts replay), joined per event_type
+    return f"""
+WITH hll AS ({_hll_sql()}),
+     hdr AS ({_hdr_sql()})
+SELECT hll.event_type, hll.est_users, round(hdr.quantile, 6) AS p90
+FROM hll JOIN hdr ON hll.event_type = hdr.event_type
+WHERE hdr.p BETWEEN 0.85 AND 0.95
+"""
+
+
 # --------------------------------------------------------------------------
 # Round-5 additions: leakage-free encoders + multi-table point-in-time join
 # --------------------------------------------------------------------------
@@ -5694,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode": q_target_encode,
         "quantile_bin": q_quantile_bin,
         "zscore": q_zscore,
+        "sketch_merge": q_sketch_merge,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -5775,6 +5833,7 @@ def oracle_sql() -> dict[str, str]:
         "target_encode": _Q_TARGET_ENCODE_SQL,
         "quantile_bin": _Q_QUANTILE_BIN_SQL,
         "zscore": _Q_ZSCORE_SQL,
+        "sketch_merge": _sketch_merge_sql(),
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,
