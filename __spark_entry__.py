@@ -5458,6 +5458,120 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_session_features(spark, "/root/testdata/sf0.001")
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO analog (operators/cdc.py): apply a keyed
+    changeset (two competing updates per touched key, tombstones,
+    inserts) to the events snapshot — last-writer-wins by seq, deletes
+    drop, inserts append. Snapshot side pays only a hash anti-join (no
+    sort); only the delta is windowed."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.cdc import merge_upsert
+
+    snap = _events(spark, sf_dir).selectExpr(
+        "event_seq as event_id", "user_id", "ts_us", "value"
+    )
+    chg = snap.where("event_id % 3 = 0").selectExpr(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value + 1000 as value",
+        "1 as seq",
+        "event_id % 9 = 0 as is_delete",
+    )
+    chg2 = snap.where("event_id % 6 = 0").selectExpr(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value + 2000 as value",
+        "2 as seq",
+        "event_id % 9 = 0 as is_delete",
+    )
+    ins = snap.where("event_id % 7 = 0").selectExpr(
+        "event_id + 10000000 as event_id",
+        "user_id",
+        "ts_us",
+        "value",
+        "1 as seq",
+        "false as is_delete",
+    )
+    changes = chg.unionByName(chg2).unionByName(ins)
+    out = merge_upsert(snap, changes, ["event_id"], "seq", delete_col="is_delete")
+    return out.selectExpr("event_id", "user_id", "ts_us", "round(value, 6) as value")
+
+
+_Q_MERGE_UPSERT_SQL = """
+WITH snap AS (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+), chg AS (
+    SELECT event_id, user_id, ts_us, value + 1000 AS value, 1 AS seq,
+           (event_id % 9 = 0) AS is_delete
+    FROM snap WHERE event_id % 3 = 0
+    UNION ALL
+    SELECT event_id, user_id, ts_us, value + 2000, 2, (event_id % 9 = 0)
+    FROM snap WHERE event_id % 6 = 0
+    UNION ALL
+    SELECT event_id + 10000000, user_id, ts_us, value, 1, FALSE
+    FROM snap WHERE event_id % 7 = 0
+), latest AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY seq DESC)
+            AS rn
+        FROM chg
+    ) WHERE rn = 1
+)
+SELECT s.event_id, s.user_id, s.ts_us, round(s.value, 6) AS value
+FROM snap s ANTI JOIN latest l ON s.event_id = l.event_id
+UNION ALL
+SELECT event_id, user_id, ts_us, round(value, 6) AS value
+FROM latest WHERE NOT is_delete
+"""
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history (operators/cdc.py): collapse each user's
+    event_type change stream into effective-dated version rows
+    (valid_from, valid_to, is_current) — the dimension side a backward
+    as-of join consumes for point-in-time correctness. Consecutive
+    no-op changes are collapsed."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.cdc import scd2_history
+
+    ev = _events(spark, sf_dir).select("user_id", "ts_us", "event_seq", "event_type")
+    out = scd2_history(
+        ev, ["user_id"], "ts_us", ["event_type"], order_col="event_seq"
+    )
+    return out.selectExpr(
+        "user_id",
+        "valid_from",
+        "valid_to",
+        "cast(is_current as int) as is_current",
+        "event_type",
+    )
+
+
+_Q_SCD2_SQL = """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id AS event_seq, event_type
+    FROM events
+), marked AS (
+    SELECT *,
+           lag(ts_us) OVER w IS NULL
+               OR event_type IS DISTINCT FROM lag(event_type) OVER w AS keep
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), kept AS (
+    SELECT user_id, ts_us, event_seq, event_type FROM marked WHERE keep
+)
+SELECT user_id,
+       ts_us AS valid_from,
+       lead(ts_us) OVER w2 AS valid_to,
+       CAST(lead(ts_us) OVER w2 IS NULL AS INT) AS is_current,
+       event_type
+FROM kept
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+"""
+
+
 def q_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase sketch mergeability proof (the 100-TB incremental story:
     per-shard sketch tables merge WITHOUT rescanning raw data). Builds
@@ -5752,6 +5866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin": q_quantile_bin,
         "zscore": q_zscore,
         "sketch_merge": q_sketch_merge,
+        "merge_upsert": q_merge_upsert,
+        "scd2": q_scd2,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -5834,6 +5950,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_bin": _Q_QUANTILE_BIN_SQL,
         "zscore": _Q_ZSCORE_SQL,
         "sketch_merge": _sketch_merge_sql(),
+        "merge_upsert": _Q_MERGE_UPSERT_SQL,
+        "scd2": _Q_SCD2_SQL,
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,

@@ -1,0 +1,104 @@
+"""Change-data-capture operators: snapshot merge (MERGE INTO analog) and
+SCD2 history build.
+
+The reference engine is append-only (flows export once, args.rs has no
+update path), but a training-data pipeline at 100 TB lives on mutable
+snapshots: document re-crawls, label fixes, deletions for takedowns. These
+operators give the engine the two standard shapes:
+
+- merge_upsert: apply a keyed changeset (upserts + deletes) to a snapshot —
+  the lakehouse MERGE INTO, expressed as a deduplicating anti/union plan
+  (one shuffle each side on the key; at scale both sides pre-bucketed by
+  key make it a zero-extra-Exchange colocated merge, operators/layout.py).
+- scd2_history: collapse a keyed change event stream into effective-dated
+  (valid_from, valid_to, is_current) version rows — one window pass per
+  key, which is how a point-in-time join (operators/asof.py) gets its
+  dimension side without scanning raw change logs.
+
+Both are pure Catalyst: window functions + hash joins, no Python stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Apply a changeset to a snapshot: last-writer-wins per key by
+    seq_col, optional tombstones via a boolean delete_col.
+
+    Result = (snapshot rows whose key has no change) UNION (latest change
+    row per key that is not a delete). Matches MERGE INTO ... WHEN MATCHED
+    UPDATE / WHEN MATCHED AND is_delete DELETE / WHEN NOT MATCHED INSERT
+    semantics with the changeset pre-deduplicated by recency.
+
+    Plan shape: one window shuffle on the changeset (small side), one
+    left-anti hash join on the snapshot. The snapshot is never windowed or
+    re-sorted — at 100 TB only the delta pays a sort.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if delete_col is not None:
+        upserts = latest.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+        keys_touched = latest.select(*key_cols)
+    else:
+        upserts = latest
+        keys_touched = latest.select(*key_cols)
+    kept = snapshot.join(keys_touched, on=key_cols, how="left_anti")
+    return kept.unionByName(upserts.select(*snapshot.columns))
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    order_col: str | None = None,
+    end_of_time: int | None = None,
+) -> DataFrame:
+    """Build slowly-changing-dimension type-2 rows from a change stream.
+
+    Each change event opens a version valid [ts, next_ts); the last
+    version per key is open-ended (valid_to = end_of_time or NULL,
+    is_current = true). Consecutive events with identical attributes are
+    collapsed (no zero-information versions).
+
+    One window pass (lag to drop no-op changes, lead for valid_to) — the
+    dimension side a backward as-of join consumes for point-in-time
+    correctness.
+    """
+    order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    # drop consecutive duplicates: a change row survives iff any attribute
+    # differs from the previous row (null-safe) or it's the first row
+    changed = None
+    df = changes
+    for c in attr_cols:
+        neq = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = neq if changed is None else (changed | neq)
+    first = F.lag(ts_col).over(w).isNull()
+    df = df.withColumn("__keep", first | changed).where(F.col("__keep")).drop("__keep")
+    # recompute the window over surviving rows for valid_to
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    valid_to = F.lead(ts_col).over(w2)
+    if end_of_time is not None:
+        valid_to = F.coalesce(valid_to, F.lit(end_of_time))
+    return df.select(
+        *key_cols,
+        F.col(ts_col).alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+        *attr_cols,
+    )

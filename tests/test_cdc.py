@@ -1,0 +1,89 @@
+"""merge_upsert / scd2_history (operators/cdc.py) semantics."""
+
+import pandas as pd
+import pytest
+
+from rustiflow_spark.operators.cdc import merge_upsert, scd2_history
+
+
+def test_merge_upsert_semantics(spark):
+    snap = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    )
+    changes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [3, 3, 4, 9],
+                "v": [31.0, 32.0, 0.0, 90.0],
+                "seq": [1, 2, 1, 1],
+                "is_delete": [False, False, True, False],
+            }
+        )
+    )
+    out = (
+        merge_upsert(snap, changes, ["k"], "seq", delete_col="is_delete")
+        .orderBy("k")
+        .toPandas()
+    )
+    assert out["k"].tolist() == [1, 2, 3, 5, 9]
+    # last-writer-wins: seq 2 beats seq 1 on key 3; key 4 tombstoned
+    assert out.set_index("k")["v"].to_dict() == {
+        1: 10.0, 2: 20.0, 3: 32.0, 5: 50.0, 9: 90.0
+    }
+
+
+def test_merge_upsert_without_deletes(spark):
+    snap = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}))
+    changes = spark.createDataFrame(
+        pd.DataFrame({"k": [2, 3], "v": [22.0, 33.0], "seq": [1, 1]})
+    )
+    out = merge_upsert(snap, changes, ["k"], "seq").orderBy("k").toPandas()
+    assert out.set_index("k")["v"].to_dict() == {1: 1.0, 2: 22.0, 3: 33.0}
+
+
+def test_scd2_history_collapses_noops(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["u"] * 5 + ["w"],
+                "ts": [10, 20, 30, 40, 50, 7],
+                "seq": [0, 1, 2, 3, 4, 5],
+                "attr": ["a", "a", "b", "b", "a", "z"],
+            }
+        )
+    )
+    out = (
+        scd2_history(df, ["k"], "ts", ["attr"], order_col="seq")
+        .orderBy("k", "valid_from")
+        .toPandas()
+    )
+    u = out[out["k"] == "u"]
+    assert u["attr"].tolist() == ["a", "b", "a"]
+    assert u["valid_from"].tolist() == [10, 30, 50]
+    assert u["valid_to"].tolist()[:2] == [30, 50]
+    assert pd.isna(u["valid_to"].iloc[2])
+    assert u["is_current"].tolist() == [False, False, True]
+    w = out[out["k"] == "w"]
+    assert len(w) == 1 and bool(w["is_current"].iloc[0])
+
+
+def test_scd2_end_of_time_and_null_attrs(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["u", "u", "u"],
+                "ts": [1, 2, 3],
+                "seq": [0, 1, 2],
+                "attr": [None, None, "a"],
+            }
+        )
+    )
+    out = (
+        scd2_history(df, ["k"], "ts", ["attr"], order_col="seq", end_of_time=99)
+        .orderBy("valid_from")
+        .toPandas()
+    )
+    # null==null collapses (eqNullSafe), so two versions: null then 'a'
+    assert len(out) == 2
+    assert out["valid_to"].tolist() == [3, 99]
+    assert out["is_current"].tolist() == [False, True]
