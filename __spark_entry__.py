@@ -5458,6 +5458,81 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_session_features(spark, "/root/testdata/sf0.001")
 
 
+def q_pit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming point-in-time enrichment (streaming/enrich_stream.py):
+    batch-built SCD2 dimension (user_id regime of event_type) stream-
+    static range-joined onto the event stream — each event gets the
+    dimension version valid AT its timestamp, leakage-free, stateless
+    (versions tile the timeline, so output is micro-batch-invariant
+    under the 3-file availableNow replay). Oracle: the same SCD2 build +
+    range join in SQL."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.cdc import scd2_history
+    from rustiflow_spark.streaming.enrich_stream import pit_enrich_stream
+
+    ev = _events(spark, sf_dir).select("user_id", "ts_us", "event_seq", "event_type")
+    flush = _events_flush_us(sf_dir)
+    if flush is None:
+        flush = ev.agg(F.max("ts_us")).collect()[0][0]
+    dim = scd2_history(
+        ev, ["user_id"], "ts_us", ["event_type"], order_col="event_seq",
+        end_of_time=flush + 1,
+    ).select("user_id", "valid_from", "valid_to", F.col("event_type").alias("regime"))
+
+    src, out, ckpt = _replay_three_files(
+        ev.select("ts_us", "user_id", "event_seq"), "pitstream", sf_dir
+    )
+    stream = (
+        spark.readStream.schema(
+            ev.select("ts_us", "user_id", "event_seq").schema
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    enriched = pit_enrich_stream(stream, dim, ["user_id"], "ts_us").select(
+        "user_id", "event_seq", "ts_us",
+        F.col("regime_dim").alias("regime"),
+        F.col("valid_from_dim").alias("regime_since"),
+    )
+    _run_available_now(enriched, out, ckpt)
+    got = spark.read.parquet(out)
+    return got.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_seq").cast("long").alias("event_seq"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "regime",
+        F.col("regime_since").cast("long").alias("regime_since"),
+    )
+
+
+def _pit_stream_sql() -> str:
+    return """
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id AS event_seq, event_type
+    FROM events
+), marked AS (
+    SELECT *,
+           lag(ts_us) OVER w IS NULL
+               OR event_type IS DISTINCT FROM lag(event_type) OVER w AS keep
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+), kept AS (
+    SELECT user_id, ts_us, event_seq, event_type FROM marked WHERE keep
+), scd AS (
+    SELECT user_id,
+           ts_us AS valid_from,
+           coalesce(lead(ts_us) OVER w2,
+                    (SELECT max(ts_us) FROM ev) + 1) AS valid_to,
+           event_type AS regime
+    FROM kept
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_seq)
+)
+SELECT e.user_id, e.event_seq, e.ts_us, d.regime,
+       d.valid_from AS regime_since
+FROM ev e JOIN scd d
+  ON e.user_id = d.user_id
+ AND e.ts_us >= d.valid_from AND e.ts_us < d.valid_to
+"""
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lakehouse MERGE INTO analog (operators/cdc.py): apply a keyed
     changeset (two competing updates per touched key, tombstones,
@@ -5868,6 +5943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_merge": q_sketch_merge,
         "merge_upsert": q_merge_upsert,
         "scd2": q_scd2,
+        "pit_stream": q_pit_stream,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -5952,6 +6028,7 @@ def oracle_sql() -> dict[str, str]:
         "sketch_merge": _sketch_merge_sql(),
         "merge_upsert": _Q_MERGE_UPSERT_SQL,
         "scd2": _Q_SCD2_SQL,
+        "pit_stream": _pit_stream_sql(),
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,

@@ -1,0 +1,58 @@
+"""Streaming point-in-time enrichment: stream-static join against an
+effective-dated (SCD2) dimension.
+
+The batch engine gets point-in-time correctness from the backward as-of
+join (operators/asof.py); a stream can't run that union+window plan (no
+global ordered window over an unbounded source). The standard scale shape
+is instead:
+
+    change log --batch--> scd2_history (valid_from, valid_to versions)
+    stream ----stream-static join----> ON key AND ts in [valid_from, valid_to)
+
+The join is STATELESS (every stream row matches exactly one dimension
+version because versions tile the key's timeline), so output is
+micro-batch-invariant and needs no watermark. Spark plans it as a
+broadcast hash join on the key with the range predicate as a residual
+filter — the dimension is the small side by construction (one row per
+version, not per event). The static side is re-resolved per micro-batch,
+so a periodically rebuilt dimension picks up new versions without
+restarting the query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pit_enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Enrich each stream row with its key's dimension version at ts.
+
+    dim must be an SCD2 table (scd2_history output with a non-null
+    end_of_time) whose versions tile each key's timeline: exactly one
+    match per stream row, inner join, stateless.
+    """
+    payload = [c for c in dim.columns if c not in key_cols]
+    d = dim.select(
+        *[F.col(k).alias(f"__k_{k}") for k in key_cols],
+        *[F.col(c).alias(f"{c}{suffix}") for c in payload],
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(k) == F.col(f"__k_{k}")
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (F.col(ts_col) >= F.col(f"{valid_from}{suffix}"))
+        & (F.col(ts_col) < F.col(f"{valid_to}{suffix}"))
+    )
+    return stream.join(F.broadcast(d), cond, "inner").drop(
+        *[f"__k_{k}" for k in key_cols]
+    )

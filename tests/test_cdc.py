@@ -87,3 +87,29 @@ def test_scd2_end_of_time_and_null_attrs(spark):
     assert len(out) == 2
     assert out["valid_to"].tolist() == [3, 99]
     assert out["is_current"].tolist() == [False, True]
+
+
+def test_pit_enrich_matches_exact_version(spark):
+    from rustiflow_spark.streaming.enrich_stream import pit_enrich_stream
+
+    dim = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["u", "u", "w"],
+                "valid_from": [10, 30, 0],
+                "valid_to": [30, 100, 100],
+                "regime": ["a", "b", "z"],
+            }
+        )
+    )
+    facts = spark.createDataFrame(
+        pd.DataFrame({"k": ["u", "u", "u", "w"], "ts": [10, 29, 30, 50]})
+    )
+    out = pit_enrich_stream(facts, dim, ["k"], "ts").orderBy("ts", "k").toPandas()
+    # boundary: ts==valid_from joins the NEW version; ts==valid_to excluded
+    assert out["regime_dim"].tolist() == ["a", "a", "b", "z"]
+    plan = (
+        pit_enrich_stream(facts, dim, ["k"], "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
