@@ -48,6 +48,9 @@ ALLOW = {
     "hdr_quantiles": {"global_window"},
     # rank window over the k rows surviving TakeOrderedAndProject
     "vocab_topk": {"global_window"},
+    # inherits vocab_topk's k-row rank window (vocab build feeding the
+    # broadcast tokenizer join)
+    "tokenize": {"global_window"},
 }
 
 _PY_STAGES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython")
