@@ -5858,6 +5858,35 @@ WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_seq
 """
 
 
+def q_target_encode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe expanding target encoder (operators/encoding.py
+    target_encode_expanding_split): distributed prefix scan — in-chunk
+    expanding window keyed (cat, time-chunk) + prefix of per-chunk totals
+    over the tiny chunk table, broadcast back. Bit-identical to the plain
+    encoder on the integer-quantized target, proven by sharing its exact
+    DuckDB oracle (single-window semantics)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.encoding import target_encode_expanding_split
+
+    ev = _events(spark, sf_dir).selectExpr(
+        "ts_us",
+        "event_seq",
+        "event_type",
+        "cast(round(value * 1000000) as long) as v_int",
+    )
+    out = target_encode_expanding_split(
+        ev, "event_type", "v_int", "ts_us", chunk_us=86_400_000_000,
+        order_col="event_seq",
+    )
+    return out.selectExpr(
+        "event_seq",
+        "event_type",
+        "ts_us",
+        "event_type_te_n as te_n",
+        "round(event_type_te / 1000000.0, 6) as te",
+    )
+
+
 def q_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth discretization via ntile per group (operators/
     encoding.py) — exact rank-based binning, reproducible across engines
@@ -5938,6 +5967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill": q_backfill,
         "point_in_time": q_point_in_time,
         "target_encode": q_target_encode,
+        "target_encode_split": q_target_encode_split,
         "quantile_bin": q_quantile_bin,
         "zscore": q_zscore,
         "sketch_merge": q_sketch_merge,
@@ -6023,6 +6053,7 @@ def oracle_sql() -> dict[str, str]:
         "backfill": _Q_BACKFILL_SQL,
         "point_in_time": _Q_PIT_SQL,
         "target_encode": _Q_TARGET_ENCODE_SQL,
+        "target_encode_split": _Q_TARGET_ENCODE_SQL,
         "quantile_bin": _Q_QUANTILE_BIN_SQL,
         "zscore": _Q_ZSCORE_SQL,
         "sketch_merge": _sketch_merge_sql(),

@@ -71,6 +71,73 @@ def target_encode_expanding(
     )
 
 
+def target_encode_expanding_split(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    ts_col: str,
+    chunk_us: int,
+    order_col: str | None = None,
+    suffix: str = "_te",
+) -> DataFrame:
+    """Hot-key-safe expanding target encoding: a distributed prefix scan.
+
+    The plain encoder sorts each category in ONE task — a category holding
+    10% of a 100-TB corpus serializes on a single core. This variant
+    chunks each category's timeline into `chunk_us` buckets:
+
+      1. in-chunk expanding sums, window keyed (cat, chunk) — parallel
+         across chunks of the same hot category;
+      2. per-chunk totals (hash aggregate, map-side partial);
+      3. prefix sums of the totals over chunks — a window over the TINY
+         chunk-level table (rows = cats x occupied chunks);
+      4. broadcast-join the prefix back; encoding = (prefix + in-chunk).
+
+    Bit-identical to target_encode_expanding when the target is integral
+    (integer sums are associative); same plan family as the split
+    sessionizer (operators/skew.py episode split). No smoothing here —
+    compose downstream if needed.
+    """
+    if chunk_us <= 0:
+        raise ValueError("chunk_us must be positive")
+    order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
+    chunk = F.floor(F.col(ts_col) / F.lit(int(chunk_us))).alias("__chunk")
+    df = df.withColumn("__chunk", chunk)
+    w_in = (
+        Window.partitionBy(cat_col, "__chunk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = df.withColumn("__cnt_in", F.count(target_col).over(w_in)).withColumn(
+        "__sum_in", F.sum(target_col).over(w_in)
+    )
+    totals = df.groupBy(cat_col, "__chunk").agg(
+        F.count(target_col).alias("__cnt_c"), F.sum(target_col).alias("__sum_c")
+    )
+    w_pref = (
+        Window.partitionBy(cat_col)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = totals.select(
+        cat_col,
+        "__chunk",
+        F.coalesce(F.sum("__cnt_c").over(w_pref), F.lit(0)).alias("__cnt_p"),
+        F.sum("__sum_c").over(w_pref).alias("__sum_p"),
+    )
+    out = df.join(F.broadcast(prefix), on=[cat_col, "__chunk"], how="left")
+    cnt = (F.col("__cnt_p") + F.col("__cnt_in")).cast("long")
+    s = F.coalesce(F.col("__sum_p"), F.lit(0)) + F.coalesce(
+        F.col("__sum_in"), F.lit(0)
+    )
+    enc = F.when(cnt > 0, s / cnt)
+    return (
+        out.withColumn(f"{cat_col}{suffix}_n", cnt)
+        .withColumn(f"{cat_col}{suffix}", enc)
+        .drop("__chunk", "__cnt_in", "__sum_in", "__cnt_p", "__sum_p")
+    )
+
+
 def quantile_bin(
     df: DataFrame,
     value_col: str,

@@ -134,3 +134,37 @@ def test_point_in_time_multi_table(spark):
     assert out["f2_b"].tolist()[1] == 7.0
     assert pd.isna(out["f2_b"].iloc[0])
     assert out["f2_b"].iloc[3] == 9.0
+
+
+def test_target_encode_split_matches_plain(spark, enc_df):
+    from rustiflow_spark.operators.encoding import target_encode_expanding_split
+
+    df, _ = enc_df
+    dfi = df.withColumn("yi", (df["y"] * 1000).cast("long"))
+    plain = (
+        target_encode_expanding(dfi, "cat", "yi", "ts_us", order_col="row_id")
+        .orderBy("row_id")
+        .toPandas()
+    )
+    for chunk in (1_000_000, 200_000, 37):  # several rows, few rows, ~1 row per chunk
+        split = (
+            target_encode_expanding_split(
+                dfi, "cat", "yi", "ts_us", chunk_us=chunk, order_col="row_id"
+            )
+            .orderBy("row_id")
+            .toPandas()
+        )
+        assert split["cat_te_n"].tolist() == plain["cat_te_n"].tolist(), chunk
+        assert np.allclose(
+            split["cat_te"].astype(float),
+            plain["cat_te"].astype(float),
+            equal_nan=True,
+        ), chunk
+
+
+def test_target_encode_split_rejects_bad_chunk(spark, enc_df):
+    from rustiflow_spark.operators.encoding import target_encode_expanding_split
+
+    df, _ = enc_df
+    with pytest.raises(ValueError):
+        target_encode_expanding_split(df, "cat", "y", "ts_us", chunk_us=0)
