@@ -162,5 +162,47 @@ def main():
     spark.stop()
 
 
+
+
+def skew_bench():
+    """Hot-category comparison: plain expanding encoder (one sort task per
+    category) vs the split prefix-scan variant. Run via:
+    python -c "import sys; sys.argv=['x','16000000','32']; \
+               exec(open('tools/bench_round5_ops.py').read().split('if __name')[0]); skew_bench()"
+    or python tools/bench_round5_ops.py N CORES skew
+    """
+    spark = get_spark("bench-r5-skew", cores=CORES, shuffle_partitions=CORES)
+    # 50% of rows land in one category: the adversarial hot key
+    ev = spark.range(N).select(
+        F.col("id").alias("event_seq"),
+        F.abs(F.xxhash64("id") % DAY_US).alias("ts_us"),
+        (F.abs(F.xxhash64("id", F.lit(2)) % 100_000)).alias("v_int"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 50).cast("string")))
+        .alias("cat"),
+    )
+    ev.write.mode("overwrite").parquet("/tmp/bench_r5_skew.parquet")
+    ev = spark.read.parquet("/tmp/bench_r5_skew.parquet")
+    timed(
+        "target_encode_plain_hotkey",
+        target_encode_expanding(ev, "cat", "v_int", "ts_us", order_col="event_seq"),
+        N,
+    )
+    from rustiflow_spark.operators.encoding import target_encode_expanding_split
+
+    timed(
+        "target_encode_split_hotkey",
+        target_encode_expanding_split(
+            ev, "cat", "v_int", "ts_us", chunk_us=DAY_US // 256,
+            order_col="event_seq",
+        ),
+        N,
+    )
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 3 and sys.argv[3] == "skew":
+        skew_bench()
+    else:
+        main()
