@@ -5458,6 +5458,134 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_session_features(spark, "/root/testdata/sf0.001")
 
 
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-analog pricing summary over lineitem: the canonical wide
+    aggregation (map-side partial agg, one Exchange on the 4-value group
+    key). Money columns quantized to integer cents so every sum is exact
+    cross-engine; derived disc_price/charge carried as integer products
+    and divided back at the end."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.where(F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp")).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("cast(round(l_quantity * 100) as long)").alias("qty_c"),
+        F.expr("cast(round(l_extendedprice * 100) as long)").alias("price_c"),
+        F.expr("cast(round(l_discount * 100) as long)").alias("disc_pct"),
+        F.expr("cast(round(l_tax * 100) as long)").alias("tax_pct"),
+    )
+    agg = q.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty_c").alias("sq"),
+        F.sum("price_c").alias("sp"),
+        F.sum(F.expr("price_c * (100 - disc_pct)")).alias("sdp"),
+        F.sum(F.expr("price_c * (100 - disc_pct) * (100 + tax_pct)")).alias("sch"),
+        F.sum("disc_pct").alias("sd"),
+        F.count("*").alias("count_order"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        "cast(sq as double) / 100 as sum_qty",
+        "cast(sp as double) / 100 as sum_base_price",
+        "cast(sdp as double) / 10000 as sum_disc_price",
+        "cast(sch as double) / 1000000 as sum_charge",
+        "round(cast(sq as double) / 100 / count_order, 6) as avg_qty",
+        "round(cast(sp as double) / 100 / count_order, 6) as avg_price",
+        "round(cast(sd as double) / 100 / count_order, 6) as avg_disc",
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+_Q_TPCH_PRICING_SQL = """
+WITH q AS (
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+), agg AS (
+    SELECT l_returnflag, l_linestatus,
+           sum(qty_c) AS sq, sum(price_c) AS sp,
+           sum(price_c * (100 - disc_pct)) AS sdp,
+           sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS sch,
+           sum(disc_pct) AS sd,
+           count(*) AS count_order
+    FROM q GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sq AS DOUBLE) / 100 AS sum_qty,
+       CAST(sp AS DOUBLE) / 100 AS sum_base_price,
+       CAST(sdp AS DOUBLE) / 10000 AS sum_disc_price,
+       CAST(sch AS DOUBLE) / 1000000 AS sum_charge,
+       round(CAST(sq AS DOUBLE) / 100 / count_order, 6) AS avg_qty,
+       round(CAST(sp AS DOUBLE) / 100 / count_order, 6) AS avg_price,
+       round(CAST(sd AS DOUBLE) / 100 / count_order, 6) AS avg_disc,
+       count_order
+FROM agg
+"""
+
+
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-analog shipping priority: 3-table join with the small
+    filtered customer dim broadcast, revenue aggregated as exact integer
+    products, deterministic top-10 via TakeOrderedAndProject (revenue
+    DESC, orderkey ASC tiebreak)."""
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where("c_mktsegment = 'BUILDING'")
+        .select("c_custkey")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    j = li.join(
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+        li["l_orderkey"] == orders["o_orderkey"],
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            F.expr(
+                "cast(round(l_extendedprice * 100) as long)"
+                " * (100 - cast(round(l_discount * 100) as long))"
+            )
+        ).alias("rev_i")
+    )
+    return (
+        agg.selectExpr(
+            "l_orderkey",
+            "cast(rev_i as double) / 10000 as revenue",
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " o_orderdate) as o_orderdate_us",
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_Q_TPCH_SHIPPING_SQL = """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000 AS revenue,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_pit_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming point-in-time enrichment (streaming/enrich_stream.py):
     batch-built SCD2 dimension (user_id regime of event_type) stream-
@@ -5974,6 +6102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert": q_merge_upsert,
         "scd2": q_scd2,
         "pit_stream": q_pit_stream,
+        "tpch_pricing": q_tpch_pricing,
+        "tpch_shipping": q_tpch_shipping,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -6060,6 +6190,8 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": _Q_MERGE_UPSERT_SQL,
         "scd2": _Q_SCD2_SQL,
         "pit_stream": _pit_stream_sql(),
+        "tpch_pricing": _Q_TPCH_PRICING_SQL,
+        "tpch_shipping": _Q_TPCH_SHIPPING_SQL,
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,
