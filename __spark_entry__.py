@@ -5458,6 +5458,96 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_session_features(spark, "/root/testdata/sf0.001")
 
 
+def q_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export (operators/
+    sampling.py shuffle_export): every doc gets a (shard, pos) address
+    that is a pure function of (doc_id, seed) — the reproducible
+    orderBy(rand()) replacement. One Exchange on shard + per-shard
+    sort."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sampling import shuffle_export
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = shuffle_export(docs, "doc_id", n_shards=16, seed=43)
+    return out.select("doc_id", "source", "shard", "pos")
+
+
+def _shuffle_export_sql() -> str:
+    from rustiflow_spark.operators.sampling import mix_sql
+
+    m1 = mix_sql("doc_id", 43).replace("`", "")
+    m2 = mix_sql("doc_id", 44).replace("`", "")
+    return f"""
+WITH t AS (
+    SELECT doc_id, source,
+           ({m1}) % 16 AS shard,
+           ({m2}) AS ord
+    FROM documents
+)
+SELECT doc_id, source, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+            AS INT) AS pos
+FROM t
+"""
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) corpus rebalancing (operators/sampling.py
+    temperature_mix): strata with natural proportions 60/30/10% are kept
+    at rates ∝ sqrt(count)/count scaled to a 50% target — small sources
+    upweighted, the standard low-resource rebalancing rule. Rate math is
+    sqrt-only (IEEE-exact cross-engine); membership is the scan-pushable
+    Lehmer-mix predicate."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        "case when doc_id % 10 < 6 then 'web'"
+        " when doc_id % 10 < 9 then 'books' else 'code' end as stratum",
+    )
+    kept = temperature_mix(
+        docs, "stratum", "doc_id", alpha=0.5, target_fraction=0.5, seed=59
+    )
+    return kept.groupBy("stratum").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+def _temperature_mix_sql() -> str:
+    from rustiflow_spark.operators.sampling import mix_sql
+
+    m = mix_sql("doc_id", 59).replace("`", "")
+    return f"""
+WITH docs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 < 6 THEN 'web'
+                WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS stratum
+    FROM documents
+), counts AS (
+    SELECT stratum, count(*) AS n, sqrt(CAST(count(*) AS DOUBLE)) AS p
+    FROM docs GROUP BY stratum
+), tot AS (
+    SELECT sum(p) AS sum_p, sum(n) AS total FROM counts
+), rates AS (
+    SELECT stratum,
+           least(CAST(1.0 AS DOUBLE),
+                 p / sum_p * CAST(0.5 AS DOUBLE)
+                 * CAST(total AS DOUBLE) / CAST(n AS DOUBLE)) AS rate
+    FROM counts, tot
+)
+SELECT d.stratum,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+FROM docs d JOIN rates r ON d.stratum = r.stratum
+WHERE ({m}) < CAST(floor(r.rate * 2147483647.0) AS BIGINT)
+GROUP BY d.stratum
+"""
+
+
 def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-analog pricing summary over lineitem: the canonical wide
     aggregation (map-side partial agg, one Exchange on the 4-value group
@@ -6104,6 +6194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_stream": q_pit_stream,
         "tpch_pricing": q_tpch_pricing,
         "tpch_shipping": q_tpch_shipping,
+        "shuffle_export": q_shuffle_export,
+        "temperature_mix": q_temperature_mix,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -6192,6 +6284,8 @@ def oracle_sql() -> dict[str, str]:
         "pit_stream": _pit_stream_sql(),
         "tpch_pricing": _Q_TPCH_PRICING_SQL,
         "tpch_shipping": _Q_TPCH_SHIPPING_SQL,
+        "shuffle_export": _shuffle_export_sql(),
+        "temperature_mix": _temperature_mix_sql(),
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,

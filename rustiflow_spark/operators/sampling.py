@@ -104,3 +104,89 @@ def with_split(
     return df.withColumn("__r", F.expr(_mix_sql(id_col, seed))).withColumn(
         split_col, F.expr(expr)
     ).drop("__r")
+
+
+def shuffle_export(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 43,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets a
+    (shard, pos) address that is a pure function of (id, seed) and the
+    corpus content — reproducible across runs, partitionings, and
+    engines, unlike orderBy(rand()).
+
+    shard = id-mix mod n_shards (uniform), pos = rank within the shard by
+    a second independent mix (id tiebreak). Reading shards in pos order
+    replays the exact same training order every time; re-exporting after
+    an append only perturbs the shards the new rows land in.
+
+    Plan: one Exchange on shard + per-shard sort — n_shards output files,
+    each internally shuffled, written in parallel. Choose n_shards ≈
+    cluster cores at 100 TB so each sort fits an executor.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from pyspark.sql import Window
+
+    shard = F.expr(f"{_mix_sql(id_col, seed)} % {n_shards}")
+    order = F.expr(_mix_sql(id_col, seed + 1))
+    w = Window.partitionBy(shard_col).orderBy(F.col("__ord"), F.col(id_col))
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("__ord", order)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("__ord")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    seed: int = 59,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based corpus mixing (multinomial alpha-sampling):
+    source s is kept with rate r_s ∝ count_s^alpha / count_s, scaled so
+    the expected kept volume is target_fraction of the corpus, capped at
+    1. alpha < 1 upweights small sources (alpha=0 → uniform over
+    sources, alpha=1 → natural proportions) — the standard
+    low-resource-language rebalancing rule.
+
+    Counts come from one hash aggregate (O(sources) rows) broadcast back;
+    membership is the same scan-pushable Lehmer-mix predicate as
+    deterministic_sample. With alpha=0.5 the rate math is sqrt-only
+    (IEEE-exact, bit-replayable cross-engine).
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    if alpha == 0.5:
+        powed = F.sqrt(F.col("__n").cast("double"))
+    else:
+        powed = F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    counts = counts.withColumn("__p", powed)
+    tot = counts.agg(
+        F.sum("__p").alias("__sum_p"), F.sum("__n").alias("__total")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.col("__p")
+            / F.col("__sum_p")
+            * F.lit(float(target_fraction))
+            * F.col("__total").cast("double")
+            / F.col("__n").cast("double"),
+        ).alias("__rate"),
+    )
+    out = df.join(F.broadcast(rates), on=source_col, how="left")
+    cut = F.floor(F.col("__rate") * F.lit(float(_M31))).cast("long")
+    out = out.where(F.expr(_mix_sql(id_col, seed)) < cut)
+    if rate_col is not None:
+        return out.withColumnRenamed("__rate", rate_col)
+    return out.drop("__rate")

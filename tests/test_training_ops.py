@@ -779,3 +779,52 @@ def test_ensure_min_parallelism(spark):
     assert widened.count() == 100
     wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism * 2)
     assert ensure_min_parallelism(wide) is wide
+
+
+def test_shuffle_export_deterministic_and_contiguous(spark):
+    from rustiflow_spark.operators.sampling import shuffle_export
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = shuffle_export(df, "doc_id", 8).orderBy("doc_id").toPandas()
+    b = (
+        shuffle_export(df.repartition(7), "doc_id", 8)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # address is a pure function of id: partitioning-invariant
+    assert a[["shard", "pos"]].values.tolist() == b[["shard", "pos"]].values.tolist()
+    # every shard's positions are 1..n contiguous
+    for s, grp in a.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(1, len(grp) + 1))
+    # shards are reasonably balanced (uniform mix over 8 shards)
+    sizes = a["shard"].value_counts()
+    assert sizes.min() > 80 and sizes.max() < 175
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shuffle_export(df, "doc_id", 0)
+
+
+def test_temperature_mix_upweights_small_sources(spark):
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.sampling import temperature_mix
+
+    df = spark.range(10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "big").otherwise("small").alias("src"),
+    )
+    kept = (
+        temperature_mix(df, "src", "doc_id", alpha=0.5, target_fraction=0.5)
+        .groupBy("src")
+        .count()
+        .toPandas()
+        .set_index("src")["count"]
+    )
+    # natural 80/20 -> alpha=0.5 keep-rates ratio sqrt(0.2/0.8)=0.5: the
+    # small source's RATE must exceed the big source's
+    rate_big = kept["big"] / 8000
+    rate_small = kept["small"] / 2000
+    assert rate_small > rate_big * 1.5
+    # expected total ~50% of corpus
+    assert 0.40 < (kept.sum() / 10000) < 0.60
