@@ -51,6 +51,10 @@ ALLOW = {
     # inherits vocab_topk's k-row rank window (vocab build feeding the
     # broadcast tokenizer join)
     "tokenize": {"global_window"},
+    # O(sources) counts x broadcast(single-row totals): the rate table
+    # build is sketch-sized by construction; the corpus itself only sees
+    # a broadcast hash join + pushable filter
+    "temperature_mix": {"bnlj"},
 }
 
 _PY_STAGES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython")
