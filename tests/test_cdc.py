@@ -113,3 +113,89 @@ def test_pit_enrich_matches_exact_version(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_merge_upsert_fuzz_vs_pandas(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    snap_keys = rng.choice(np.arange(200), size=120, replace=False)
+    snap = pd.DataFrame({"k": snap_keys, "v": rng.randn(120).round(3)})
+    # changes touch existing + new keys; seq unique per key (ties on seq
+    # would make last-writer-wins ambiguous by design)
+    chg_rows = []
+    for k in rng.choice(np.arange(250), size=80, replace=False):
+        for seq in range(rng.randint(1, 4)):
+            chg_rows.append(
+                {
+                    "k": k,
+                    "v": round(float(rng.randn()), 3),
+                    "seq": seq + 1,
+                    "is_delete": bool(rng.rand() < 0.2),
+                }
+            )
+    chg = pd.DataFrame(chg_rows)
+    out = (
+        merge_upsert(
+            spark.createDataFrame(snap),
+            spark.createDataFrame(chg),
+            ["k"],
+            "seq",
+            delete_col="is_delete",
+        )
+        .orderBy("k")
+        .toPandas()
+    )
+    # pandas oracle
+    latest = (
+        chg.sort_values(["k", "seq"]).groupby("k", as_index=False).last()
+    )
+    kept = snap[~snap["k"].isin(latest["k"])]
+    ups = latest[~latest["is_delete"]][["k", "v"]]
+    exp = (
+        pd.concat([kept, ups])
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == exp["k"].tolist()
+    assert np.allclose(out["v"], exp["v"])
+
+
+def test_scd2_fuzz_tiling_and_reconstruction(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    n = 600
+    ev = pd.DataFrame(
+        {
+            "k": rng.randint(0, 25, n),
+            "ts": rng.randint(0, 500, n).astype("int64"),  # plenty of ts ties
+            "seq": np.arange(n, dtype="int64"),
+            "attr": rng.choice(["a", "b", "c"], n),
+        }
+    )
+    # make (k, ts) unique so 'the version at ts' is well-defined; keep
+    # cross-key ties
+    ev = ev.drop_duplicates(subset=["k", "ts"]).reset_index(drop=True)
+    out = (
+        scd2_history(
+            spark.createDataFrame(ev), ["k"], "ts", ["attr"], order_col="seq",
+            end_of_time=10_000,
+        )
+        .orderBy("k", "valid_from")
+        .toPandas()
+    )
+    for k, grp in out.groupby("k"):
+        # versions tile: each valid_to == next valid_from; last hits EOT
+        assert grp["valid_to"].tolist()[:-1] == grp["valid_from"].tolist()[1:]
+        assert grp["valid_to"].iloc[-1] == 10_000
+        assert grp["is_current"].tolist() == [False] * (len(grp) - 1) + [True]
+        # no zero-information versions
+        assert (grp["attr"].values[1:] != grp["attr"].values[:-1]).all()
+    # reconstruction: every source event's attr equals the version
+    # covering its timestamp
+    for _, r in ev.sample(100, random_state=1).iterrows():
+        g = out[(out["k"] == r["k"])
+                & (out["valid_from"] <= r["ts"]) & (r["ts"] < out["valid_to"])]
+        assert len(g) == 1
+        assert g["attr"].iloc[0] == r["attr"]
