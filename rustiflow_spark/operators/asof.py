@@ -139,30 +139,136 @@ def point_in_time_join(
     spine_ts: str = "ts_us",
     right_ts: str = "ts_us",
     tolerance_us: int | None = None,
+    strategy: str = "single_pass",
 ) -> DataFrame:
     """Point-in-time enrichment of an (entity, timestamp) spine against
     several feature tables — the feature-store "PIT join" (north rule).
 
     Each (table, suffix) pair contributes its most recent row at or before
-    the spine timestamp per entity, leakage-free. Implementation is K
-    chained backward as-of joins; each is the union+window form above, so
-    the whole enrichment is K single-shuffle window passes over the spine —
-    at 100 TB with range partitioning on (entity, ts) every pass is an
-    in-partition sorted merge, and the spine never round-trips through
-    Python.
+    the spine timestamp per entity, leakage-free.
+
+    strategy='single_pass' (default): union ALL K tables with the spine,
+    one payload struct column per table, and compute K last(...,
+    ignorenulls) functions over ONE ordered window — a single shuffle for
+    the whole enrichment regardless of K. strategy='chained' is the K
+    independent as-of passes (one shuffle each); semantics are identical
+    (same deterministic greatest-payload tiebreak per table), and the
+    equivalence is pytest-asserted.
     """
-    out = spine
-    for tbl, suffix in tables:
-        out = asof_join(
-            out,
-            tbl,
-            by=by,
-            left_ts=spine_ts,
-            right_ts=right_ts,
-            tolerance_us=tolerance_us,
-            suffix=suffix,
+    if strategy == "chained":
+        out = spine
+        for tbl, suffix in tables:
+            out = asof_join(
+                out,
+                tbl,
+                by=by,
+                left_ts=spine_ts,
+                right_ts=right_ts,
+                tolerance_us=tolerance_us,
+                suffix=suffix,
+            )
+        return out
+    if strategy != "single_pass":
+        raise ValueError("strategy must be 'single_pass' or 'chained'")
+
+    by = [by] if isinstance(by, str) else list(by)
+    from pyspark.sql import types as T
+
+    def _has_map(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _has_map(dt.elementType)
+        return False
+
+    k = len(tables)
+    payload_cols: list[list[str]] = []
+    dims: list[DataFrame] = []
+    payload_ddls: list[str] = []
+    for tbl, _suffix in tables:
+        pcols = [c for c in tbl.columns if c not in by and c != right_ts]
+        payload_cols.append(pcols)
+        payload = "struct(" + ", ".join(
+            [f"`{right_ts}` as __asof_ts"] + [f"`{c}`" for c in pcols]
+        ) + ")"
+        d = tbl.selectExpr(
+            *[f"`{c}`" for c in by],
+            f"`{right_ts}` as __ts",
+            "0 as __tag",
+            f"{payload} as __p",
         )
-    return out
+        dims.append(d)
+        payload_ddls.append(d.schema["__p"].dataType.simpleString())
+
+    spine_nonkey = [c for c in spine.columns if c not in by]
+    # spine: all payloads null, own columns carried
+    l = spine.selectExpr(
+        *[f"`{c}`" for c in by],
+        f"`{spine_ts}` as __ts",
+        "1 as __tag",
+        *[f"cast(null as {payload_ddls[i]}) as __p_{i}" for i in range(k)],
+        *[f"`{c}`" for c in spine_nonkey],
+    )
+    # dim i: its payload in __p_i, null elsewhere, spine columns null
+    parts = [l]
+    for i, d in enumerate(dims):
+        parts.append(
+            d.selectExpr(
+                *[f"`{c}`" for c in by],
+                "__ts",
+                "__tag",
+                *[
+                    (f"__p as __p_{j}" if j == i
+                     else f"cast(null as {payload_ddls[j]}) as __p_{j}")
+                    for j in range(k)
+                ],
+                *[
+                    f"cast(null as {spine.schema[c].dataType.simpleString()})"
+                    f" as `{c}`"
+                    for c in spine_nonkey
+                ],
+            )
+        )
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+
+    # deterministic tiebreak among same-table rows at equal (key, ts):
+    # order by every orderable payload column (rows of table i differ only
+    # in __p_i; the other payload columns are null-equal there)
+    ties = ", ".join(
+        f"__p_{i} ASC"
+        for i, d in enumerate(dims)
+        if not _has_map(d.schema["__p"].dataType)
+    )
+    tie = f", {ties}" if ties else ""
+    kq = ", ".join(f"`{c}`" for c in by)
+    lasts = [
+        f"last(__p_{i}, true) OVER (PARTITION BY {kq} "
+        f"ORDER BY __ts ASC, __tag ASC{tie} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as __m_{i}"
+        for i in range(k)
+    ]
+    matched = unioned.selectExpr("*", *lasts).where("__tag = 1")
+
+    out_cols = [f"`{c}`" for c in spine.columns]
+    for i, (_tbl, suffix) in enumerate(tables):
+        m = f"__m_{i}"
+        if tolerance_us is not None:
+            matched = matched.withColumn(
+                m,
+                F.expr(
+                    f"case when __ts - {m}.__asof_ts <= {int(tolerance_us)}L "
+                    f"then {m} end"
+                ),
+            )
+        out_cols.append(f"{m}.__asof_ts as `{right_ts}{suffix}`")
+        out_cols.extend(
+            f"{m}.`{c}` as `{c}{suffix}`" for c in payload_cols[i]
+        )
+    return matched.selectExpr(*out_cols)
 
 
 def asof_join_kernel(

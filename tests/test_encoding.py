@@ -168,3 +168,59 @@ def test_target_encode_split_rejects_bad_chunk(spark, enc_df):
     df, _ = enc_df
     with pytest.raises(ValueError):
         target_encode_expanding_split(df, "cat", "y", "ts_us", chunk_us=0)
+
+
+def test_point_in_time_single_pass_equals_chained(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    n = 500
+    spine = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": rng.randint(0, 20, n),
+                "ts_us": rng.randint(0, 300, n).astype("int64"),
+                "row_id": np.arange(n, dtype="int64"),
+            }
+        )
+    )
+    dims = []
+    for i in range(3):
+        m = 120
+        dims.append(
+            (
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "k": rng.randint(0, 20, m),
+                            "ts_us": rng.randint(0, 300, m).astype("int64"),
+                            f"f{i}": rng.randint(0, 1000, m).astype("int64"),
+                        }
+                    )
+                ),
+                f"_d{i}",
+            )
+        )
+    a = (
+        point_in_time_join(spine, dims, by="k", strategy="single_pass")
+        .orderBy("row_id")
+        .toPandas()
+    )
+    b = (
+        point_in_time_join(spine, dims, by="k", strategy="chained")
+        .orderBy("row_id")
+        .toPandas()
+    )
+    assert sorted(a.columns) == sorted(b.columns)
+    for c in sorted(a.columns):
+        av, bv = a[c], b[c]
+        assert (av.isna() == bv.isna()).all(), c
+        assert (av.dropna().values == bv.dropna().values).all(), c
+    # single pass = exactly one window shuffle for all 3 tables
+    plan = (
+        point_in_time_join(spine, dims, by="k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
