@@ -5458,6 +5458,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_session_features(spark, "/root/testdata/sf0.001")
 
 
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids (operators/similarity.py
+    centroid_table): per-(label, position) INTEGER sums of the quantized
+    vectors — the mergeable profile-embedding/class-prototype table
+    (shards merge by groupBy-sum, order-independent, bit-replayable).
+    Contract output reduces the table to per-label integer invariants
+    (dim, position-weighted checksum, quadratic norm)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.similarity import centroid_table
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    t = centroid_table(emb, "label", "embedding", scale=1024)
+    return t.groupBy("label").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.count("*").cast("long").alias("dim"),
+        F.sum(F.expr("pos * s")).cast("long").alias("checksum"),
+        F.sum(F.expr("s * s")).cast("long").alias("norm2q"),
+    )
+
+
+_Q_CENTROIDS_SQL = """
+WITH e AS (
+    SELECT label,
+           list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+    FROM embeddings
+), x AS (
+    SELECT label, unnest(q) AS v,
+           unnest(generate_series(1, len(q))) AS pos
+    FROM e
+), s AS (
+    SELECT label, pos, sum(v) AS s, count(*) AS n
+    FROM x GROUP BY label, pos
+)
+SELECT label,
+       CAST(max(n) AS BIGINT) AS n_vecs,
+       CAST(count(*) AS BIGINT) AS dim,
+       CAST(sum(pos * s) AS BIGINT) AS checksum,
+       CAST(sum(s * s) AS BIGINT) AS norm2q
+FROM s GROUP BY label
+"""
+
+
 def q_shuffle_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle for training export (operators/
     sampling.py shuffle_export): every doc gets a (shard, pos) address
@@ -6196,6 +6239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_shipping": q_tpch_shipping,
         "shuffle_export": q_shuffle_export,
         "temperature_mix": q_temperature_mix,
+        "centroids": q_centroids,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -6286,6 +6330,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_shipping": _Q_TPCH_SHIPPING_SQL,
         "shuffle_export": _shuffle_export_sql(),
         "temperature_mix": _temperature_mix_sql(),
+        "centroids": _Q_CENTROIDS_SQL,
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,

@@ -332,3 +332,61 @@ def ann_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def centroid_table(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 1024,
+) -> DataFrame:
+    """Per-group per-position INTEGER sums of a quantized vector column:
+    (group, pos, s, n) — the mergeable form of a class-centroid / profile
+    -embedding computation (same design rule as the sketches: integer
+    accumulation is order-independent, so shards merge with groupBy-sum
+    and two engines agree bit-for-bit).
+
+    pos is 1-based. s = sum over rows of round(vec[pos] * scale); the
+    centroid coordinate is s / (n * scale).
+    """
+    q = df.select(
+        F.col(group_col),
+        F.expr(
+            f"transform(`{vec_col}`, x ->"
+            f" cast(round(cast(x as double) * {int(scale)}) as bigint))"
+        ).alias("__q"),
+    )
+    x = q.select(group_col, F.posexplode("__q").alias("__pos0", "__v"))
+    return (
+        x.groupBy(group_col, (F.col("__pos0") + 1).alias("pos"))
+        .agg(F.sum("__v").alias("s"), F.count("*").alias("n"))
+    )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 1024,
+) -> DataFrame:
+    """Assembled per-group mean vectors (group, n, centroid array<double>)
+    from centroid_table — deterministic regardless of row order because
+    the accumulation is integral."""
+    t = centroid_table(df, group_col, vec_col, scale)
+    return (
+        t.groupBy(group_col)
+        .agg(
+            F.max("n").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("s")))
+            ).alias("__ps"),
+        )
+        .select(
+            group_col,
+            "n",
+            F.expr(
+                f"transform(__ps, p -> cast(p.s as double)"
+                f" / (n * {int(scale)}))"
+            ).alias("centroid"),
+        )
+    )

@@ -828,3 +828,41 @@ def test_temperature_mix_upweights_small_sources(spark):
     assert rate_small > rate_big * 1.5
     # expected total ~50% of corpus
     assert 0.40 < (kept.sum() / 10000) < 0.60
+
+
+def test_centroid_table_merge_and_values(spark):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.similarity import centroid_table, group_centroids
+
+    rng = np.random.RandomState(3)
+    n, d = 300, 8
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "label": rng.randint(0, 4, n),
+            "embedding": [rng.randn(d).astype("float32").tolist() for _ in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cents = group_centroids(df, "label", "embedding", scale=1 << 20).toPandas()
+    for _, r in cents.iterrows():
+        sub = np.stack(
+            [np.array(v, dtype="float64") for v in pdf[pdf["label"] == r["label"]]["embedding"]]
+        )
+        assert np.allclose(np.array(r["centroid"]), sub.mean(axis=0), atol=1e-5)
+        assert r["n"] == len(sub)
+    # mergeability: per-half tables groupBy-sum to the whole table
+    h0 = centroid_table(df.where("vec_id % 2 = 0"), "label", "embedding")
+    h1 = centroid_table(df.where("vec_id % 2 = 1"), "label", "embedding")
+    merged = (
+        h0.unionByName(h1)
+        .groupBy("label", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .orderBy("label", "pos")
+        .toPandas()
+    )
+    whole = centroid_table(df, "label", "embedding").orderBy("label", "pos").toPandas()
+    assert merged.values.tolist() == whole.values.tolist()
