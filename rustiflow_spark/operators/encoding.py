@@ -163,6 +163,93 @@ def quantile_bin(
     return df.withColumn(out_col, F.ntile(n_bins).over(w))
 
 
+def quantile_bin_split(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    by: str | list[str] | None = None,
+    order_col: str | None = None,
+    n_chunks: int = 64,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Distributed EXACT ntile for few/hot groups — the same prefix-scan
+    cure as target_encode_expanding_split.
+
+    Plain quantile_bin parallelizes at most #groups tasks (a 5-category
+    binning of 10^9 rows runs on 5 cores; the sf10 sweep measured 20 s
+    where 4 s was available). This variant:
+
+      1. chunks each group's VALUE RANGE into n_chunks (min/max from one
+         O(groups) aggregate, broadcast — ties stay inside one chunk, so
+         chunk order is consistent with (value, order) order);
+      2. ranks within (group, chunk) — parallel across chunks;
+      3. prefix-sums chunk counts over the tiny chunk table;
+      4. global rank = prefix + in-chunk rank; the bin comes from the
+         exact ntile partitioning rule (first t%n buckets get one extra
+         row), so output is IDENTICAL to ntile(n_bins) — pytest-asserted
+         and oracle-shared with the plain form.
+
+    Value-skewed data degrades gracefully: identical values share a chunk
+    (correct, just less parallel); uniform-ish values spread evenly.
+    """
+    if n_chunks <= 0:
+        raise ValueError("n_chunks must be positive")
+    out_col = out_col or f"{value_col}_bin"
+    by = [by] if isinstance(by, str) else (list(by) if by else [])
+    gb = df.groupBy(*by) if by else df.groupBy()
+    stats = gb.agg(
+        F.min(value_col).alias("__vmin"),
+        F.max(value_col).alias("__vmax"),
+        F.count(value_col).alias("__t"),
+    )
+    j = df.join(F.broadcast(stats), on=by) if by else df.crossJoin(
+        F.broadcast(stats)
+    )
+    span = F.col("__vmax") - F.col("__vmin")
+    chunk = F.when(
+        span > 0,
+        F.least(
+            F.lit(n_chunks - 1),
+            F.floor(
+                (F.col(value_col) - F.col("__vmin"))
+                / span
+                * F.lit(int(n_chunks))
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    j = j.withColumn("__chunk", chunk.cast("int"))
+    order = [F.asc(value_col)] + ([F.asc(order_col)] if order_col else [])
+    w_in = Window.partitionBy(*by, "__chunk").orderBy(*order)
+    j = j.withColumn("__rn", F.row_number().over(w_in))
+    ctab = j.groupBy(*by, "__chunk").agg(F.count("*").alias("__cc"))
+    w_pref = (
+        Window.partitionBy(*by)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = ctab.select(
+        *by,
+        "__chunk",
+        F.coalesce(F.sum("__cc").over(w_pref), F.lit(0)).alias("__pref"),
+    )
+    j = j.join(F.broadcast(pref), on=[*by, "__chunk"])
+    rank = (F.col("__pref") + F.col("__rn")).cast("long")
+    # exact ntile partitioning: t rows into n buckets, first r = t % n
+    # buckets hold q+1 = t//n + 1 rows
+    q = F.expr(f"__t div {int(n_bins)}")
+    r = F.col("__t") % n_bins
+    big = r * (q + 1)
+    # q == 0 only when t < n_bins, where rank <= big = t always holds —
+    # greatest() keeps the dead branch well-defined anyway
+    bin_expr = F.when(
+        rank <= big, (rank - 1) / (q + 1)
+    ).otherwise(r + (rank - big - 1) / F.greatest(q, F.lit(1)))
+    j = j.withColumn(
+        out_col, (F.floor(bin_expr) + 1).cast("int")
+    )
+    return j.drop("__vmin", "__vmax", "__t", "__chunk", "__rn", "__pref")
+
+
 def zscore_normalize(
     df: DataFrame,
     value_cols: list[str],

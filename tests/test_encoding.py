@@ -224,3 +224,48 @@ def test_point_in_time_single_pass_equals_chained(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_quantile_bin_split_matches_plain(spark, enc_df):
+    from rustiflow_spark.operators.encoding import quantile_bin_split
+
+    df, _ = enc_df
+    plain = (
+        quantile_bin(df, "y", 7, by="cat", order_col="row_id")
+        .orderBy("row_id")
+        .toPandas()
+    )
+    for chunks in (64, 3, 1):
+        split = (
+            quantile_bin_split(
+                df, "y", 7, by="cat", order_col="row_id", n_chunks=chunks
+            )
+            .orderBy("row_id")
+            .toPandas()
+        )
+        assert split["y_bin"].tolist() == plain["y_bin"].tolist(), chunks
+
+
+def test_quantile_bin_split_ties_and_small_groups(spark):
+    import numpy as np
+
+    from rustiflow_spark.operators.encoding import quantile_bin_split
+
+    # massive ties (3 distinct values), plus a group smaller than n_bins
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 90 + ["b"] * 3,
+            "v": ([1.0] * 30 + [2.0] * 30 + [3.0] * 30) + [5.0, 5.0, 9.0],
+            "i": np.arange(93, dtype="int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = (
+        quantile_bin(df, "v", 8, by="g", order_col="i").orderBy("i").toPandas()
+    )
+    split = (
+        quantile_bin_split(df, "v", 8, by="g", order_col="i", n_chunks=16)
+        .orderBy("i")
+        .toPandas()
+    )
+    assert split["v_bin"].tolist() == plain["v_bin"].tolist()
