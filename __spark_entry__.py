@@ -5458,6 +5458,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_session_features(spark, "/root/testdata/sf0.001")
 
 
+def q_ffill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming forward-fill (streaming/enrich_stream.py ffill_stream):
+    O(1) state per key — only the last non-null value crosses micro-batch
+    boundaries, never raw rows. Same deterministic null pattern as the
+    batch backfill query, run under the 3-file event-time-ordered
+    availableNow replay; SHARES the batch oracle, so the hash match
+    proves batch/stream parity exactly."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.streaming.enrich_stream import ffill_stream
+
+    ev = _events(spark, sf_dir).selectExpr(
+        "user_id",
+        "ts_us",
+        "event_seq",
+        "case when event_seq % 5 = 0 then cast(null as double) else value end as v",
+    )
+    src, out, ckpt = _replay_three_files(ev, "ffillstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    filled = ffill_stream(
+        stream, ["user_id"], "ts_us", "v", order_col="event_seq"
+    )
+    _run_available_now(filled, out, ckpt)
+    got = spark.read.parquet(out)
+    return got.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_seq").cast("long").alias("event_seq"),
+        F.col("ts_us").cast("long").alias("ts_us"),
+        F.round("v", 6).alias("v"),
+        F.round("v_ffill", 6).alias("v_ffill"),
+    )
+
+
 def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-class embedding centroids (operators/similarity.py
     centroid_table): per-(label, position) INTEGER sums of the quantized
@@ -6259,6 +6293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_export": q_shuffle_export,
         "temperature_mix": q_temperature_mix,
         "centroids": q_centroids,
+        "ffill_stream": q_ffill_stream,
         # -- carried head --
         "session_features": q_session_features,
         "session_annotation": q_session_annotation,
@@ -6351,6 +6386,7 @@ def oracle_sql() -> dict[str, str]:
         "shuffle_export": _shuffle_export_sql(),
         "temperature_mix": _temperature_mix_sql(),
         "centroids": _Q_CENTROIDS_SQL,
+        "ffill_stream": _Q_BACKFILL_SQL,
         "lag_features": _Q_LAG_SQL,
         "rolling_features": _Q_ROLLING_SQL,
         "flow_cic_udp": _Q_CIC_UDP_SQL,

@@ -56,3 +56,68 @@ def pit_enrich_stream(
     return stream.join(F.broadcast(d), cond, "inner").drop(
         *[f"__k_{k}" for k in key_cols]
     )
+
+
+def ffill_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_col: str | None = None,
+    filled_col: str | None = None,
+) -> DataFrame:
+    """Streaming forward-fill: each row's nulls take the most recent past
+    non-null value of its key — the streaming twin of
+    operators/windows.forward_fill, with O(1) state per key (ONLY the
+    last non-null value; never raw rows — the engine's P4 state rule).
+
+    Within a micro-batch rows are sorted by (ts, order) and filled
+    vectorized (pandas ffill); across micro-batches the last value is
+    carried in GroupState. Correct (identical to the batch window) when
+    micro-batches arrive in per-key event-time order — true for replayed
+    file sources and ts-ordered logs; an out-of-order source needs a
+    watermark-sorted buffer upstream.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    filled = filled_col or f"{value_col}_ffill"
+    in_schema = stream.schema
+    vtype = in_schema[value_col].dataType
+    out_schema = T.StructType(
+        list(in_schema.fields) + [T.StructField(filled, vtype, True)]
+    )
+    state_schema = T.StructType(
+        [T.StructField("last", vtype, True), T.StructField("has", T.BooleanType())]
+    )
+    sort_cols = [ts_col] + ([order_col] if order_col else [])
+    col_order = [f.name for f in out_schema.fields]
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        last, has = state.get if state.exists else (None, False)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(sort_cols)
+            s = pdf[value_col]
+            f = s.ffill()
+            if has:
+                f = f.fillna(last)
+            pdf[filled] = f
+            nn = s.dropna()
+            if len(nn):
+                v = nn.iloc[-1]
+                # numpy scalar -> Python scalar for GroupState serialization
+                last, has = (v.item() if hasattr(v, "item") else v), True
+            yield pdf[col_order]
+        state.update((last, has))
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

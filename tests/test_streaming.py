@@ -729,3 +729,49 @@ def test_dedup_stream_exact_and_within_watermark(spark, tmp_path):
 
     with pytest.raises(ValueError):
         dedup_stream(stream, ["k"], watermark_delay="10 seconds")
+
+
+def test_ffill_stream_state_crosses_microbatches(spark, tmp_path):
+    """A micro-batch that STARTS with nulls must fill from the previous
+    batch's last non-null value (state carries only that scalar)."""
+    import time as _time
+
+    from rustiflow_spark.streaming.enrich_stream import ffill_stream
+
+    src_dir = tmp_path / "ff_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "ff_out")
+    ckpt = str(tmp_path / "ff_ckpt")
+
+    def batch(rows, seq0):
+        return pd.DataFrame(
+            {
+                "k": ["u"] * len(rows),
+                "ts": np.arange(seq0, seq0 + len(rows), dtype=np.int64) * 1000,
+                "seq": np.arange(seq0, seq0 + len(rows), dtype=np.int64),
+                "v": pd.array(rows, dtype="float64"),
+            }
+        )
+
+    b1 = spark.createDataFrame(batch([1.0, None, 7.0], 0))
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "f1.parquet"))
+    _time.sleep(1.1)
+    b2 = spark.createDataFrame(batch([None, None, 3.0, None], 10))
+    b2.coalesce(1).write.mode("append").parquet(str(src_dir / "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "f1.parquet"))
+    )
+    q = (
+        ffill_stream(stream, ["k"], "ts", "v", order_col="seq")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out_dir).orderBy("seq").toPandas()
+    assert got["v_ffill"].tolist() == [1.0, 1.0, 7.0, 7.0, 7.0, 3.0, 3.0]
