@@ -6044,6 +6044,34 @@ FROM ev
 """
 
 
+def q_backfill_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-entity-safe backfill (operators/windows.py forward_fill_split):
+    the distributed prefix scan applied to last-ignorenulls — in-chunk
+    fill parallel across time chunks, carry-in from a prefix last over
+    the tiny chunk-tail table. Bit-identical to the plain fill (shares
+    the backfill oracle)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.windows import forward_fill_split
+
+    ev = _events(spark, sf_dir).selectExpr(
+        "user_id",
+        "ts_us",
+        "event_seq",
+        "case when event_seq % 5 = 0 then cast(null as double) else value end as v",
+    )
+    out = forward_fill_split(
+        ev, ["user_id"], "ts_us", ["v"], chunk_us=86_400_000_000,
+        order_col="event_seq",
+    )
+    return out.selectExpr(
+        "user_id",
+        "event_seq",
+        "ts_us",
+        "round(v, 6) as v",
+        "round(v_ffill, 6) as v_ffill",
+    )
+
+
 def q_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table point-in-time enrichment (operators/asof.py
     point_in_time_join): each event spine row gets its entity's most
@@ -6278,6 +6306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         # -- new: leakage-free encoders + PIT enrichment --
         "backfill": q_backfill,
+        "backfill_split": q_backfill_split,
         "point_in_time": q_point_in_time,
         "target_encode": q_target_encode,
         "target_encode_split": q_target_encode_split,
@@ -6371,6 +6400,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": _Q_SIM_SQL,
         "asof_join": _Q_ASOF_SQL,
         "backfill": _Q_BACKFILL_SQL,
+        "backfill_split": _Q_BACKFILL_SQL,
         "point_in_time": _Q_PIT_SQL,
         "target_encode": _Q_TARGET_ENCODE_SQL,
         "target_encode_split": _Q_TARGET_ENCODE_SQL,

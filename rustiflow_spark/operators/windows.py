@@ -84,3 +84,74 @@ def rolling_time_features(
             .withColumn(f"{value_col}_mean_{name}", F.avg(value_col).over(w))
         )
     return out
+
+
+def forward_fill_split(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    chunk_us: int,
+    order_col: str | None = None,
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Hot-key-safe forward_fill: the distributed prefix scan applied to
+    last(..., ignorenulls) — completes the split family (expanding sums:
+    encoding.target_encode_expanding_split; exact ntile:
+    encoding.quantile_bin_split).
+
+    Plain forward_fill sorts each key in ONE task; a hot entity holding
+    10% of a 100-TB log serializes on one core. Here each key's timeline
+    chunks into `chunk_us` buckets: in-chunk fill runs parallel across
+    chunks, each chunk's LAST non-null value is a per-chunk scalar, a
+    prefix last(ignorenulls) over the tiny chunk-tail table supplies the
+    carry-in, and rows still null after the in-chunk fill coalesce to the
+    carry-in. Bit-identical to forward_fill (pytest-asserted down to
+    ~1-row chunks; the batch contract oracle is shared by the streaming
+    twin too).
+    """
+    if chunk_us <= 0:
+        raise ValueError("chunk_us must be positive")
+    order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
+    out = df.withColumn(
+        "__chunk", F.floor(F.col(ts_col) / F.lit(int(chunk_us)))
+    )
+    w_in = (
+        Window.partitionBy(*key_cols, "__chunk")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        out = out.withColumn(f"__in_{c}", F.last(c, ignorenulls=True).over(w_in))
+    tails = out.groupBy(*key_cols, "__chunk").agg(
+        *[
+            F.max_by(F.col(f"__in_{c}"), F.struct(*[F.col(ts_col)] + (
+                [F.col(order_col)] if order_col else []
+            ))).alias(f"__tail_{c}")
+            for c in value_cols
+        ]
+    )
+    w_pref = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = tails.select(
+        *key_cols,
+        "__chunk",
+        *[
+            F.last(f"__tail_{c}", ignorenulls=True).over(w_pref).alias(f"__carry_{c}")
+            for c in value_cols
+        ],
+    )
+    out = out.join(F.broadcast(pref), on=[*key_cols, "__chunk"], how="left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}"))
+        )
+    drop = (
+        ["__chunk"]
+        + [f"__in_{c}" for c in value_cols]
+        + [f"__carry_{c}" for c in value_cols]
+    )
+    return out.drop(*drop)

@@ -238,3 +238,41 @@ def test_checkpoint_resume(spark, tmp_path):
     exp = pdf.groupby("k")["v"].sum()
     got = res.set_index("k")["v_sum"]
     assert all(got[k] == exp[k] for k in exp.index)
+
+
+def test_forward_fill_split_matches_plain(spark):
+    import numpy as np
+
+    from rustiflow_spark.operators.windows import forward_fill_split
+
+    rng = np.random.RandomState(13)
+    n = 500
+    pdf = pd.DataFrame(
+        {
+            "k": rng.randint(0, 6, n),
+            "ts_us": rng.randint(0, 100_000, n).astype("int64"),
+            "seq": np.arange(n, dtype="int64"),
+            "v": np.where(rng.rand(n) < 0.4, np.nan, rng.randn(n).round(3)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = (
+        forward_fill(df, ["k"], "ts_us", ["v"], order_col="seq")
+        .orderBy("seq")
+        .toPandas()
+    )
+    for chunk in (1_000_000, 7_000, 13):
+        split = (
+            forward_fill_split(
+                df, ["k"], "ts_us", ["v"], chunk_us=chunk, order_col="seq"
+            )
+            .orderBy("seq")
+            .toPandas()
+        )
+        a, b = split["v_ffill"], plain["v_ffill"]
+        assert (a.isna() == b.isna()).all(), chunk
+        assert np.allclose(a.dropna(), b.dropna()), chunk
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        forward_fill_split(df, ["k"], "ts_us", ["v"], chunk_us=0)
