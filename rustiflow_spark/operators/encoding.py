@@ -218,10 +218,12 @@ def quantile_bin_split(
         ),
     ).otherwise(F.lit(0))
     j = j.withColumn("__chunk", chunk.cast("int"))
+    # chunk counts from the pre-window frame: the counting branch is a
+    # plain hash aggregate, not a sorted window
+    ctab = j.groupBy(*by, "__chunk").agg(F.count("*").alias("__cc"))
     order = [F.asc(value_col)] + ([F.asc(order_col)] if order_col else [])
     w_in = Window.partitionBy(*by, "__chunk").orderBy(*order)
     j = j.withColumn("__rn", F.row_number().over(w_in))
-    ctab = j.groupBy(*by, "__chunk").agg(F.count("*").alias("__cc"))
     w_pref = (
         Window.partitionBy(*by)
         .orderBy("__chunk")
