@@ -30,6 +30,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _has_map(dt) -> bool:
+    """True if the datatype (or any nested field) is a MapType — structs
+    containing maps are not orderable in Spark, so they fall out of the
+    deterministic payload tiebreak in both as-of implementations."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_has_map(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _has_map(dt.elementType)
+    return False
+
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -92,17 +108,6 @@ def asof_join(
     # regardless of partitioning/run (left rows are separated by __tag
     # first, so their null payload never participates). Structs containing
     # maps are not orderable in Spark — those fall back to tag-only order.
-    from pyspark.sql import types as T
-
-    def _has_map(dt: T.DataType) -> bool:
-        if isinstance(dt, T.MapType):
-            return True
-        if isinstance(dt, T.StructType):
-            return any(_has_map(f.dataType) for f in dt.fields)
-        if isinstance(dt, T.ArrayType):
-            return _has_map(dt.elementType)
-        return False
-
     tie = ", __payload ASC" if not _has_map(r.schema["__payload"].dataType) else ""
     kq = ", ".join(f"`{c}`" for c in by)
     ts_dir = "ASC" if direction == "backward" else "DESC"
@@ -172,17 +177,6 @@ def point_in_time_join(
         raise ValueError("strategy must be 'single_pass' or 'chained'")
 
     by = [by] if isinstance(by, str) else list(by)
-    from pyspark.sql import types as T
-
-    def _has_map(dt: T.DataType) -> bool:
-        if isinstance(dt, T.MapType):
-            return True
-        if isinstance(dt, T.StructType):
-            return any(_has_map(f.dataType) for f in dt.fields)
-        if isinstance(dt, T.ArrayType):
-            return _has_map(dt.elementType)
-        return False
-
     k = len(tables)
     payload_cols: list[list[str]] = []
     dims: list[DataFrame] = []

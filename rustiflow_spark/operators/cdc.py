@@ -48,14 +48,13 @@ def merge_upsert(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+    keys_touched = latest.select(*key_cols)
     if delete_col is not None:
         upserts = latest.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
             delete_col
         )
-        keys_touched = latest.select(*key_cols)
     else:
         upserts = latest
-        keys_touched = latest.select(*key_cols)
     kept = snapshot.join(keys_touched, on=key_cols, how="left_anti")
     return kept.unionByName(upserts.select(*snapshot.columns))
 
@@ -79,6 +78,8 @@ def scd2_history(
     dimension side a backward as-of join consumes for point-in-time
     correctness.
     """
+    if not attr_cols:
+        raise ValueError("attr_cols must be non-empty")
     order = [F.asc(ts_col)] + ([F.asc(order_col)] if order_col else [])
     w = Window.partitionBy(*key_cols).orderBy(*order)
     # drop consecutive duplicates: a change row survives iff any attribute

@@ -200,13 +200,18 @@ def quantile_bin_split(
     stats = gb.agg(
         F.min(value_col).alias("__vmin"),
         F.max(value_col).alias("__vmax"),
-        F.count(value_col).alias("__t"),
+        # count(*), not count(value): ntile ranks NULL rows too
+        F.count(F.lit(1)).alias("__t"),
     )
     j = df.join(F.broadcast(stats), on=by) if by else df.crossJoin(
         F.broadcast(stats)
     )
     span = F.col("__vmax") - F.col("__vmin")
-    chunk = F.when(
+    # NULL values sort FIRST under ntile's ASC order -> pin them to chunk
+    # 0 (least() would otherwise skip the null arithmetic and send them
+    # to the LAST chunk — review finding); asc nulls-first inside chunk 0
+    # then reproduces the global order exactly
+    chunk = F.when(F.col(value_col).isNull(), F.lit(0)).when(
         span > 0,
         F.least(
             F.lit(n_chunks - 1),

@@ -373,12 +373,15 @@ def group_centroids(
     from centroid_table — deterministic regardless of row order because
     the accumulation is integral."""
     t = centroid_table(df, group_col, vec_col, scale)
+    # per-position n in the struct: ragged-length vectors (or null
+    # elements) average over the rows that HAVE the position, not over
+    # max(n) (review finding)
     return (
         t.groupBy(group_col)
         .agg(
             F.max("n").alias("n"),
             F.array_sort(
-                F.collect_list(F.struct(F.col("pos"), F.col("s")))
+                F.collect_list(F.struct(F.col("pos"), F.col("s"), F.col("n").alias("np")))
             ).alias("__ps"),
         )
         .select(
@@ -386,7 +389,7 @@ def group_centroids(
             "n",
             F.expr(
                 f"transform(__ps, p -> cast(p.s as double)"
-                f" / (n * {int(scale)}))"
+                f" / (p.np * {int(scale)}))"
             ).alias("centroid"),
         )
     )

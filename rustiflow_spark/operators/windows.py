@@ -144,7 +144,12 @@ def forward_fill_split(
             for c in value_cols
         ],
     )
-    out = out.join(F.broadcast(pref), on=[*key_cols, "__chunk"], how="left")
+    # NO forced broadcast here: unlike the category-keyed encoder splits,
+    # this table is O(entities x occupied chunks) — unbounded at scale.
+    # The big side is already hash-partitioned on (key, __chunk) by the
+    # in-chunk window, so the equi-join shuffles only the tiny side (and
+    # AQE still broadcasts when it fits).
+    out = out.join(pref, on=[*key_cols, "__chunk"], how="left")
     for c in value_cols:
         out = out.withColumn(
             f"{c}{suffix}", F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}"))

@@ -97,10 +97,13 @@ def ffill_stream(
         import pandas as pd
 
         last, has = state.get if state.exists else (None, False)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values(sort_cols)
+        # a group larger than the Arrow batch size arrives as SEVERAL
+        # pdfs within one micro-batch, in storage order — concatenate and
+        # sort ONCE, or chunk-local fills leak across the true time order
+        # (review finding, reproduced with arrow.maxRecordsPerBatch=3)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(sort_cols)
             s = pdf[value_col]
             f = s.ffill()
             if has:

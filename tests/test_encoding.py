@@ -269,3 +269,29 @@ def test_quantile_bin_split_ties_and_small_groups(spark):
         .toPandas()
     )
     assert split["v_bin"].tolist() == plain["v_bin"].tolist()
+
+
+def test_quantile_bin_split_nulls_match_plain(spark):
+    """NULL values: ntile sorts them FIRST; the split path must pin them
+    to chunk 0 and count them in __t (review finding: least() skipped
+    the null arithmetic and emitted out-of-range bins)."""
+    import numpy as np
+
+    from rustiflow_spark.operators.encoding import quantile_bin_split
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 10,
+            "v": [1.0, 2.0, 3.0, 4.0, None, 6.0, 7.0, None, 9.0, 10.0],
+            "i": np.arange(10, dtype="int64"),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    plain = quantile_bin(df, "v", 4, by="g", order_col="i").orderBy("i").toPandas()
+    split = (
+        quantile_bin_split(df, "v", 4, by="g", order_col="i", n_chunks=4)
+        .orderBy("i")
+        .toPandas()
+    )
+    assert split["v_bin"].tolist() == plain["v_bin"].tolist()
+    assert split["v_bin"].max() <= 4

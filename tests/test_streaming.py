@@ -775,3 +775,52 @@ def test_ffill_stream_state_crosses_microbatches(spark, tmp_path):
     q.awaitTermination(300)
     got = spark.read.parquet(out_dir).orderBy("seq").toPandas()
     assert got["v_ffill"].tolist() == [1.0, 1.0, 7.0, 7.0, 7.0, 3.0, 3.0]
+
+
+def test_ffill_stream_group_split_across_arrow_batches(spark, tmp_path):
+    """A key whose micro-batch rows span several Arrow chunks must be
+    sorted/filled ONCE per batch — chunk-local fills leak arrival order
+    (review finding: reproduced before the concat fix with
+    maxRecordsPerBatch=3 and reverse-ts storage order)."""
+    from rustiflow_spark.streaming.enrich_stream import ffill_stream
+
+    src_dir = tmp_path / "ffa_src"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "ffa_out")
+    ckpt = str(tmp_path / "ffa_ckpt")
+    # one file = one micro-batch; rows stored in REVERSE ts order, only
+    # the earliest row non-null
+    n = 9
+    pdf = pd.DataFrame(
+        {
+            "k": ["u"] * n,
+            "ts": np.arange(n, 0, -1, dtype="int64") * 1000,
+            "seq": np.arange(n, 0, -1, dtype="int64"),
+            "v": pd.array([None] * (n - 1) + [42.0], dtype="float64"),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(src_dir / "f.parquet")
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = (
+            spark.readStream.schema(spark.createDataFrame(pdf).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir / "f.parquet"))
+        )
+        q = (
+            ffill_stream(stream, ["k"], "ts", "v", order_col="seq")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.read.parquet(out_dir).orderBy("ts").toPandas()
+    # earliest row (ts=1000) holds 42.0; every later row fills from it
+    assert got["v_ffill"].tolist() == [42.0] * n

@@ -866,3 +866,15 @@ def test_centroid_table_merge_and_values(spark):
     )
     whole = centroid_table(df, "label", "embedding").orderBy("label", "pos").toPandas()
     assert merged.values.tolist() == whole.values.tolist()
+    # ragged-length vectors: positions average over rows that HAVE them
+    rag = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1],
+                "label": [9, 9],
+                "embedding": [[2.0], [2.0, 4.0]],
+            }
+        )
+    )
+    c = group_centroids(rag, "label", "embedding", scale=1 << 20).toPandas()
+    assert np.allclose(np.array(c["centroid"].iloc[0]), [2.0, 4.0], atol=1e-5)
