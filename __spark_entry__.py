@@ -1927,6 +1927,81 @@ SELECT n, rnk, term, cnt FROM bi_r WHERE rnk <= 50
 """
 
 
+_RETRIEVAL_TERMS = ["vector", "join", "stream", "window", "customer", "hash"]
+_RETRIEVAL_SCALE = 10**6
+
+
+def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus retrieval: top-25 documents by exact fixed-point tf-idf
+    over a 6-term query (operators/retrieval.py tfidf_topk,
+    exact_scale mode). Plan shape: one corpus scan explodes tokens and
+    filters to the query terms BEFORE the shuffle, document frequency is
+    a window over the tiny posting table, corpus totals are a broadcast
+    single row, and the ranking is TakeOrderedAndProject. The linear
+    idf surrogate (scale*N) div df keeps every score an integer the
+    DuckDB oracle replays in HUGEINT."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.retrieval import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(
+        docs, "doc_id", "text", _RETRIEVAL_TERMS, k=25,
+        exact_scale=_RETRIEVAL_SCALE,
+    )
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus retrieval: top-25 documents by exact fixed-point BM25
+    (k1=1.2, b=0.75) over the same 6-term query (operators/retrieval.py
+    bm25_topk). The length normalization is cleared to one integral
+    division per (doc, term) via exact fractions — DECIMAL(38,0)
+    products + Spark's `div`, replayed `//`-for-`//` in DuckDB HUGEINT.
+    Document length rides the explode projection (no length join)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(
+        docs, "doc_id", "text", _RETRIEVAL_TERMS, k=25,
+        exact_scale=_RETRIEVAL_SCALE,
+    )
+
+
+def _retrieval_sql(order_col: str) -> str:
+    terms = ",".join(f"'{t}'" for t in _RETRIEVAL_TERMS)
+    s = _RETRIEVAL_SCALE
+    # k1=6/5, b=3/4: term = idf_w*tf*(a+b_)*d*T // (b_*d*tf*T + a*(d-c)*T
+    # + a*c*dl*N) = idf_w*tf*44*T // (20*tf*T + 6*T + 18*dl*N)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text,' '), x -> x <> ''))::HUGEINT AS dl,
+         unnest(string_split(text,' ')) AS term
+  FROM documents
+),
+post AS (
+  SELECT doc_id, term, count(*)::HUGEINT AS tf, min(dl) AS dl
+  FROM toks WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+pd2 AS (SELECT *, count(*) OVER (PARTITION BY term)::HUGEINT AS dft FROM post),
+tot AS (
+  SELECT count(*)::HUGEINT AS n,
+         coalesce(sum(len(list_filter(string_split(text,' '), x -> x <> ''))),0)::HUGEINT AS t
+  FROM documents
+),
+sc AS (
+  SELECT p.doc_id, count(*) AS n_matched,
+    CAST(sum((({s}::HUGEINT * tot.n) // p.dft) * p.tf) AS BIGINT) AS tfidf_scaled,
+    CAST(sum(((({s}::HUGEINT * tot.n) // p.dft) * p.tf * 44 * tot.t)
+        // (20::HUGEINT*p.tf*tot.t + 6::HUGEINT*tot.t + 18::HUGEINT*p.dl*tot.n))
+        AS BIGINT) AS bm25_scaled
+  FROM pd2 p CROSS JOIN tot GROUP BY p.doc_id
+)
+SELECT doc_id, n_matched, {order_col} AS score_scaled FROM sc
+ORDER BY {order_col} DESC, doc_id LIMIT 25
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: corpus cleaning chaining three operators —
     quality filter (distinct-word ratio from quality_features), an HDR
@@ -6304,6 +6379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_basic": q_flow_basic,
         "flow_cidds": q_flow_cidds,
         "flow_nf": q_flow_nf,
+        "tfidf_search": q_tfidf_search,
+        "bm25_search": q_bm25_search,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6479,6 +6556,8 @@ def oracle_sql() -> dict[str, str]:
         "flow_basic": _basic_sql(),
         "flow_cidds": _Q_CIDDS_SQL,
         "flow_nf": _nf_sql(),
+        "tfidf_search": _retrieval_sql("tfidf_scaled"),
+        "bm25_search": _retrieval_sql("bm25_scaled"),
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

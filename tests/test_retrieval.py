@@ -1,0 +1,157 @@
+"""TF-IDF / BM25 top-k retrieval (operators/retrieval.py)."""
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rustiflow_spark.operators.retrieval import bm25_topk, tfidf_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "cat dog cat",          # dl=3, tf(cat)=2 tf(dog)=1
+                "dog dog dog fish",     # dl=4, tf(dog)=3
+                "bird bird",            # dl=2, no match
+                "cat fish fish fish",   # dl=4, tf(cat)=1 tf(fish)=3
+            ],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_tfidf_exact_hand_computed(corpus):
+    # terms: cat (df=2), dog (df=2); N=4, scale=100
+    # idf_w = (100*4)//df = 200 for both
+    # doc1: 2*200 + 1*200 = 600 (2 matched); doc2: 3*200 = 600 (1 matched)
+    # doc4: 1*200 = 200
+    got = tfidf_topk(
+        corpus, "doc_id", "text", ["cat", "dog"], k=10, exact_scale=100
+    ).toPandas()
+    assert got.values.tolist() == [[1, 2, 600], [2, 1, 600], [4, 1, 200]]
+
+
+def test_bm25_exact_hand_computed(corpus):
+    # k1=1.2=6/5 (a=6,b_=5), b=0.75=3/4 (c=3,d=4); N=4, T=13, scale=100
+    # idf_w=200 for cat/dog (df=2)
+    # term = idf_w*tf*44*T div (20*tf*T + 6*T + 18*dl*N)
+    T, N = 13, 4
+
+    def term(tf, dl, idf_w=200):
+        return (idf_w * tf * 44 * T) // (20 * tf * T + 6 * T + 18 * dl * N)
+
+    exp = {
+        1: term(2, 3) + term(1, 3),
+        2: term(3, 4),
+        4: term(1, 4),
+    }
+    got = bm25_topk(
+        corpus, "doc_id", "text", ["cat", "dog"], k=10, exact_scale=100
+    ).toPandas()
+    got_map = dict(zip(got["doc_id"], got["score_scaled"]))
+    assert got_map == exp
+    # ranking: desc score, asc id
+    assert got["doc_id"].tolist() == sorted(
+        exp, key=lambda d: (-exp[d], d)
+    )
+
+
+def test_bm25_production_matches_numpy(corpus):
+    # textbook Robertson BM25 with smoothed idf, recomputed in numpy
+    N, T = 4, 13
+    avgdl = T / N
+    k1, b = 1.2, 0.75
+
+    def idf(df):
+        return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+    def score(tfs_dl):
+        tfs, dl = tfs_dl
+        return sum(
+            idf(2) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+            for tf in tfs
+        )
+
+    exp = {1: score(([2, 1], 3)), 2: score(([3], 4)), 4: score(([1], 4))}
+    got = bm25_topk(corpus, "doc_id", "text", ["cat", "dog"], k=10).toPandas()
+    got_map = dict(zip(got["doc_id"], got["score"]))
+    assert set(got_map) == set(exp)
+    for d in exp:
+        assert np.isclose(got_map[d], exp[d], rtol=1e-12)
+
+
+def test_tfidf_production_smoothed_idf(corpus):
+    N = 4
+
+    def idf(df):
+        return math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+
+    exp1 = 2 * idf(2) + 1 * idf(2)
+    got = tfidf_topk(corpus, "doc_id", "text", ["cat", "dog"], k=1).toPandas()
+    assert got["doc_id"].iloc[0] == 1
+    assert np.isclose(got["score"].iloc[0], exp1, rtol=1e-12)
+
+
+def test_no_match_and_k_cut(corpus):
+    assert (
+        tfidf_topk(corpus, "doc_id", "text", ["zzz"], k=5, exact_scale=10).count()
+        == 0
+    )
+    got = bm25_topk(
+        corpus, "doc_id", "text", ["cat", "dog"], k=2, exact_scale=100
+    ).toPandas()
+    assert len(got) == 2
+    assert got["doc_id"].tolist() == [1, 2]  # tie impossible here; top-2
+
+
+def test_tie_break_is_doc_id(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7, 3, 5], "text": ["cat", "cat", "cat"]})
+    )
+    got = tfidf_topk(df, "doc_id", "text", ["cat"], k=2, exact_scale=10).toPandas()
+    assert got["doc_id"].tolist() == [3, 5]
+
+
+def test_bm25_rejects_inexact_fractions(corpus):
+    with pytest.raises(ValueError):
+        bm25_topk(
+            corpus, "doc_id", "text", ["cat"], k1=math.pi, exact_scale=10
+        ).count()
+
+
+def test_plan_shape(corpus):
+    """Top-k compiles to TakeOrderedAndProject (never a global sort) and
+    the whole pipeline has no Python stage."""
+    plan = tfidf_topk(
+        corpus, "doc_id", "text", ["cat"], k=3, exact_scale=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_partition_invariance(spark):
+    rng = np.random.default_rng(11)
+    words = np.array(["cat", "dog", "fish", "bird", "ant", "bee"])
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(1, 30)))
+        for _ in range(300)
+    ]
+    pdf = pd.DataFrame({"doc_id": np.arange(300, dtype="int64"), "text": texts})
+    a = (
+        bm25_topk(
+            spark.createDataFrame(pdf).repartition(1),
+            "doc_id", "text", ["cat", "bee"], k=20, exact_scale=1000,
+        ).toPandas()
+    )
+    b = (
+        bm25_topk(
+            spark.createDataFrame(pdf).repartition(16),
+            "doc_id", "text", ["cat", "bee"], k=20, exact_scale=1000,
+        ).toPandas()
+    )
+    assert a.values.tolist() == b.values.tolist()

@@ -56,6 +56,11 @@ ALLOW = {
     # build is sketch-sized by construction; the corpus itself only sees
     # a broadcast hash join + pushable filter
     "temperature_mix": {"bnlj"},
+    # posting table x broadcast(single-row corpus totals): the crossJoin
+    # side is 1 row by construction (count/sum over the corpus); the
+    # corpus-sized side only sees explode + pushed isin filter
+    "tfidf_search": {"bnlj"},
+    "bm25_search": {"bnlj"},
 }
 
 _PY_STAGES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython")
