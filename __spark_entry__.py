@@ -2002,6 +2002,71 @@ ORDER BY {order_col} DESC, doc_id LIMIT 25
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profiling of the documents table (operators/profile.py
+    profile_table, exact mode): one scan -> (col_name, n, n_null,
+    n_distinct, min_s, max_s) per column. Exact count(DISTINCT) per
+    column costs Catalyst's Expand (documented); the 100-TB mode is
+    exact_distinct=False (HLL++ in the same single partial aggregate,
+    no Expand — plan-asserted in tests). min/max aggregate in native
+    type; only the result is rendered to string."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.profile import profile_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_table(docs)
+
+
+_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*)::BIGINT AS n,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       min({c})::VARCHAR AS min_s, max({c})::VARCHAR AS max_s
+FROM documents"""
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)
+
+
+def q_hash_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-cross hashing (operators/encoding.py hash_cross): bucket
+    the (lang x source) cross of documents into 64 ids with the md5
+    replay hash, then count rows per bucket. The bucket assignment is a
+    zero-shuffle per-row projection (plan-asserted); the count is one
+    partial-aggregated groupBy. The oracle replays md5 -> 15-hex-char
+    positional parse -> mod 64 exactly (sketches.py convention)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.encoding import hash_cross
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        hash_cross(docs, ["lang", "source"], 64, hash_fn="md5")
+        .groupBy("cross_bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_HASH_CROSS_HEX = (
+    "("
+    + " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) AS BIGINT)"
+        f" * {16 ** (14 - j)}"
+        for j in range(15)
+    )
+    + ")"
+)
+
+_HASH_CROSS_SQL = f"""
+WITH h AS (
+  SELECT substr(md5(coalesce(lang, chr(0) || 'NULL') || chr(31) ||
+                    coalesce(source, chr(0) || 'NULL')), 1, 15) AS hx
+  FROM documents
+)
+SELECT CAST({_HASH_CROSS_HEX} % 64 AS INTEGER) AS cross_bucket,
+       count(*)::BIGINT AS cnt
+FROM h GROUP BY cross_bucket
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: corpus cleaning chaining three operators —
     quality filter (distinct-word ratio from quality_features), an HDR
@@ -6381,6 +6446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flow_nf": q_flow_nf,
         "tfidf_search": q_tfidf_search,
         "bm25_search": q_bm25_search,
+        "table_profile": q_table_profile,
+        "hash_cross_features": q_hash_cross,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6558,6 +6625,8 @@ def oracle_sql() -> dict[str, str]:
         "flow_nf": _nf_sql(),
         "tfidf_search": _retrieval_sql("tfidf_scaled"),
         "bm25_search": _retrieval_sql("bm25_scaled"),
+        "table_profile": _PROFILE_SQL,
+        "hash_cross_features": _HASH_CROSS_SQL,
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

@@ -284,3 +284,44 @@ def zscore_normalize(
         out = out.withColumn(f"{c}{suffix}", z)
     drop = [f"__mean_{c}" for c in value_cols] + [f"__std_{c}" for c in value_cols]
     return out.drop(*drop)
+
+
+def hash_cross(
+    df: DataFrame,
+    cols: list[str],
+    n_buckets: int,
+    out_col: str = "cross_bucket",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Feature-cross hashing (the "hashing trick"): bucket the
+    cross-product of categorical columns into a fixed-width id space —
+    how wide categorical interactions (site x lang x source) become
+    bounded embedding/table indices in a training pipeline without a
+    vocabulary build.
+
+    Pure Catalyst, zero shuffle: the bucket is a per-row projection. The
+    cross key is the columns rendered to strings and joined with an
+    ASCII unit separator, with NULL encoded as a sentinel distinct from
+    any real value (concat_ws alone would silently DROP nulls and
+    collide ('a', NULL) with ('a',)).
+
+    hash_fn='xxhash64' (production): Spark's native 64-bit hash,
+    whole-stage codegen. hash_fn='md5' (replay mode): first 15 hex
+    chars of md5, parseable identically by any engine — the repo's
+    standard cross-engine oracle convention (operators/sketches.py).
+    Bucket = hash mod n_buckets, non-negative in both modes.
+    """
+    if n_buckets <= 0:
+        raise ValueError("hash_cross: n_buckets must be positive")
+    parts = [
+        F.coalesce(F.col(f"`{c}`").cast("string"), F.lit("\x00NULL"))
+        for c in cols
+    ]
+    key = F.concat_ws("\x1f", *parts)
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(key)
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"hash_cross: unknown hash_fn {hash_fn!r}")
+    return df.withColumn(out_col, F.pmod(h, F.lit(n_buckets)).cast("int"))

@@ -1,0 +1,117 @@
+"""Table profiler (operators/profile.py) + hash_cross encoder."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from rustiflow_spark.operators.encoding import hash_cross
+from rustiflow_spark.operators.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def tbl(spark):
+    pdf = pd.DataFrame(
+        {
+            "a": pd.array([1, 2, 2, None, 10], dtype="Int64"),
+            "b": ["x", None, "y", "y", None],
+            "c": [0.5, 0.5, 0.5, 0.5, 0.5],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_profile_exact_values(tbl):
+    got = profile_table(tbl).toPandas().set_index("col_name")
+    assert got.loc["a"].tolist() == [5, 1, 3, "1", "10"]
+    assert got.loc["b"].tolist() == [5, 2, 2, "x", "y"]
+    assert got.loc["c"].tolist() == [5, 0, 1, "0.5", "0.5"]
+    # long format, ordered by col_name
+    assert got.index.tolist() == ["a", "b", "c"]
+
+
+def test_profile_min_max_native_order(spark):
+    # "10" < "9" lexicographically — native-type aggregation must win
+    df = spark.createDataFrame(pd.DataFrame({"v": [9, 10, 2]}))
+    got = profile_table(df).toPandas()
+    assert got["min_s"].iloc[0] == "2"
+    assert got["max_s"].iloc[0] == "10"
+
+
+def test_profile_subset_and_empty_cols(tbl):
+    got = profile_table(tbl, cols=["b"]).toPandas()
+    assert got["col_name"].tolist() == ["b"]
+    with pytest.raises(ValueError):
+        profile_table(tbl, cols=[])
+
+
+def test_profile_approx_mode(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(n, dtype="int64") % 1000})
+    )
+    got = profile_table(df, exact_distinct=False, rsd=0.05).toPandas()
+    assert abs(got["n_distinct"].iloc[0] - 1000) <= 1000 * 0.15
+    assert got["n"].iloc[0] == n and got["n_null"].iloc[0] == 0
+
+
+def test_profile_plan_shape(tbl):
+    """Exact mode pays the Expand (documented); approx mode must not —
+    one partial-aggregate pass, no Expand."""
+    exact = (
+        profile_table(tbl)._jdf.queryExecution().executedPlan().toString()
+    )
+    approx = (
+        profile_table(tbl, exact_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact
+    assert "Expand" not in approx
+    for plan in (exact, approx):
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+
+def test_hash_cross_basics(spark):
+    pdf = pd.DataFrame(
+        {
+            "x": ["a", "a", "b", None, "NULL"],
+            "y": ["p", "q", "p", "p", "p"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = hash_cross(df, ["x", "y"], 16, hash_fn="md5").toPandas()
+    assert got["cross_bucket"].between(0, 15).all()
+    # same inputs -> same bucket; the NULL sentinel differs from "NULL"
+    g = hash_cross(df, ["x", "y"], 16, hash_fn="md5").toPandas()
+    assert g["cross_bucket"].tolist() == got["cross_bucket"].tolist()
+    row_null = got.loc[pdf["x"].isna(), "cross_bucket"].iloc[0]
+    row_str = got.loc[pdf["x"] == "NULL", "cross_bucket"].iloc[0]
+    # both rows share y='p'; the hash keys must differ (buckets may
+    # collide for other widths, so check the full-width hash instead)
+    wide = hash_cross(df, ["x", "y"], 2**31 - 1, hash_fn="md5").toPandas()
+    assert (
+        wide.loc[pdf["x"].isna(), "cross_bucket"].iloc[0]
+        != wide.loc[pdf["x"] == "NULL", "cross_bucket"].iloc[0]
+    )
+
+
+def test_hash_cross_modes_and_errors(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": ["a", "b"], "y": [1, 2]}))
+    xx = hash_cross(df, ["x", "y"], 8).toPandas()
+    assert xx["cross_bucket"].between(0, 7).all()
+    with pytest.raises(ValueError):
+        hash_cross(df, ["x"], 0)
+    with pytest.raises(ValueError):
+        hash_cross(df, ["x"], 4, hash_fn="sha1")
+
+
+def test_hash_cross_no_shuffle(spark):
+    df = spark.createDataFrame(pd.DataFrame({"x": ["a", "b"], "y": [1, 2]}))
+    plan = (
+        hash_cross(df, ["x", "y"], 8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
