@@ -2067,6 +2067,69 @@ FROM h GROUP BY cross_bucket
 """
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-stratum quota sampling (operators/sampling.py
+    quota_sample): keep at most 200 events per event_type, membership a
+    pure function of (event_id, seed) via the Lehmer mix — partition-
+    and engine-invariant, unlike df.sample. Plan: one Exchange on the
+    stratum + rank window. Oracle replays mix -> row_number -> cap."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sampling import quota_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return quota_sample(ev, "event_type", "event_id", 200, rank_col="r").select(
+        "event_id", "event_type", F.col("r").cast("long").alias("r")
+    )
+
+
+def _quota_sql() -> str:
+    from rustiflow_spark.operators.sampling import mix_sql
+
+    mix = mix_sql("event_id", 31).replace("`", "")
+    return f"""
+WITH r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY {mix}, event_id) AS r
+  FROM events
+)
+SELECT event_id, event_type, CAST(r AS BIGINT) AS r FROM r WHERE r <= 200
+"""
+
+
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split with an embargo gap
+    (operators/sampling.py temporal_split): train <= Jan 18, embargo
+    (Jan 18, Jan 25], test after — the purge window that keeps trailing-
+    window features (lags, as-of joins) from straddling the boundary.
+    Verified as per-split row counts + exact event_id sums (the split
+    itself is a zero-shuffle projection, plan-asserted in tests)."""
+    _ensure_package_shipped(spark)
+    import datetime as _dt
+
+    from rustiflow_spark.operators.sampling import temporal_split
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = temporal_split(
+        ev,
+        "ts",
+        cutoff=_dt.datetime(2024, 1, 25),
+        embargo=_dt.datetime(2024, 1, 18),
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n"), F.sum("event_id").alias("id_sum")
+    )
+
+
+_TIME_SPLIT_SQL = """
+SELECT CASE WHEN ts <= TIMESTAMP '2024-01-18 00:00:00' THEN 'train'
+            WHEN ts <= TIMESTAMP '2024-01-25 00:00:00' THEN 'embargo'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n, sum(event_id)::BIGINT AS id_sum
+FROM events GROUP BY split
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: corpus cleaning chaining three operators —
     quality filter (distinct-word ratio from quality_features), an HDR
@@ -6448,6 +6511,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "table_profile": q_table_profile,
         "hash_cross_features": q_hash_cross,
+        "quota_sample": q_quota_sample,
+        "time_split": q_time_split,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6627,6 +6692,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _retrieval_sql("bm25_scaled"),
         "table_profile": _PROFILE_SQL,
         "hash_cross_features": _HASH_CROSS_SQL,
+        "quota_sample": _quota_sql(),
+        "time_split": _TIME_SPLIT_SQL,
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

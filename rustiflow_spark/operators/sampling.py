@@ -190,3 +190,83 @@ def temperature_mix(
     if rate_col is not None:
         return out.withColumnRenamed("__rate", rate_col)
     return out.drop("__rate")
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quota: int,
+    seed: int = 31,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep AT MOST ``quota`` rows per stratum — the exact-count cousin
+    of stratified_mix for balancing over-represented sources (a rate
+    can only cap in expectation; a quota caps exactly).
+
+    Membership is deterministic and append-stable in the keep direction
+    only: rows rank within their stratum by (id-mix, id), so which rows
+    survive is a pure function of (content, seed) — independent of
+    partitioning and engine — but appends can displace previously-kept
+    rows (an exact cap cannot be append-invariant; use stratified_mix
+    when that matters more than exactness).
+
+    Plan: one Exchange on the stratum + an in-partition rank window.
+    For a pathological hot stratum the same distributed prefix-scan
+    trick as quantile_bin_split applies (chunk ranks + chunk-count
+    prefix); at quota << stratum size a cheaper route is an approximate
+    mix-threshold pre-filter (keep mix < c*quota/size) before the exact
+    rank — both compose with this function's output contract.
+
+    Set ``rank_col`` to also emit the within-stratum rank (1-based).
+    """
+    if quota <= 0:
+        raise ValueError("quota must be positive")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(f"`{strata_col}`")).orderBy(
+        F.col("__qmix"), F.col(f"`{id_col}`")
+    )
+    out = (
+        df.withColumn("__qmix", F.expr(_mix_sql(id_col, seed)))
+        .withColumn("__qrnk", F.row_number().over(w))
+        .where(F.col("__qrnk") <= quota)
+    )
+    if rank_col is not None:
+        out = out.withColumn(rank_col, F.col("__qrnk"))
+    return out.drop("__qmix", "__qrnk")
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff,
+    embargo=None,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe time split: train strictly before the embargo
+    window, test strictly after the cutoff, and rows inside
+    (cutoff - embargo, cutoff] marked 'embargo' — the purge gap that
+    keeps features computed from trailing windows (rolling stats, lags,
+    as-of joins) from straddling the boundary. With no embargo the
+    assignment is the plain train/test cut at the cutoff.
+
+    Pure projection (no shuffle, scan-pushable filters downstream);
+    ``cutoff``/``embargo`` accept whatever the ts column compares
+    against (timestamps, integer microseconds, ...) — embargo is the
+    lower bound of the gap, i.e. train keeps ts <= cutoff - embargo
+    expressed as ts <= embargo_start when ``embargo`` is given as that
+    absolute bound.
+    """
+    ts = F.col(f"`{ts_col}`")
+    cut = F.lit(cutoff)
+    if embargo is None:
+        expr = F.when(ts <= cut, F.lit("train")).otherwise(F.lit("test"))
+    else:
+        emb = F.lit(embargo)
+        expr = (
+            F.when(ts <= emb, F.lit("train"))
+            .when(ts <= cut, F.lit("embargo"))
+            .otherwise(F.lit("test"))
+        )
+    return df.withColumn(split_col, expr)

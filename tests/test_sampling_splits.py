@@ -1,0 +1,79 @@
+"""quota_sample + temporal_split (operators/sampling.py)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from rustiflow_spark.operators.sampling import quota_sample, temporal_split
+
+
+@pytest.fixture(scope="module")
+def strata(spark):
+    rng = np.random.default_rng(5)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype="int64"),
+            "src": rng.choice(["big", "mid", "tiny"], p=[0.8, 0.18, 0.02], size=n),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_quota_exact_counts(strata):
+    df, pdf = strata
+    got = quota_sample(df, "src", "id", quota=50).toPandas()
+    sizes = pdf.groupby("src").size()
+    kept = got.groupby("src").size()
+    for s in sizes.index:
+        assert kept.get(s, 0) == min(50, sizes[s])
+
+
+def test_quota_partition_invariant_and_deterministic(strata):
+    df, _ = strata
+    a = set(quota_sample(df.repartition(1), "src", "id", 30).toPandas()["id"])
+    b = set(quota_sample(df.repartition(16), "src", "id", 30).toPandas()["id"])
+    c = set(quota_sample(df, "src", "id", 30).toPandas()["id"])
+    assert a == b == c
+    d = set(quota_sample(df, "src", "id", 30, seed=99).toPandas()["id"])
+    assert d != a  # different seed, different draw
+
+
+def test_quota_rank_col_and_errors(strata):
+    df, _ = strata
+    got = quota_sample(df, "src", "id", 10, rank_col="r").toPandas()
+    assert got.groupby("src")["r"].max().le(10).all()
+    assert got.groupby("src")["r"].min().eq(1).all()
+    with pytest.raises(ValueError):
+        quota_sample(df, "src", "id", 0)
+
+
+def test_temporal_split_embargo_boundaries(spark):
+    pdf = pd.DataFrame({"ts": [10, 20, 21, 30, 31], "v": range(5)})
+    df = spark.createDataFrame(pdf)
+    got = (
+        temporal_split(df, "ts", cutoff=30, embargo=20)
+        .orderBy("ts")
+        .toPandas()
+    )
+    # ts<=20 train; 20<ts<=30 embargo; ts>30 test (boundaries inclusive
+    # on the left of each region)
+    assert got["split"].tolist() == [
+        "train", "train", "embargo", "embargo", "test",
+    ]
+
+
+def test_temporal_split_no_embargo(spark):
+    pdf = pd.DataFrame({"ts": [1, 2, 3], "v": range(3)})
+    got = temporal_split(spark.createDataFrame(pdf), "ts", cutoff=2).toPandas()
+    assert sorted(got["split"]) == ["test", "train", "train"]
+
+
+def test_temporal_split_no_shuffle(spark):
+    df = spark.createDataFrame(pd.DataFrame({"ts": [1, 2], "v": [0, 1]}))
+    plan = (
+        temporal_split(df, "ts", 1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
