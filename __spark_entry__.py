@@ -2130,6 +2130,50 @@ FROM events GROUP BY split
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse random projection 64 -> 8 dims over embeddings
+    (operators/similarity.py random_project): Achlioptas {-1,0,+1}
+    matrix regenerated from the Lehmer mix by both engines, applied to
+    the 1024-quantized vectors as pure integer Catalyst expressions —
+    zero shuffle, zero Python (plan-asserted in tests). The JL front
+    end for the ANN family: project, then bucket the short vectors."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.similarity import random_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = random_project(emb, "embedding", 64, 8, seed=7)
+    return out.select(
+        "vec_id",
+        *[F.element_at("proj", i + 1).alias(f"p{i}") for i in range(8)],
+    )
+
+
+def _random_projection_sql() -> str:
+    from rustiflow_spark.operators.similarity import projection_matrix
+
+    mat = projection_matrix(64, 8, seed=7)
+    comps = []
+    for i, row in enumerate(mat):
+        terms = [
+            f"{'+' if e > 0 else '-'} qv[{j + 1}]"
+            for j, e in enumerate(row)
+            if e != 0
+        ]
+        body = " ".join(terms).lstrip("+ ") if terms else "0"
+        comps.append(f"CAST({body} AS BIGINT) AS p{i}")
+    cols = ",\n       ".join(comps)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(x * 1024) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT vec_id,
+       {cols}
+FROM q
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: corpus cleaning chaining three operators —
     quality filter (distinct-word ratio from quality_features), an HDR
@@ -6513,6 +6557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_cross_features": q_hash_cross,
         "quota_sample": q_quota_sample,
         "time_split": q_time_split,
+        "random_projection": q_random_projection,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6694,6 +6739,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_cross_features": _HASH_CROSS_SQL,
         "quota_sample": _quota_sql(),
         "time_split": _TIME_SPLIT_SQL,
+        "random_projection": _random_projection_sql(),
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

@@ -393,3 +393,76 @@ def group_centroids(
             ).alias("centroid"),
         )
     )
+
+
+# --- Random projection (sparse Achlioptas), deterministic integer form ---
+
+_RP_M31 = (1 << 31) - 1
+_RP_A = 48271
+
+
+def projection_matrix(in_dim: int, out_dim: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic sparse random-projection matrix with entries in
+    {-1, 0, +1} at density 1/3 (Achlioptas 2003: such a matrix satisfies
+    the JL lemma with the same guarantees as Gaussian entries, at a third
+    of the work). Entry (k, j) derives from a two-round Lehmer mix of
+    (seed, k, j) — the same generator family as sampling.mix_sql — so the
+    matrix is a pure function of its arguments: any engine (or the DuckDB
+    oracle) regenerates it bit-for-bit without shipping state."""
+    mat: list[list[int]] = []
+    for k in range(out_dim):
+        row = []
+        for j in range(in_dim):
+            x = ((k * 4099 + j + 1) * _RP_A + seed) % _RP_M31
+            x = (x * _RP_A + 11) % _RP_M31
+            r = x % 6
+            row.append(1 if r == 0 else (-1 if r == 1 else 0))
+        mat.append(row)
+    return mat
+
+
+def random_project(
+    df: DataFrame,
+    vec_col: str,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 7,
+    scale: int = 1024,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Project an embedding column to ``out_dim`` integer components —
+    the dimensionality-reduction front end for the ANN family (project,
+    then LSH/IVF the short vectors; JL preserves pairwise geometry).
+
+    Exact-arithmetic shape (repo convention): the vector is quantized
+    once (round(x*scale) as bigint) and each output component is a ±
+    sum of the nonzero-entry positions — pure integer Catalyst
+    expressions, zero shuffle, zero Python, bit-replayable by the
+    DuckDB oracle. Cosine/ranking users need no rescaling; metric users
+    multiply by sqrt(3/out_dim)/scale (Achlioptas variance correction).
+
+    ``in_dim`` must equal the stored vector length: element_at past the
+    end raises under ANSI mode (loud, not silently wrong).
+    Magnitudes: |component| <= in_dim * scale * max|x| — int64-safe for
+    any real embedding."""
+    if out_dim <= 0 or in_dim <= 0:
+        raise ValueError("random_project: dims must be positive")
+    mat = projection_matrix(in_dim, out_dim, seed)
+    qv = (
+        f"transform(`{vec_col}`,"
+        f" x -> cast(round(cast(x as double) * {int(scale)}) as bigint))"
+    )
+    comps = []
+    for row in mat:
+        terms = [
+            f"{'+' if e > 0 else '-'} element_at(__qv, {j + 1})"
+            for j, e in enumerate(row)
+            if e != 0
+        ]
+        comps.append(" ".join(terms).lstrip("+ ") if terms else "0L")
+    arr = "array(" + ", ".join(f"cast({c} as bigint)" for c in comps) + ")"
+    return (
+        df.withColumn("__qv", F.expr(qv))
+        .withColumn(out_col, F.expr(arr))
+        .drop("__qv")
+    )

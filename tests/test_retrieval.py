@@ -155,3 +155,68 @@ def test_partition_invariance(spark):
         ).toPandas()
     )
     assert a.values.tolist() == b.values.tolist()
+
+
+# --- random projection (operators/similarity.py) ---
+
+def test_random_project_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+    from rustiflow_spark.operators.similarity import (
+        projection_matrix, random_project,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(scale=0.2, size=(40, 12)).astype("float32")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(40, dtype="int64"), "v": list(map(list, vecs))}
+    )
+    got = (
+        random_project(spark.createDataFrame(pdf), "v", 12, 5, seed=9)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    R = np.array(projection_matrix(12, 5, seed=9), dtype="int64")
+    # replicate Spark's round-half-up on the quantized doubles
+    q = np.floor(vecs.astype("float64") * 1024 + 0.5).astype("int64")
+    exp = q @ R.T
+    assert np.array_equal(np.vstack(got["proj"].to_numpy()), exp)
+
+
+def test_random_project_geometry_and_plan(spark):
+    import numpy as np
+    import pandas as pd
+    from rustiflow_spark.operators.similarity import random_project
+
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(60, 64)).astype("float64")
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(60, dtype="int64"), "v": list(map(list, vecs))}
+    )
+    out = random_project(spark.createDataFrame(pdf), "v", 64, 16, seed=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    got = out.orderBy("vec_id").toPandas()
+    P = np.vstack(got["proj"].to_numpy()).astype("float64")
+    P *= np.sqrt(3.0 / 16) / 1024
+    n_orig = (vecs ** 2).sum(axis=1)
+    n_proj = (P ** 2).sum(axis=1)
+    # JL at out_dim=16 is loose; mean distortion must still be bounded
+    ratio = n_proj / n_orig
+    assert 0.6 < ratio.mean() < 1.4
+
+
+def test_random_project_dim_mismatch_is_loud(spark):
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import (
+        ArrayIndexOutOfBoundsException,
+    )
+    from rustiflow_spark.operators.similarity import random_project
+
+    df = spark.createDataFrame(pd.DataFrame({"vec_id": [0], "v": [[0.5, 0.5]]}))
+    with pytest.raises(ArrayIndexOutOfBoundsException):
+        random_project(df, "v", 4, 2, seed=1).toPandas()
+    with pytest.raises(ValueError):
+        random_project(df, "v", 2, 0)
