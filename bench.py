@@ -77,7 +77,10 @@ def main() -> None:
     # the total so "value" stays comparable across rounds (the original
     # 16-query set is unchanged)
     extra: dict[str, float] = {}
-    for name in ["point_in_time", "target_encode_split", "merge_upsert", "scd2"]:
+    for name in [
+        "point_in_time", "target_encode_split", "merge_upsert", "scd2",
+        "bm25_search", "table_profile", "quota_sample", "random_projection",
+    ]:
         fn = qmap[name]
         best = float("inf")
         for _ in range(2):
