@@ -1946,7 +1946,7 @@ def q_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return tfidf_topk(
         docs, "doc_id", "text", _RETRIEVAL_TERMS, k=25,
-        exact_scale=_RETRIEVAL_SCALE,
+        exact_scale=_RETRIEVAL_SCALE, arithmetic="int64",
     )
 
 
@@ -1963,7 +1963,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return bm25_topk(
         docs, "doc_id", "text", _RETRIEVAL_TERMS, k=25,
-        exact_scale=_RETRIEVAL_SCALE,
+        exact_scale=_RETRIEVAL_SCALE, arithmetic="int64",
     )
 
 

@@ -44,6 +44,12 @@ def profile_table(
     cols = list(cols) if cols is not None else list(df.columns)
     if not cols:
         raise ValueError("profile_table: no columns to profile")
+    # exact mode's Expand multiplies rows x (k+1); spread a compressed
+    # small-file scan so that work parallelizes (scan partitions are
+    # sized by COMPRESSED bytes — see decontam.py; no-op at real scale)
+    sc = df.sparkSession.sparkContext
+    if exact_distinct and df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         col = F.col(f"`{c}`")

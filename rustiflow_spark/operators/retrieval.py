@@ -48,6 +48,19 @@ from pyspark.sql import DataFrame, Window, functions as F
 _NONEMPTY_TOKENS = "filter(split({col}, ' '), x -> x != '')"
 
 
+def _spread_scan(df: DataFrame) -> DataFrame:
+    """Spark sizes scan partitions by COMPRESSED input bytes, so a
+    small-file / heavily-compressed corpus lands the whole token explode
+    (~dl x row blowup) on a couple of tasks (decontam.py found the same:
+    sf10 on 2 tasks). Pre-explode repartition when the scan is narrower
+    than the cluster — a real 100-TB scan already has thousands of
+    partitions and skips this."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _postings(
     docs: DataFrame, id_col: str, text_col: str, query_terms: Sequence[str]
 ) -> DataFrame:
@@ -57,6 +70,7 @@ def _postings(
     counting) is projected per document BEFORE the explode and carried
     through the aggregation, so no separate length join is needed.
     """
+    docs = _spread_scan(docs)
     toks = docs.select(
         F.col(id_col).alias("__doc"),
         F.size(F.expr(_NONEMPTY_TOKENS.format(col=text_col))).cast("long").alias(
@@ -99,8 +113,19 @@ def _exact_frac(x: float, what: str) -> Fraction:
     return f
 
 
-def _dec(col):
-    return col.cast("decimal(38,0)")
+def _int_t(arithmetic: str) -> str:
+    """Integer carrier type for the exact modes. 'int128'
+    (DECIMAL(38,0)) is the safe default; 'int64' (BIGINT) computes the
+    identical values ~6x faster wherever the magnitude bound
+    idf_w*tf*(a+b)*d*T < 2^63 holds (it does through sf10 here) — and
+    ANSI mode makes a violation a loud error, never a wrong answer.
+    Both carriers truncate division toward zero, so scores and hashes
+    are identical between them."""
+    if arithmetic == "int128":
+        return "DECIMAL(38,0)"
+    if arithmetic == "int64":
+        return "BIGINT"
+    raise ValueError(f"arithmetic must be 'int128' or 'int64', got {arithmetic!r}")
 
 
 def tfidf_topk(
@@ -110,12 +135,14 @@ def tfidf_topk(
     query_terms: Sequence[str],
     k: int = 10,
     exact_scale: int | None = None,
+    arithmetic: str = "int128",
 ) -> DataFrame:
     """Top-k documents by summed tf-idf over the query terms.
 
     Production (exact_scale=None): idf = ln(1 + (N - df + 0.5)/(df + 0.5))
     (BM25-style smoothed idf), score double. Exact mode: linear idf
-    surrogate ``(scale*N) div df``, score a bit-replayable long.
+    surrogate ``(scale*N) div df``, score a bit-replayable long
+    (``arithmetic`` picks the integer carrier — see _int_t).
     Output: (id_col, n_matched, score[_scaled]) ordered by score desc,
     id asc, limited to k (ties resolved deterministically by id).
     """
@@ -131,11 +158,11 @@ def tfidf_topk(
         per_term = (F.col("__tf") * idf).alias("__s")
         out_col, out_typ = "score", "double"
     else:
-        idf_w = F.expr(
-            f"CAST({int(exact_scale)} AS DECIMAL(38,0)) * CAST(__n AS DECIMAL(38,0))"
-            f" div CAST(__df AS DECIMAL(38,0))"
-        )
-        per_term = (_dec(idf_w) * _dec(F.col("__tf"))).cast("long").alias("__s")
+        t = _int_t(arithmetic)
+        per_term = F.expr(
+            f"CAST((CAST({int(exact_scale)} AS {t}) * CAST(__n AS {t})"
+            f" div CAST(__df AS {t})) * CAST(__tf AS {t}) AS LONG)"
+        ).alias("__s")
         out_col, out_typ = "score_scaled", "long"
     agg = (
         scored.select("__doc", per_term)
@@ -161,6 +188,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     exact_scale: int | None = None,
+    arithmetic: str = "int128",
 ) -> DataFrame:
     """Top-k documents by BM25 over the query terms.
 
@@ -196,21 +224,22 @@ def bm25_topk(
         a, b_ = fk.numerator, fk.denominator
         c, d = fb.numerator, fb.denominator
         s = int(exact_scale)
+        t = _int_t(arithmetic)
         idf_w = (
-            f"(CAST({s} AS DECIMAL(38,0)) * CAST(__n AS DECIMAL(38,0))"
-            f" div CAST(__df AS DECIMAL(38,0)))"
+            f"(CAST({s} AS {t}) * CAST(__n AS {t})"
+            f" div CAST(__df AS {t}))"
         )
         num = (
-            f"CAST({idf_w} AS DECIMAL(38,0)) * CAST(__tf AS DECIMAL(38,0))"
-            f" * CAST({a + b_} AS DECIMAL(38,0)) * CAST({d} AS DECIMAL(38,0))"
-            f" * CAST(__t AS DECIMAL(38,0))"
+            f"CAST({idf_w} AS {t}) * CAST(__tf AS {t})"
+            f" * CAST({(a + b_) * d} AS {t})"
+            f" * CAST(__t AS {t})"
         )
         den = (
-            f"CAST({b_ * d} AS DECIMAL(38,0)) * CAST(__tf AS DECIMAL(38,0))"
-            f" * CAST(__t AS DECIMAL(38,0))"
-            f" + CAST({a * (d - c)} AS DECIMAL(38,0)) * CAST(__t AS DECIMAL(38,0))"
-            f" + CAST({a * c} AS DECIMAL(38,0)) * CAST(__dl AS DECIMAL(38,0))"
-            f" * CAST(__n AS DECIMAL(38,0))"
+            f"CAST({b_ * d} AS {t}) * CAST(__tf AS {t})"
+            f" * CAST(__t AS {t})"
+            f" + CAST({a * (d - c)} AS {t}) * CAST(__t AS {t})"
+            f" + CAST({a * c} AS {t}) * CAST(__dl AS {t})"
+            f" * CAST(__n AS {t})"
         )
         per_term = F.expr(f"CAST(({num}) div ({den}) AS LONG)").alias("__s")
         out_col, out_typ = "score_scaled", "long"

@@ -447,6 +447,12 @@ def random_project(
     any real embedding."""
     if out_dim <= 0 or in_dim <= 0:
         raise ValueError("random_project: dims must be positive")
+    # per-row work is ~in_dim*out_dim/3 integer adds; a compressed
+    # small-file scan otherwise serializes it on a couple of tasks
+    # (scan partitions are sized by COMPRESSED bytes — decontam.py)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     mat = projection_matrix(in_dim, out_dim, seed)
     qv = (
         f"transform(`{vec_col}`,"

@@ -220,3 +220,24 @@ def test_random_project_dim_mismatch_is_loud(spark):
         random_project(df, "v", 4, 2, seed=1).toPandas()
     with pytest.raises(ValueError):
         random_project(df, "v", 2, 0)
+
+
+def test_exact_carriers_agree(corpus):
+    """int64 and int128 carriers compute identical scores (both truncate
+    toward zero); int64 is the ~6x-faster path used by the contract
+    queries, int128 the overflow-proof default."""
+    for fn in (tfidf_topk, bm25_topk):
+        a = fn(
+            corpus, "doc_id", "text", ["cat", "dog"], k=10,
+            exact_scale=10**6, arithmetic="int128",
+        ).toPandas()
+        b = fn(
+            corpus, "doc_id", "text", ["cat", "dog"], k=10,
+            exact_scale=10**6, arithmetic="int64",
+        ).toPandas()
+        assert a.values.tolist() == b.values.tolist()
+    with pytest.raises(ValueError):
+        tfidf_topk(
+            corpus, "doc_id", "text", ["cat"], exact_scale=10,
+            arithmetic="int32",
+        )
