@@ -2174,6 +2174,77 @@ FROM q
 """
 
 
+def q_token_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash on PRE-TOKENIZED sequences (operators/dedup.py
+    token_minhash_signatures): tokens synthesized from documents with
+    the standard FIXTURES.md transform, 3-gram canonical strings, md5
+    replay hash, 8 Lehmer permutations — all per-row Catalyst array
+    algebra (no explode/shuffle/Python; plan-asserted in tests). The
+    signatures feed the SAME banded-LSH candidates/clustering as the
+    text path. Oracle replays gram strings -> md5 parse -> mod-permutation
+    mins per document."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.dedup import token_minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), w -> CAST(length(w) * 31 + ascii(w) AS INT))"
+        ).alias("tokens"),
+    )
+    sig = token_minhash_signatures(toks, "tokens", num_perm=8, n=3, hash_fn="md5")
+    return sig.select(
+        "doc_id",
+        *[F.element_at("minhash", i + 1).alias(f"sig_{i}") for i in range(8)],
+    )
+
+
+def _token_minhash_sql() -> str:
+    from rustiflow_spark.operators.dedup import token_minhash_params
+
+    hexparse = (
+        "("
+        + " + ".join(
+            f"CAST((strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) AS BIGINT)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        + ")"
+    )
+    m = (1 << 31) - 1
+    mins = ",\n         ".join(
+        f"min(({a} * g31 + {b}) % {m}) AS sig_{p}"
+        for p, (a, b) in enumerate(token_minhash_params(8))
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        w -> CAST(length(w) * 31 + ascii(w) AS INTEGER)) AS tk
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_transform(generate_series(1, len(tk) - 2),
+                          i -> array_to_string(list_slice(tk, i, i + 2), ','))
+         ELSE [array_to_string(tk, ',')] END AS gs
+  FROM toks
+),
+g AS (SELECT doc_id, unnest(gs) AS s FROM grams),
+h AS (
+  SELECT doc_id, g31 FROM (
+    SELECT doc_id, {hexparse} % {m} AS g31
+    FROM (SELECT doc_id, substr(md5(s), 1, 15) AS hx FROM g)
+  )
+)
+SELECT doc_id,
+         {mins}
+FROM h GROUP BY doc_id
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: corpus cleaning chaining three operators —
     quality filter (distinct-word ratio from quality_features), an HDR
@@ -6558,6 +6629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "time_split": q_time_split,
         "random_projection": q_random_projection,
+        "token_minhash": q_token_minhash,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6740,6 +6812,7 @@ def oracle_sql() -> dict[str, str]:
         "quota_sample": _quota_sql(),
         "time_split": _TIME_SPLIT_SQL,
         "random_projection": _random_projection_sql(),
+        "token_minhash": _token_minhash_sql(),
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

@@ -592,3 +592,80 @@ def embedding_neardup(
         .filter(F.col("cosine") >= threshold)
         .drop("ea", "eb")
     )
+
+
+_TMH_M31 = (1 << 31) - 1
+_TMH_A = 48271
+
+
+def token_minhash_params(num_perm: int, seed: int = 97) -> list[tuple[int, int]]:
+    """(a_p, b_p) Lehmer-permutation constants for token_minhash_signatures,
+    regenerable bit-for-bit by any engine (same two-round mix family as
+    sampling.mix_sql / similarity.projection_matrix)."""
+    out = []
+    for p in range(num_perm):
+        x = ((p + 1) * 2531 * _TMH_A + seed) % _TMH_M31
+        x = (x * _TMH_A + 11) % _TMH_M31
+        a = 1 + x % (_TMH_M31 - 1)
+        y = (x * _TMH_A + 7) % _TMH_M31
+        out.append((a, y))
+    return out
+
+
+def token_minhash_signatures(
+    df: DataFrame,
+    tokens_col: str,
+    num_perm: int = 16,
+    n: int = 3,
+    seed: int = 97,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash signatures for PRE-TOKENIZED sequences (the north-rule
+    input shape: tokens array<int32>) — adds `minhash` array<long> of
+    length num_perm, plugging directly into minhash_lsh_candidates /
+    bands_for_threshold / cluster_min_id, exactly like the text path.
+
+    Where the text MinHash is an Arrow kernel (byte shingles,
+    minhash_signatures above), this one is PURE CATALYST per-row array
+    algebra — token n-grams via sequence+slice (vocab_topk's gram
+    trick), gram hash on the canonical comma-joined gram string, then
+    num_perm Lehmer permutations (a*g + b mod 2^31-1, products < 2^62 so
+    integer-exact in any engine) reduced with array_min. No explode, no
+    shuffle, no Python workers — the signature stage costs one
+    projection regardless of cluster size.
+
+    Sequences shorter than n grams hash the whole token array as a
+    single gram (deterministic, never null). hash_fn: 'xxhash64'
+    (production, masked to 60 bits) or 'md5' (15-hex-char parse — the
+    cross-engine oracle replay mode, sketches.py convention).
+    """
+    if num_perm <= 0 or n <= 0:
+        raise ValueError("token_minhash: num_perm and n must be positive")
+    col = f"`{tokens_col}`"
+    gram_str = f"array_join(slice({col}, i, {n}), ',')"
+    whole_str = f"array_join({col}, ',')"
+    if hash_fn == "xxhash64":
+        gh = f"xxhash64({gram_str}) & {(1 << 60) - 1}"
+        wh = f"xxhash64({whole_str}) & {(1 << 60) - 1}"
+    elif hash_fn == "md5":
+        gh = f"conv(substring(md5({gram_str}), 1, 15), 16, 10)"
+        wh = f"conv(substring(md5({whole_str}), 1, 15), 16, 10)"
+    else:
+        raise ValueError(f"token_minhash: unknown hash_fn {hash_fn!r}")
+    grams = (
+        f"CASE WHEN size({col}) >= {n} THEN"
+        f" transform(sequence(1, size({col}) - {n - 1}), i -> CAST({gh} AS BIGINT))"
+        f" ELSE array(CAST({wh} AS BIGINT)) END"
+    )
+    sig_parts = ", ".join(
+        f"array_min(transform(__tg31, g -> ({a}L * g + {b}L) % {_TMH_M31}))"
+        for a, b in token_minhash_params(num_perm, seed)
+    )
+    return (
+        df.withColumn("__tg", F.expr(grams))
+        .withColumn(
+            "__tg31", F.expr(f"transform(__tg, g -> g % {_TMH_M31})")
+        )
+        .withColumn("minhash", F.expr(f"array({sig_parts})"))
+        .drop("__tg", "__tg31")
+    )
