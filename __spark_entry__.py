@@ -6654,23 +6654,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_stream": q_ffill_stream,
         # -- carried head --
         "session_features": q_session_features,
-        "session_annotation": q_session_annotation,
         "similarity_topk": q_similarity_topk,
         "asof_join": q_asof_join,
-        "lag_features": q_lag_features,
         "flow_cic_udp": q_flow_cic_udp,
-        "flow_cic_derived": q_flow_cic_derived,
         "flow_rustiflow203": q_flow_rustiflow203,
-        "flow_icmp": q_flow_icmp,
-        "flow_custom_schema": q_flow_custom_schema,
         "flow_tcp_rst": q_flow_tcp_rst,
         "flow_tcp_fin": q_flow_tcp_fin,
         "flow_od_modules": q_flow_od_modules,
+        "flow_scan_close": q_flow_scan_close,
+        # -- pushed past the ~50-entry driver window this round (all
+        #    driver-green in r04 and strict-verified every session) --
+        "session_annotation": q_session_annotation,
+        "lag_features": q_lag_features,
+        "flow_cic_derived": q_flow_cic_derived,
+        "flow_icmp": q_flow_icmp,
+        "flow_custom_schema": q_flow_custom_schema,
         "flow_early_export": q_flow_early_export,
         "flow_active_timeout": q_flow_active_timeout,
         "token_pipeline_catalyst": q_token_pipeline_catalyst,
         "corpus_mix": q_corpus_mix,
-        "flow_scan_close": q_flow_scan_close,
         "minhash_dedup": q_minhash_dedup,
         "simhash": q_simhash,
         "pcap_roundtrip": q_pcap_roundtrip,
