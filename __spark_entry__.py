@@ -4720,6 +4720,57 @@ HAVING (bucket_s + 3600) * 1000000 <= wm_us
 """
 
 
+def q_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor (streaming/rollup_stream.py
+    profile_stream): per-hour per-column row/null counts + native-order
+    min/max over the 3-file availableNow replay — the continuous twin of
+    table_profile, state O(open buckets x columns), append mode with
+    exactly-once bucket emission. A synthetic every-7th-row null makes
+    the null-rate channel non-trivial. Oracle replays the watermark
+    closed form per column."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.streaming.rollup_stream import profile_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) as ts_us",
+        "user_id",
+        "case when event_id % 7 = 0 then cast(null as string)"
+        " else event_type end as et_gappy",
+    )
+    src, out, ckpt = _replay_three_files(ev, "profstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    prof = profile_stream(
+        stream, "ts_us", 3600, ["et_gappy", "user_id"], "10 seconds"
+    )
+    _run_available_now(prof, out, ckpt)
+    return spark.read.parquet(out)
+
+
+_PROFILE_STREAM_SQL = """
+WITH wm AS (
+  SELECT (CAST(floor(max(epoch_us(ts)) / 1000) AS BIGINT) - 10000) * 1000 AS wm_us
+  FROM events
+),
+e AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
+         user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et_gappy
+  FROM events
+)
+SELECT bucket_s, 'et_gappy' AS col_name, count(*)::BIGINT AS n,
+       (count(*) - count(et_gappy))::BIGINT AS n_null,
+       min(et_gappy)::VARCHAR AS min_s, max(et_gappy)::VARCHAR AS max_s
+FROM e, wm GROUP BY bucket_s, wm_us HAVING (bucket_s + 3600) * 1000000 <= wm_us
+UNION ALL
+SELECT bucket_s, 'user_id', count(*)::BIGINT,
+       (count(*) - count(user_id))::BIGINT,
+       min(user_id)::VARCHAR, max(user_id)::VARCHAR
+FROM e, wm GROUP BY bucket_s, wm_us HAVING (bucket_s + 3600) * 1000000 <= wm_us
+"""
+
+
 def q_hll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming windowed HLL (streaming/rollup_stream.py hll_stream):
     per-hour distinct-user register tables from the 3-file availableNow
@@ -6630,6 +6681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_split": q_time_split,
         "random_projection": q_random_projection,
         "token_minhash": q_token_minhash,
+        "profile_stream": q_profile_stream,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6815,6 +6867,7 @@ def oracle_sql() -> dict[str, str]:
         "time_split": _TIME_SPLIT_SQL,
         "random_projection": _random_projection_sql(),
         "token_minhash": _token_minhash_sql(),
+        "profile_stream": _PROFILE_STREAM_SQL,
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

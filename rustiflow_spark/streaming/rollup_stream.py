@@ -274,3 +274,62 @@ def hdr_stream(
             "cnt",
         )
     )
+
+
+def profile_stream(
+    stream: DataFrame,
+    ts_us_col: str,
+    width_s: int,
+    cols: list[str],
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming data-quality monitor: the continuous twin of
+    operators/profile.profile_table. Per tumbling event-time bucket and
+    per monitored column, emits (bucket_s, col_name, n, n_null, min_s,
+    max_s) — the null-rate/range drift feed a corpus ingest pipeline
+    alarms on.
+
+    Same append-mode/watermark contract as rollup_stream: a bucket's
+    stats rows emit exactly once when the watermark passes its end, and
+    state is O(open buckets x monitored columns) counters — never rows.
+    min/max aggregate in the column's native type (string-casting first
+    would order numerics lexicographically) and only the result is
+    rendered to string; the long-format unpivot (stack) runs on the
+    already-aggregated bucket row, so it adds no state. Distinct counts
+    are deliberately absent (exact distinct is unsupported in streaming;
+    compose with hll_stream per column for replayable cardinalities).
+    """
+    if not cols:
+        raise ValueError("profile_stream: no columns to monitor")
+    win = F.window(F.col("__ts"), f"{width_s} seconds")
+    aggs: list[F.Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(f"`{c}`")
+        aggs.append(F.count(col).alias(f"__c{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"__lo{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"__hi{i}"))
+    stack = ", ".join(
+        f"'{c}', __c{i}, __lo{i}, __hi{i}" for i, c in enumerate(cols)
+    )
+    return (
+        stream.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))
+        .withWatermark("__ts", watermark_delay)
+        .groupBy(win.alias("__w"))
+        .agg(*aggs)
+        .select(
+            F.unix_timestamp(F.col("__w.start")).alias("bucket_s"),
+            F.col("__n"),
+            F.expr(
+                f"stack({len(cols)}, {stack})"
+                " as (col_name, __cnt, min_s, max_s)"
+            ),
+        )
+        .select(
+            "bucket_s",
+            "col_name",
+            F.col("__n").alias("n"),
+            (F.col("__n") - F.col("__cnt")).alias("n_null"),
+            "min_s",
+            "max_s",
+        )
+    )

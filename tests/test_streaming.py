@@ -824,3 +824,62 @@ def test_ffill_stream_group_split_across_arrow_batches(spark, tmp_path):
     got = spark.read.parquet(out_dir).orderBy("ts").toPandas()
     # earliest row (ts=1000) holds 42.0; every later row fills from it
     assert got["v_ffill"].tolist() == [42.0] * n
+
+
+def test_profile_stream_matches_batch_on_finalized_buckets(spark, tmp_path):
+    """Streaming per-column profile == batch profile restricted to the
+    buckets the final watermark passed; null channel counts the planted
+    every-3rd-row nulls exactly."""
+    from rustiflow_spark.streaming.rollup_stream import profile_stream
+
+    n = 600
+    ts = np.arange(n, dtype="int64") * 1_000_000  # 1s apart -> 10 minutes
+    pdf = pd.DataFrame(
+        {
+            "ts_us": ts,
+            "k": pd.array(
+                [None if i % 3 == 0 else f"v{i % 5}" for i in range(n)],
+                dtype="object",
+            ),
+            "num": np.arange(n, dtype="int64") % 37,
+        }
+    )
+    src = tmp_path / "pf_src"
+    src.mkdir()
+    out = str(tmp_path / "pf_out")
+    ckpt = str(tmp_path / "pf_ckpt")
+    df = spark.createDataFrame(pdf)
+    df.coalesce(1).write.mode("overwrite").parquet(str(src / "f.parquet"))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f.parquet"))
+    )
+    prof = profile_stream(stream, "ts_us", 60, ["k", "num"], "5 seconds")
+    q = (
+        prof.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.read.parquet(out)
+        .orderBy("bucket_s", "col_name")
+        .toPandas()
+    )
+    # watermark = max_ts - 5s = 594s -> buckets ending <= 594 finalize:
+    # bucket starts 0..480 (bucket 540 ends at 600 > 594)
+    assert got["bucket_s"].max() == 480
+    assert got["bucket_s"].min() == 0
+    b0k = got[(got["bucket_s"] == 0) & (got["col_name"] == "k")].iloc[0]
+    assert b0k["n"] == 60 and b0k["n_null"] == 20
+    # i=5 -> "v0" survives the i%3 nulling; v4 from i=4
+    assert b0k["min_s"] == "v0" and b0k["max_s"] == "v4"
+    b0n = got[(got["bucket_s"] == 0) & (got["col_name"] == "num")].iloc[0]
+    assert b0n["n_null"] == 0
+    # native numeric order rendered to string: min of (0..59 % 37)
+    assert b0n["min_s"] == "0" and b0n["max_s"] == "36"
+    with pytest.raises(ValueError):
+        profile_stream(stream, "ts_us", 60, [])

@@ -32,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SKIP = {
     "flow_stream", "session_stream", "rollup_stream", "hll_stream",
     "cms_stream", "hdr_stream", "quality_stream", "dedup_stream",
-    "pit_stream", "ffill_stream",
+    "pit_stream", "ffill_stream", "profile_stream",
     "pcap_roundtrip",
 }
 
