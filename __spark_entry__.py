@@ -2245,6 +2245,46 @@ FROM h GROUP BY doc_id
 """
 
 
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust scaling (operators/encoding.py robust_scale):
+    (x - median) / MAD over events.value by event_type, with the LOWER
+    median (exact rank-pick, never interpolation) so both engines select
+    the identical data element; the only floating op is one IEEE
+    division. Two rank windows + two broadcast stats joins."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.encoding import robust_scale
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    out = robust_scale(ev, "value", "event_type", "event_id")
+    return out.select("event_id", "event_type", "value_robust")
+
+
+_ROBUST_SCALE_SQL = """
+WITH r AS (
+  SELECT event_id, event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+),
+med AS (SELECT event_type, value AS med FROM r
+        WHERE rn = CAST(ceil(cnt / 2.0) AS INT)),
+d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                    ORDER BY dev, event_id) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS cnt FROM d),
+mad AS (SELECT event_type, dev AS mad FROM r2
+        WHERE rn = CAST(ceil(cnt / 2.0) AS INT))
+SELECT d.event_id, d.event_type,
+       CASE WHEN mad.mad <> 0 THEN (d.value - d.med) / mad.mad END AS value_robust
+FROM d JOIN mad USING (event_type)
+"""
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: corpus cleaning chaining three operators —
     quality filter (distinct-word ratio from quality_features), an HDR
@@ -6682,6 +6722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "token_minhash": q_token_minhash,
         "profile_stream": q_profile_stream,
+        "robust_scale": q_robust_scale,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6868,6 +6909,7 @@ def oracle_sql() -> dict[str, str]:
         "random_projection": _random_projection_sql(),
         "token_minhash": _token_minhash_sql(),
         "profile_stream": _PROFILE_STREAM_SQL,
+        "robust_scale": _ROBUST_SCALE_SQL,
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

@@ -325,3 +325,53 @@ def hash_cross(
     else:
         raise ValueError(f"hash_cross: unknown hash_fn {hash_fn!r}")
     return df.withColumn(out_col, F.pmod(h, F.lit(n_buckets)).cast("int"))
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    by: str | list[str],
+    id_col: str,
+    suffix: str = "_robust",
+) -> DataFrame:
+    """Per-group robust scaling: (x - median) / MAD — the
+    outlier-resistant cousin of zscore_normalize (one wild value moves a
+    mean/stddev arbitrarily; it moves a median/MAD not at all).
+
+    Exactness: the median is the LOWER median — the element at rank
+    ceil(n/2) in (value, id) order — an actual data value picked by
+    integer rank arithmetic, never an interpolation, so any engine
+    reproduces it bit-for-bit; MAD is the lower median of |x - med|.
+    The only floating op is the final single division (IEEE-identical
+    everywhere). Groups with MAD == 0 scale to NULL (explicit, not Inf).
+
+    Plan: two rank windows over the group key (value order, then
+    deviation order) + two broadcast joins of the O(groups) stats
+    tables back onto the rows. Pathological hot groups hit the same
+    #groups sort ceiling as quantile_bin — the quantile_bin_split
+    prefix-scan trick applies if that ever binds.
+    """
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    v, i = F.col(f"`{value_col}`"), F.col(f"`{id_col}`")
+    w1 = Window.partitionBy(*by).orderBy(v.asc(), i.asc())
+    wc = Window.partitionBy(*by)
+    med = (
+        df.withColumn("__rn", F.row_number().over(w1))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rn") == F.expr("CAST(ceil(__cnt / 2.0) AS INT)"))
+        .select(*by, v.alias("__med"))
+    )
+    j = df.join(F.broadcast(med), on=by, how="left")
+    dev = F.abs(v - F.col("__med"))
+    w2 = Window.partitionBy(*by).orderBy(dev.asc(), i.asc())
+    mad = (
+        j.withColumn("__rn", F.row_number().over(w2))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rn") == F.expr("CAST(ceil(__cnt / 2.0) AS INT)"))
+        .select(*by, dev.alias("__mad"))
+    )
+    out = j.join(F.broadcast(mad), on=by, how="left")
+    scaled = (v - F.col("__med")) / F.when(F.col("__mad") != 0, F.col("__mad"))
+    return out.withColumn(f"{value_col}{suffix}", scaled).drop("__med", "__mad")

@@ -295,3 +295,56 @@ def test_quantile_bin_split_nulls_match_plain(spark):
     )
     assert split["v_bin"].tolist() == plain["v_bin"].tolist()
     assert split["v_bin"].max() <= 4
+
+
+def test_robust_scale_hand_computed(spark):
+    from rustiflow_spark.operators.encoding import robust_scale
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 4,
+            "v": [1.0, 2.0, 3.0, 4.0, 100.0, 5.0, 5.0, 5.0, 9.0],
+            "i": np.arange(9, dtype="int64"),
+        }
+    )
+    got = (
+        robust_scale(spark.createDataFrame(pdf), "v", "g", "i")
+        .orderBy("i")
+        .toPandas()
+    )
+    # group a (n=5): sorted 1,2,3,4,100 -> lower med (rank 3) = 3
+    # |x-3| = 2,1,0,1,97 sorted 0,1,1,2,97 -> MAD (rank 3) = 1
+    exp_a = [(x - 3.0) / 1.0 for x in [1.0, 2.0, 3.0, 4.0, 100.0]]
+    # group b (n=4): sorted 5,5,5,9 -> lower med (rank 2) = 5
+    # |x-5| = 0,0,0,4 -> MAD (rank 2) = 0 -> NULL scaling
+    a = got[got["g"] == "a"]["v_robust"].tolist()
+    b = got[got["g"] == "b"]["v_robust"].tolist()
+    assert a == exp_a
+    assert all(pd.isna(x) for x in b)
+    # the outlier moved neither median nor MAD: scaling of the inliers
+    # is untouched by the 100.0 (the point of robust vs zscore)
+    assert a[:4] == [-2.0, -1.0, 0.0, 1.0]
+
+
+def test_robust_scale_partition_invariant(spark):
+    from rustiflow_spark.operators.encoding import robust_scale
+
+    rng = np.random.default_rng(12)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.choice(["x", "y", "z"], size=500),
+            "v": rng.normal(size=500),
+            "i": np.arange(500, dtype="int64"),
+        }
+    )
+    a = (
+        robust_scale(spark.createDataFrame(pdf).repartition(1), "v", "g", "i")
+        .orderBy("i")
+        .toPandas()["v_robust"]
+    )
+    b = (
+        robust_scale(spark.createDataFrame(pdf).repartition(16), "v", "g", "i")
+        .orderBy("i")
+        .toPandas()["v_robust"]
+    )
+    assert a.tolist() == b.tolist()
