@@ -599,16 +599,22 @@ _TMH_A = 48271
 
 
 def token_minhash_params(num_perm: int, seed: int = 97) -> list[tuple[int, int]]:
-    """(a_p, b_p) Lehmer-permutation constants for token_minhash_signatures,
-    regenerable bit-for-bit by any engine (same two-round mix family as
-    sampling.mix_sql / similarity.projection_matrix)."""
+    """(a_p, b_p) permutation constants for token_minhash_signatures,
+    from md5("seed:p") — regenerable bit-for-bit by anything with md5
+    (the oracle SQL embeds them as literals anyway). md5 rather than an
+    affine Lehmer mix: affine generators advance sequential inputs on a
+    constant-stride lattice, correlating the permutation family (the
+    same defect similarity.projection_matrix had)."""
+    import hashlib
+
     out = []
     for p in range(num_perm):
-        x = ((p + 1) * 2531 * _TMH_A + seed) % _TMH_M31
-        x = (x * _TMH_A + 11) % _TMH_M31
-        a = 1 + x % (_TMH_M31 - 1)
-        y = (x * _TMH_A + 7) % _TMH_M31
-        out.append((a, y))
+        h = int.from_bytes(
+            hashlib.md5(f"{seed}:{p}".encode()).digest()[:12], "big"
+        )
+        a = 1 + (h >> 31) % (_TMH_M31 - 1)
+        b = h % _TMH_M31
+        out.append((a, b))
     return out
 
 

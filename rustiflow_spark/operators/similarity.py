@@ -405,17 +405,25 @@ def projection_matrix(in_dim: int, out_dim: int, seed: int = 7) -> list[list[int
     """Deterministic sparse random-projection matrix with entries in
     {-1, 0, +1} at density 1/3 (Achlioptas 2003: such a matrix satisfies
     the JL lemma with the same guarantees as Gaussian entries, at a third
-    of the work). Entry (k, j) derives from a two-round Lehmer mix of
-    (seed, k, j) — the same generator family as sampling.mix_sql — so the
-    matrix is a pure function of its arguments: any engine (or the DuckDB
-    oracle) regenerates it bit-for-bit without shipping state."""
+    of the work). Entry (k, j) = md5("seed:k:j") mod 6 — a pure function
+    of its arguments that any engine regenerates bit-for-bit (the oracle
+    SQL embeds the resulting terms as literals anyway).
+
+    An affine Lehmer mix is NOT usable here: over sequential (k, j)
+    inputs it advances by a constant stride, so entries land on a
+    lattice and the rows come out nearly parallel (observed: off-diagonal
+    Gram entries the size of the diagonal, kNN recall flat in out_dim —
+    caught by the recall test). md5 breaks the affine structure."""
+    import hashlib
+
     mat: list[list[int]] = []
     for k in range(out_dim):
         row = []
         for j in range(in_dim):
-            x = ((k * 4099 + j + 1) * _RP_A + seed) % _RP_M31
-            x = (x * _RP_A + 11) % _RP_M31
-            r = x % 6
+            h = int.from_bytes(
+                hashlib.md5(f"{seed}:{k}:{j}".encode()).digest()[:8], "big"
+            )
+            r = h % 6
             row.append(1 if r == 0 else (-1 if r == 1 else 0))
         mat.append(row)
     return mat

@@ -241,3 +241,49 @@ def test_exact_carriers_agree(corpus):
             corpus, "doc_id", "text", ["cat"], exact_scale=10,
             arithmetic="int32",
         )
+
+
+def _knn_recall(X, P, k=10):
+    import numpy as np
+
+    def topk(M):
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        np.fill_diagonal(S, -np.inf)
+        return np.argsort(-S, axis=1)[:, :k]
+
+    truth, proj = topk(X), topk(P)
+    return float(
+        np.mean([len(set(t) & set(p)) / k for t, p in zip(truth, proj)])
+    )
+
+
+def test_random_project_knn_recall():
+    """JL usefulness (numpy over the exact integer matrix). This test
+    caught a real generator bug: the original affine Lehmer mix put
+    entries on a constant-stride lattice — rows nearly parallel, recall
+    FLAT in out_dim (0.11 at 16, 24 AND 32). The md5 matrix now matches
+    an ideal Gaussian projection on isotropic data (the no-structure
+    worst case) and recall grows with out_dim; clustered (realistic)
+    data recalls 0.68+ at 64->16. Deterministic: fixed seeds + integer
+    matrix."""
+    import numpy as np
+    from rustiflow_spark.operators.similarity import projection_matrix
+
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(400, 64))
+    R16 = np.array(projection_matrix(64, 16, seed=7), dtype="float64")
+    R32 = np.array(projection_matrix(64, 32, seed=7), dtype="float64")
+    r16 = _knn_recall(X, X @ R16.T)
+    r32 = _knn_recall(X, X @ R32.T)
+    # matches the Gaussian baseline (0.14 / 0.23 on this seed) and must
+    # IMPROVE with out_dim (the lattice bug made it flat)
+    assert r16 > 0.10
+    assert r32 > r16 + 0.03
+    # realistic clustered corpus: 20 well-separated centers
+    g = np.random.default_rng(1)
+    C = g.normal(size=(20, 64)) * 3
+    Xc = C[np.arange(400) % 20] + np.random.default_rng(2).normal(
+        size=(400, 64)
+    )
+    assert _knn_recall(Xc, Xc @ R16.T) > 0.55
