@@ -2285,6 +2285,84 @@ FROM d JOIN mad USING (event_type)
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators/bpe.py bpe_learn): 4
+    merges over the FIXTURES-transform token table — per iteration one
+    map-side-combined pair count, a TakeOrdered(1) argmax (count desc,
+    a asc, b asc), and a pure-Catalyst greedy rewrite; the driver sees
+    ONE row per iteration. Oracle: greedy left-to-right non-overlapping
+    merge == string replace() on an 11-digit fixed-width rendering
+    (every match is forced onto a 12-char boundary), so DuckDB replays
+    whole iterations — an ITERATIVE operator, still hash-verified."""
+    _ensure_package_shipped(spark)
+    from pyspark.sql import types as T
+
+    from rustiflow_spark.operators.bpe import bpe_learn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), w -> CAST(length(w) * 31 + ascii(w) AS INT))"
+        ).alias("tokens"),
+    )
+    merges, _ = bpe_learn(toks, "tokens", n_merges=4, new_id_base=1_000_000)
+    sch = T.StructType(
+        [T.StructField(c, T.LongType()) for c in ["it", "a", "b", "new_id", "cnt"]]
+    )
+    return spark.createDataFrame(
+        [(m["it"], m["a"], m["b"], m["new_id"], m["cnt"]) for m in merges],
+        schema=sch,
+    )
+
+
+def _bpe_sql(n_merges: int = 4, base: int = 1_000_000) -> str:
+    enc = "lpad(CAST({x} AS VARCHAR), 11, '0') || ';'"
+    parts = [
+        """
+WITH tok0 AS (
+  SELECT doc_id, list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) * 31 + ascii(w) AS BIGINT)) AS tk
+  FROM documents
+),
+s0 AS (
+  SELECT doc_id,
+         array_to_string(list_transform(tk,
+           t -> lpad(CAST(t AS VARCHAR), 11, '0') || ';'), '') AS s
+  FROM tok0
+)"""
+    ]
+    for it in range(n_merges):
+        new_id = base + it
+        parts.append(
+            f""",
+l{it} AS (
+  SELECT doc_id, list_filter(string_split(s, ';'), x -> x <> '') AS l FROM s{it}
+),
+p{it} AS (
+  SELECT CAST(l[i] AS BIGINT) AS a, CAST(l[i + 1] AS BIGINT) AS b
+  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+        FROM l{it} WHERE len(l) >= 2)
+),
+best{it} AS (
+  SELECT CAST({it} AS BIGINT) AS it, a, b, CAST({new_id} AS BIGINT) AS new_id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM p{it} GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1
+),
+s{it + 1} AS (
+  SELECT s{it}.doc_id,
+         replace(s{it}.s,
+                 {enc.format(x=f"best{it}.a")} || {enc.format(x=f"best{it}.b")},
+                 {enc.format(x=f"best{it}.new_id")}) AS s
+  FROM s{it}, best{it}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT it, a, b, new_id, cnt FROM best{it}" for it in range(n_merges)
+    )
+    return "".join(parts) + "\n" + union
+
+
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline composition: corpus cleaning chaining three operators —
     quality filter (distinct-word ratio from quality_features), an HDR
@@ -6723,6 +6801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_minhash": q_token_minhash,
         "profile_stream": q_profile_stream,
         "robust_scale": q_robust_scale,
+        "bpe_merges": q_bpe_merges,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6910,6 +6989,7 @@ def oracle_sql() -> dict[str, str]:
         "token_minhash": _token_minhash_sql(),
         "profile_stream": _PROFILE_STREAM_SQL,
         "robust_scale": _ROBUST_SCALE_SQL,
+        "bpe_merges": _bpe_sql(),
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

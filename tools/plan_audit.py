@@ -34,6 +34,9 @@ SKIP = {
     "cms_stream", "hdr_stream", "quality_stream", "dedup_stream",
     "pit_stream", "ffill_stream", "profile_stream",
     "pcap_roundtrip",
+    # driver-loop learner: one collect per merge iteration by design;
+    # rewrite-plan shape asserted in tests/test_bpe.py instead
+    "bpe_merges",
 }
 
 # deliberate, documented exceptions: query -> allowed flags
