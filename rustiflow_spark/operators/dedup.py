@@ -647,6 +647,13 @@ def token_minhash_signatures(
     """
     if num_perm <= 0 or n <= 0:
         raise ValueError("token_minhash: num_perm and n must be positive")
+    # ~grams x num_perm integer ops per row: spread a compressed
+    # narrow scan or the whole corpus signs on ~2 tasks (scan partitions
+    # are sized by COMPRESSED bytes — decontam.py; observed 63 s -> 5 s
+    # at sf10). No-op at real scale.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     col = f"`{tokens_col}`"
     gram_str = f"array_join(slice({col}, i, {n}), ',')"
     whole_str = f"array_join({col}, ',')"
