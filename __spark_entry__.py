@@ -2316,7 +2316,57 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE side of BPE (operators/bpe.py): after the 4 learned
+    merges, every document's final token sequence — verified corpus-wide
+    via an exact position-weighted integer checksum (arrays-in-contracts
+    convention) plus the final length. Catches any divergence between
+    the Catalyst greedy rewrite and the oracle's string-replace replay
+    at EVERY position of EVERY document, not just the merge table."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.bpe import bpe_learn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), w -> CAST(length(w) * 31 + ascii(w) AS INT))"
+        ).alias("tokens"),
+    )
+    _, rewritten = bpe_learn(toks, "tokens", n_merges=4, new_id_base=1_000_000)
+    return rewritten.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tok"),
+        F.expr(
+            "aggregate(transform(sequence(1, size(tokens)),"
+            " i -> CAST(i AS BIGINT) * element_at(tokens, i)),"
+            " 0L, (s, x) -> s + x) % 1000000007"
+        ).alias("checksum"),
+    )
+
+
+def _bpe_encode_sql(n_merges: int = 4, base: int = 1_000_000) -> str:
+    body = _bpe_ctes(n_merges, base)
+    return f"""{body}
+, fin AS (
+  SELECT doc_id, list_filter(string_split(s, ';'), x -> x <> '') AS l
+  FROM s{n_merges}
+)
+SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tok,
+       CAST(coalesce(sum(CAST(i AS BIGINT) * CAST(l[i] AS BIGINT)), 0) % 1000000007 AS BIGINT) AS checksum
+FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i FROM fin)
+GROUP BY doc_id, len(l)
+"""
+
+
 def _bpe_sql(n_merges: int = 4, base: int = 1_000_000) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT it, a, b, new_id, cnt FROM best{it}" for it in range(n_merges)
+    )
+    return _bpe_ctes(n_merges, base) + "\n" + union
+
+
+def _bpe_ctes(n_merges: int, base: int) -> str:
     enc = "lpad(CAST({x} AS VARCHAR), 11, '0') || ';'"
     parts = [
         """
@@ -2357,10 +2407,7 @@ s{it + 1} AS (
   FROM s{it}, best{it}
 )"""
         )
-    union = "\nUNION ALL\n".join(
-        f"SELECT it, a, b, new_id, cnt FROM best{it}" for it in range(n_merges)
-    )
-    return "".join(parts) + "\n" + union
+    return "".join(parts)
 
 
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6802,6 +6849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_stream": q_profile_stream,
         "robust_scale": q_robust_scale,
         "bpe_merges": q_bpe_merges,
+        "bpe_encode": q_bpe_encode,
         "pack_chunks": q_pack_chunks,
         "chunk_tokens": q_chunk_tokens,
         "decontam": q_decontam,
@@ -6990,6 +7038,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_stream": _PROFILE_STREAM_SQL,
         "robust_scale": _ROBUST_SCALE_SQL,
         "bpe_merges": _bpe_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

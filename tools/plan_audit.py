@@ -36,7 +36,7 @@ SKIP = {
     "pcap_roundtrip",
     # driver-loop learner: one collect per merge iteration by design;
     # rewrite-plan shape asserted in tests/test_bpe.py instead
-    "bpe_merges",
+    "bpe_merges", "bpe_encode",
 }
 
 # deliberate, documented exceptions: query -> allowed flags
