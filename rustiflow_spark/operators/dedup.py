@@ -682,3 +682,202 @@ def token_minhash_signatures(
         .withColumn("minhash", F.expr(f"array({sig_parts})"))
         .drop("__tg", "__tg31")
     )
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    window: int = 16,
+    min_count: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """Exact duplicate token-window detection over pre-tokenized sequences
+    (the ExactSubstr dedup of Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", re-expressed as window n-grams):
+    every length-`window` token gram occurring >= min_count times anywhere
+    in the corpus marks its span duplicated. Per-document output: the
+    duplicated window-start count and the number of tokens covered by the
+    UNION of duplicated spans (the bytes a span-level dedup would cut).
+
+    Plan shape: explode window starts (sequence + slice, pure Catalyst),
+    ONE map-side-combined groupBy on the gram key, inner join back
+    (duplicated grams only — the count table is pre-filtered to
+    c >= min_count so the join's build side shrinks to the duplicate
+    tail), then a per-doc ordered window where covered tokens fold as
+    window + sum(min(window, start - prev_start)) — the interval-union
+    sum for fixed-width intervals, no driver state. Shuffle volume is one
+    (key, partial count) pair per distinct gram per partition; never
+    all-pairs.
+
+    use_hash=True keys grams by xxhash64 (production; 64-bit keys keep
+    shuffle rows 16 bytes). use_hash=False keys the comma-joined gram
+    string — collision-free and replayable verbatim by any SQL engine
+    (decontam.py convention; the contract oracle runs this mode).
+
+    Reference analog: none (north-rule tokens-payload dedup component;
+    the text-level siblings are minhash_lsh_dedup / simhash above).
+    """
+    if window <= 0 or min_count < 2:
+        raise ValueError("duplicate_token_spans: window >= 1, min_count >= 2")
+    from pyspark.sql import Window as W
+
+    sc = df.sparkSession.sparkContext
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t")
+    )
+    # explode blowup ~n_tok per row: spread a compressed narrow scan
+    # (scan partitions are sized by COMPRESSED bytes; no-op at real scale)
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    base = base.withColumn("n_tok", F.size("__t"))
+    docs = base.select(
+        "__id",
+        "n_tok",
+        F.greatest(F.lit(0), F.col("n_tok") - (window - 1)).alias(
+            "n_windows"
+        ),
+    )
+    gram = f"array_join(slice(__t, s, {window}), ',')"
+    key = f"xxhash64({gram})" if use_hash else gram
+    spans = base.where(F.col("n_tok") >= window).select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, n_tok - {window - 1}),"
+                f" s -> named_struct('start', s, 'gk', {key}))"
+            )
+        ).alias("w"),
+    ).select("__id", F.col("w.start").alias("start"), F.col("w.gk").alias("gk"))
+    dup_keys = (
+        spans.groupBy("gk")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("gk")
+    )
+    ordered = W.partitionBy("__id").orderBy("start")
+    cover = (
+        spans.join(dup_keys, "gk")
+        .withColumn("__prev", F.lag("start").over(ordered))
+        .withColumn(
+            "__cov",
+            F.when(F.col("__prev").isNull(), F.lit(window)).otherwise(
+                F.least(F.lit(window), F.col("start") - F.col("__prev"))
+            ),
+        )
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("dup_windows"),
+            F.sum("__cov").alias("covered_tokens"),
+        )
+    )
+    return docs.join(cover, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_tok",
+        "n_windows",
+        F.coalesce("dup_windows", F.lit(0)).cast("long").alias("dup_windows"),
+        F.coalesce("covered_tokens", F.lit(0))
+        .cast("long")
+        .alias("covered_tokens"),
+        F.when(
+            F.col("n_tok") > 0,
+            F.coalesce("covered_tokens", F.lit(0)).cast("double")
+            / F.col("n_tok"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    centroids: "np.ndarray",
+    tau_num: int = 4,
+    tau_den: int = 5,
+    max_cluster_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): assign each embedding to
+    its nearest k-means centroid, then WITHIN each cluster mark a row as
+    a semantic duplicate if some lower-id member's cosine similarity
+    reaches tau = tau_num / tau_den; `dup_of` is the smallest such id
+    (the kept representative rule). Pairing only ever happens inside one
+    cluster — never across the corpus — so the quadratic part is bounded
+    by max_cluster_size (oversized clusters are dropped loudly, the
+    _drop_oversized_buckets convention).
+
+    Exactness: vectors ride ivf_fit's integer carrier (round(x * 1024));
+    the threshold test is integer-only —
+        dot > 0  AND  dot^2 * tau_den^2 >= tau_num^2 * |a|^2 * |b|^2
+    — with the products evaluated in DECIMAL(38,0), so no float compare
+    can flip cross-engine (DuckDB replays in HUGEINT). `centroids` is the
+    (n_lists x dim) int64 codebook from similarity.ivf_fit (full-corpus
+    or sample_fraction fit), so the cluster assignment is the same
+    bit-replayable expression ann_topk_ivf probes with.
+
+    Reference analog: none (north-rule embedding-dedup component;
+    embedding_neardup above is the LSH-bucketed sibling — SemDeDup's
+    clusters follow data density instead of random hyperplanes).
+    """
+    if not (0 < tau_num <= tau_den):
+        raise ValueError("semantic_dedup: need 0 < tau_num <= tau_den")
+    from rustiflow_spark.operators.similarity import (
+        _cent_lit,
+        _ivf_cluster_expr,
+        _ivf_dists_expr,
+        _quant_expr,
+    )
+
+    q = df.select(
+        F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
+    )
+    assigned = (
+        q.withColumn("__cents", _cent_lit(centroids))
+        .withColumn("__dists", _ivf_dists_expr("__qe"))
+        .select("__id", "__qe", _ivf_cluster_expr("__dists").alias("cluster"))
+    )
+    assigned = _drop_oversized_buckets(assigned, ["cluster"], max_cluster_size)
+    norm2 = F.expr(
+        "aggregate(transform(__qe, x -> x * x), 0L, (acc, v) -> acc + v)"
+    )
+    prepared = assigned.withColumn("__n2", norm2)
+    a = prepared.alias("a")
+    b = prepared.select(
+        F.col("__id").alias("__idb"),
+        F.col("__qe").alias("__qeb"),
+        F.col("cluster").alias("__clb"),
+        F.col("__n2").alias("__n2b"),
+    ).alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.__qe, __qeb, (x, y) -> x * y),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("__clb"))
+            & (F.col("a.__id") > F.col("__idb")),
+        )
+        .withColumn("__dot", dot)
+        .where(
+            (F.col("__dot") > 0)
+            & (
+                F.col("__dot").cast("decimal(38,0)")
+                * F.col("__dot")
+                * F.lit(tau_den * tau_den)
+                >= F.lit(tau_num * tau_num)
+                * F.col("a.__n2").cast("decimal(38,0)")
+                * F.col("__n2b")
+            )
+        )
+        .groupBy(F.col("a.__id").alias("__id"))
+        .agg(F.min("__idb").alias("dup_of"))
+    )
+    return assigned.join(pairs, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        F.col("dup_of").cast("long").alias("dup_of"),
+    )

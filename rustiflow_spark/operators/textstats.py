@@ -254,3 +254,109 @@ def tokenize_with_vocab(
             ).alias(out_col)
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021, appendix
+    A1.1 "repetitious text" rules, word-gram subset): per document —
+
+      n_words            whitespace word count (empty words dropped)
+      distinct_word_frac distinct words / words
+      top_word_frac      occurrences of the most frequent word / words
+      top_bigram_frac    occurrences of the most frequent word 2-gram /
+                         total 2-gram positions
+      dup_trigram_frac   3-gram positions whose gram occurs >= 2 times in
+                         the doc / total 3-gram positions
+
+    The Gopher rules threshold these (e.g. drop if top-2-gram fraction
+    > 0.20, dup-3-gram char fraction > 0.18); thresholds stay with the
+    caller so the stats compose with quality_features' filter chain.
+
+    Plan: three explode -> two-level groupBy pyramids (word / 2-gram /
+    3-gram), each with map-side partial aggregation, joined back per doc.
+    The per-(doc, gram) intermediate is the classic word-count shape —
+    fully streamable, no per-doc state beyond the hash agg. Empty or
+    sub-gram-length docs survive via left joins with zero/0.0 fills.
+
+    Reference analog: none (north-rule text-quality component;
+    quality_features above holds the non-repetition Gopher signals).
+    """
+    sc = df.sparkSession.sparkContext
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r" +"), lambda w: w != ""
+        ).alias("__ws"),
+    )
+    # explode blowup ~n_words per row: spread a compressed narrow scan
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    # no persist: each gram pyramid re-reads the pruned (id, text) scan —
+    # at 100 TB re-scanning two columns beats caching the word arrays
+
+    def gram_counts(n: int):
+        if n == 1:
+            g = F.explode("__ws")
+        else:
+            g = F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(__ws) - {n - 1}),"
+                    f" i -> array_join(slice(__ws, i, {n}), ' '))"
+                )
+            )
+        return (
+            base.where(F.size("__ws") >= n)
+            .select("__id", g.alias("__g"))
+            .groupBy("__id", "__g")
+            .agg(F.count("*").alias("__c"))
+        )
+
+    uni = gram_counts(1).groupBy("__id").agg(
+        F.sum("__c").alias("n_words"),
+        F.count("*").alias("__n_distinct"),
+        F.max("__c").alias("__top_word"),
+    )
+    bi = gram_counts(2).groupBy("__id").agg(
+        F.sum("__c").alias("__n_bi"),
+        F.max("__c").alias("__top_bi"),
+    )
+    tri = gram_counts(3).groupBy("__id").agg(
+        F.sum("__c").alias("__n_tri"),
+        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0)).alias(
+            "__dup_tri"
+        ),
+    )
+
+    def frac(num, den):
+        return (
+            F.when(den > F.lit(0), num.cast("double") / den)
+            .otherwise(F.lit(0.0))
+        )
+
+    out = (
+        base.select("__id")
+        .join(uni, "__id", "left")
+        .join(bi, "__id", "left")
+        .join(tri, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            frac(
+                F.coalesce("__n_distinct", F.lit(0)),
+                F.coalesce("n_words", F.lit(0)),
+            ).alias("distinct_word_frac"),
+            frac(
+                F.coalesce("__top_word", F.lit(0)),
+                F.coalesce("n_words", F.lit(0)),
+            ).alias("top_word_frac"),
+            frac(
+                F.coalesce("__top_bi", F.lit(0)),
+                F.coalesce("__n_bi", F.lit(0)),
+            ).alias("top_bigram_frac"),
+            frac(
+                F.coalesce("__dup_tri", F.lit(0)),
+                F.coalesce("__n_tri", F.lit(0)),
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    return out

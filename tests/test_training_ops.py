@@ -878,3 +878,125 @@ def test_centroid_table_merge_and_values(spark):
     )
     c = group_centroids(rag, "label", "embedding", scale=1 << 20).toPandas()
     assert np.allclose(np.array(c["centroid"].iloc[0]), [2.0, 4.0], atol=1e-5)
+
+
+def test_duplicate_token_spans_interval_union(spark):
+    from rustiflow_spark.operators.dedup import duplicate_token_spans
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "tokens": [
+                [1, 2, 3, 4, 5, 6],   # shares (1,2,3),(2,3,4) with doc 2
+                [1, 2, 3, 4, 9, 9],
+                [7, 8],               # shorter than the window
+                [5, 5, 5, 5, 5],      # self-repetition: every gram dup
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        duplicate_token_spans(df, "doc_id", "tokens", window=3, min_count=2)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    # docs 1 and 2: dup starts {1,2} -> union covers tokens 1..4 = 3+1
+    assert out["n_tok"].tolist() == [6, 6, 2, 5]
+    assert out["n_windows"].tolist() == [4, 4, 0, 3]
+    assert out["dup_windows"].tolist() == [2, 2, 0, 3]
+    assert out["covered_tokens"].tolist() == [4, 4, 0, 5]
+    assert out["dup_token_frac"].tolist() == [4 / 6, 4 / 6, 0.0, 1.0]
+    # hash keying (production) and string keying (oracle) must agree
+    alt = (
+        duplicate_token_spans(
+            df, "doc_id", "tokens", window=3, min_count=2, use_hash=False
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert alt.values.tolist() == out.values.tolist()
+
+
+def test_semantic_dedup_marks_planted_pairs(spark):
+    from rustiflow_spark.operators.dedup import semantic_dedup
+    from rustiflow_spark.operators.similarity import ivf_fit
+
+    rng = np.random.RandomState(11)
+    rows = []
+    # two well-separated groups around orthogonal axes
+    for i in range(20):
+        base = np.zeros(8)
+        base[0 if i % 2 == 0 else 4] = 1.0
+        v = base + rng.randn(8) * 0.02
+        rows.append((i, v.astype("float64").tolist()))
+    # planted exact copies of ids 0 and 1 (same cluster, cosine ~1)
+    rows.append((100, rows[0][1]))
+    rows.append((101, rows[1][1]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    cents = ivf_fit(df, n_lists=2, iters=2, seed_ids=[0, 1])
+    out = semantic_dedup(
+        df, "vec_id", "embedding", cents, tau_num=99, tau_den=100
+    ).toPandas().set_index("vec_id")
+    assert bool(out.loc[100, "is_dup"]) and out.loc[100, "dup_of"] == 0
+    assert bool(out.loc[101, "is_dup"]) and out.loc[101, "dup_of"] == 1
+    # the originals are the kept representatives
+    assert not bool(out.loc[0, "is_dup"]) and not bool(out.loc[1, "is_dup"])
+    # pairing is within-cluster only: every dup shares its rep's cluster
+    assert out.loc[100, "cluster"] == out.loc[0, "cluster"]
+    # a loose threshold inside one tight cluster dedups everything but
+    # the smallest id (cosine of same-axis noisy vectors >> 0.5)
+    loose = semantic_dedup(
+        df, "vec_id", "embedding", cents, tau_num=1, tau_den=2
+    ).toPandas()
+    reps = loose[~loose["is_dup"]]
+    assert (
+        reps.groupby("cluster")["vec_id"].count() == 1
+    ).all(), "one representative per cluster at a loose threshold"
+
+
+def test_repetition_stats_hand_computed(spark):
+    from rustiflow_spark.operators.textstats import repetition_stats
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "x y x y x y", "   "],
+        }
+    )
+    out = (
+        repetition_stats(spark.createDataFrame(pdf), "doc_id", "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    r1, r2, r3 = out.iloc[0], out.iloc[1], out.iloc[2]
+    assert r1["n_words"] == 3
+    assert r1["distinct_word_frac"] == 2 / 3
+    assert r1["top_word_frac"] == 2 / 3
+    assert r1["top_bigram_frac"] == 1 / 2   # "a a" and "a b" once each
+    assert r1["dup_trigram_frac"] == 0.0    # single trigram occurs once
+    assert r2["n_words"] == 6
+    assert r2["distinct_word_frac"] == 2 / 6
+    assert r2["top_word_frac"] == 3 / 6
+    assert r2["top_bigram_frac"] == 3 / 5   # "x y" x3 of 5 positions
+    assert r2["dup_trigram_frac"] == 1.0    # all 4 trigram positions dup
+    assert r3["n_words"] == 0 and r3["dup_trigram_frac"] == 0.0
+
+
+def test_range_join_shared_column_names(spark):
+    """Both inputs carrying a same-named column (here 'ts') must not
+    trigger an ambiguous-reference error: the operator resolves ts/lo/hi
+    to reserved __-prefixed columns on their own side before the join."""
+    from rustiflow_spark.operators.intervals import range_join
+
+    ev = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1, 2, 3], "ts": [100, 250, 900]})
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {"interval_id": [10, 11], "ts": [0, 0], "lo": [90, 800], "hi": [260, 950]}
+        )
+    )
+    out = range_join(ev, iv, "ts", "lo", "hi", bucket_width_us=100).toPandas()
+    assert sorted(
+        out[["event_id", "interval_id"]].itertuples(index=False, name=None)
+    ) == [(1, 10), (2, 10), (3, 11)]
