@@ -797,6 +797,7 @@ def semantic_dedup(
     tau_num: int = 4,
     tau_den: int = 5,
     max_cluster_size: int = 10_000,
+    assign_mode: str = "catalyst",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): assign each embedding to
@@ -817,27 +818,21 @@ def semantic_dedup(
     or sample_fraction fit), so the cluster assignment is the same
     bit-replayable expression ann_topk_ivf probes with.
 
+    assign_mode: 'catalyst' (zero-Python, oracle mode) or 'arrow' (one
+    exact float64 matmul per batch — THE scale path for SemDeDup-sized
+    codebooks, where K is in the thousands and O(K) Catalyst array
+    aggregates per row would dominate; both modes are bit-identical, see
+    similarity.ivf_assign).
+
     Reference analog: none (north-rule embedding-dedup component;
     embedding_neardup above is the LSH-bucketed sibling — SemDeDup's
     clusters follow data density instead of random hyperplanes).
     """
     if not (0 < tau_num <= tau_den):
         raise ValueError("semantic_dedup: need 0 < tau_num <= tau_den")
-    from rustiflow_spark.operators.similarity import (
-        _cent_lit,
-        _ivf_cluster_expr,
-        _ivf_dists_expr,
-        _quant_expr,
-    )
+    from rustiflow_spark.operators.similarity import ivf_assign
 
-    q = df.select(
-        F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
-    )
-    assigned = (
-        q.withColumn("__cents", _cent_lit(centroids))
-        .withColumn("__dists", _ivf_dists_expr("__qe"))
-        .select("__id", "__qe", _ivf_cluster_expr("__dists").alias("cluster"))
-    )
+    assigned = ivf_assign(df, id_col, emb_col, centroids, mode=assign_mode)
     assigned = _drop_oversized_buckets(assigned, ["cluster"], max_cluster_size)
     norm2 = F.expr(
         "aggregate(transform(__qe, x -> x * x), 0L, (acc, v) -> acc + v)"

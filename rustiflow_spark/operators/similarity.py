@@ -177,6 +177,72 @@ def _ivf_cluster_expr(dists_col: str):
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    centroids: np.ndarray,
+    mode: str = "catalyst",
+) -> DataFrame:
+    """Nearest-centroid assignment: (__id, __qe, cluster), ties to the
+    lowest cluster index.
+
+    mode='catalyst': the zero-Python expression plan (_ivf_dists_expr +
+    array_position) — the oracle-replayable path, O(K) array expressions
+    per row, right for small codebooks.
+
+    mode='arrow': Arrow-batched NumPy — scores = ||c||^2 - 2 q·c as ONE
+    float64 matmul per batch (dropping the row-constant ||q||^2 keeps the
+    ordering and the tie pattern). Every product is integral and bounded
+    by d * max|q| * max|c| << 2^53 (guarded loudly per batch), so float64
+    is EXACT and np.argmin's first-min matches array_position's
+    first-occurrence tie-break: both modes are bit-identical (asserted in
+    tests). This is THE scale path — SemDeDup-sized codebooks (K in the
+    thousands) cost one BLAS matmul instead of K Catalyst array
+    aggregates per row. Quantization stays in Catalyst (Spark round is
+    HALF_UP; np.round is banker's — computing qe in NumPy would diverge
+    on exact halves)."""
+    q = df.select(
+        F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
+    )
+    if mode == "catalyst":
+        return (
+            q.withColumn("__cents", _cent_lit(centroids))
+            .withColumn("__dists", _ivf_dists_expr("__qe"))
+            .select("__id", "__qe", _ivf_cluster_expr("__dists").alias("cluster"))
+        )
+    if mode != "arrow":
+        raise ValueError(f"ivf_assign: unknown mode {mode!r}")
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    d = C.shape[1]
+    cmax = float(np.abs(C).max()) if C.size else 0.0
+
+    def assign(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                pdf["cluster"] = np.array([], dtype="int32")
+                yield pdf
+                continue
+            Q = np.asarray(pdf["__qe"].tolist(), dtype=np.float64)
+            qmax = float(np.abs(Q).max()) if Q.size else 0.0
+            # exactness guard: every |score| term must stay integral in
+            # float64 — 2*d*max|q|*max|c| and d*max|c|^2 below 2^53
+            if 2.0 * d * max(qmax * cmax, cmax * cmax) >= 2.0**53:
+                raise ValueError(
+                    "ivf_assign(arrow): quantized magnitudes overflow the"
+                    " exact-float64 bound; lower the quantization scale"
+                )
+            scores = cn - 2.0 * (Q @ C.T)
+            pdf = pdf.copy()
+            pdf["cluster"] = np.argmin(scores, axis=1).astype("int32")
+            yield pdf
+
+    return q.mapInPandas(
+        assign, schema="__id long, __qe array<bigint>, cluster int"
+    )
+
+
 def ivf_fit(
     corpus: DataFrame,
     id_col: str = "vec_id",

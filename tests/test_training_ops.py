@@ -1000,3 +1000,56 @@ def test_range_join_shared_column_names(spark):
     assert sorted(
         out[["event_id", "interval_id"]].itertuples(index=False, name=None)
     ) == [(1, 10), (2, 10), (3, 11)]
+
+
+def test_ivf_assign_arrow_matches_catalyst_including_ties(spark):
+    """The Arrow matmul assignment must be bit-identical to the Catalyst
+    expression plan — including the tie-break (a duplicated centroid ties
+    every vector between two indices; both modes must keep the lower)."""
+    from rustiflow_spark.operators.similarity import ivf_assign, ivf_fit
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(64, dtype="int64"),
+            "embedding": [rng.randn(16).tolist() for _ in range(64)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cents = ivf_fit(df, n_lists=4, iters=1, seed_ids=[0, 1, 2, 3])
+    cat = (
+        ivf_assign(df, "vec_id", "embedding", cents, mode="catalyst")
+        .orderBy("__id")
+        .toPandas()
+    )
+    arr = (
+        ivf_assign(df, "vec_id", "embedding", cents, mode="arrow")
+        .orderBy("__id")
+        .toPandas()
+    )
+    assert cat["cluster"].tolist() == arr["cluster"].tolist()
+    # forced ties: duplicate centroid 0 at index 2
+    tied = cents.copy()
+    tied[2] = tied[0]
+    cat_t = (
+        ivf_assign(df, "vec_id", "embedding", tied, mode="catalyst")
+        .orderBy("__id")
+        .toPandas()
+    )
+    arr_t = (
+        ivf_assign(df, "vec_id", "embedding", tied, mode="arrow")
+        .orderBy("__id")
+        .toPandas()
+    )
+    assert cat_t["cluster"].tolist() == arr_t["cluster"].tolist()
+    assert 2 not in cat_t["cluster"].tolist()  # ties keep the LOWER index
+    # semantic_dedup end-to-end parity across assignment modes
+    from rustiflow_spark.operators.dedup import semantic_dedup
+
+    a = semantic_dedup(
+        df, "vec_id", "embedding", cents, assign_mode="catalyst"
+    ).orderBy("vec_id").toPandas().fillna(-1)
+    b = semantic_dedup(
+        df, "vec_id", "embedding", cents, assign_mode="arrow"
+    ).orderBy("vec_id").toPandas().fillna(-1)
+    assert a.values.tolist() == b.values.tolist()
