@@ -2488,6 +2488,89 @@ LEFT JOIN tri USING (doc_id)
 """
 
 
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (operators/dsir.py; Xie et al. 2023):
+    raw corpus = all documents, target = the lang='en' subset; hashed
+    unigram+bigram bag models with add-one smoothing over 256 buckets;
+    per-document importance score in the exact fixed-point linear-ratio
+    mode (one integral DECIMAL(38,0) division per bucket, md5 replay
+    hashing) so the oracle reproduces both corpus models, the 256-row
+    ratio table, and every document sum bit-for-bit. Production mode is
+    xxhash64 + the paper's log-ratio double sum (same plan shape).
+    Reference analog: none (north-rule data-selection component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.dsir import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        "doc_id",
+        "text",
+        n_buckets=256,
+        scale=1_000_000,
+        hash_fn="md5",
+        arithmetic="fixed",
+    )
+
+
+def _dsir_sql(n_buckets: int = 256, scale: int = 1_000_000) -> str:
+    hexparse = (
+        "("
+        + " + ".join(
+            f"CAST((strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) AS BIGINT)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        + ")"
+    )
+    b = n_buckets
+    return f"""
+WITH ws AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(trim(text), ' +'),
+                     t -> t <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(list_concat(
+           ws,
+           CASE WHEN len(ws) >= 2 THEN
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+           ELSE [] END)) AS g
+  FROM ws
+),
+gb AS (
+  SELECT doc_id, lang, {hexparse} % {b} AS bk
+  FROM (SELECT doc_id, lang, substr(md5(g), 1, 15) AS hx FROM grams)
+),
+rc AS (SELECT bk, count(*) AS cr FROM gb GROUP BY bk),
+tc AS (SELECT bk, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY bk),
+buckets AS (SELECT unnest(generate_series(0, {b - 1})) AS bk),
+cnt AS (
+  SELECT buckets.bk, coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM buckets LEFT JOIN rc USING (bk) LEFT JOIN tc USING (bk)
+),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt),
+ratios AS (
+  SELECT bk,
+         CAST((CAST(ct + 1 AS HUGEINT) * (nr + {b}) * {scale})
+              // (CAST(cr + 1 AS HUGEINT) * (nt + {b})) AS BIGINT) AS r
+  FROM cnt, tot
+),
+scored AS (
+  SELECT gb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(r) AS BIGINT) AS dsir_score
+  FROM gb JOIN ratios ON ratios.bk = gb.bk
+  GROUP BY gb.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       CAST(coalesce(s.dsir_score, 0) AS BIGINT) AS dsir_score
+FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/encoding.py robust_scale):
     (x - median) / MAD over events.value by event_type, with the LOWER
@@ -7087,10 +7170,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_jaccard": q_neardup_jaccard,
         "salted_stats": q_salted_stats,
         "session_features_split": q_session_features_split,
-        # -- new: SemDeDup + token-span dedup + Gopher repetition --
+        # -- new: SemDeDup + token-span dedup + Gopher repetition + DSIR --
         "semantic_dedup": q_semantic_dedup,
         "dup_token_spans": q_dup_token_spans,
         "repetition_stats": q_repetition_stats,
+        "dsir_weights": q_dsir,
         # -- new this round: the three previously value-unverified layouts --
         "flow_basic": q_flow_basic,
         "flow_cidds": q_flow_cidds,
@@ -7132,11 +7216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- carried head: the TCP-lifecycle + schema-superset contracts --
         "flow_cic_udp": q_flow_cic_udp,
         "flow_rustiflow203": q_flow_rustiflow203,
-        "flow_tcp_rst": q_flow_tcp_rst,
         # -- pushed past the ~50-entry driver window this round (all
         #    driver-green in r02-r04 and strict-verified every session;
         #    session_features' oracle hash is still in-window via its
         #    catalyst/split twins, which share the same expected output) --
+        "flow_tcp_rst": q_flow_tcp_rst,
         "flow_tcp_fin": q_flow_tcp_fin,
         "flow_od_modules": q_flow_od_modules,
         "flow_scan_close": q_flow_scan_close,
@@ -7304,4 +7388,5 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _semantic_dedup_sql(),
         "dup_token_spans": _dup_token_spans_sql(),
         "repetition_stats": _REPETITION_SQL,
+        "dsir_weights": _dsir_sql(),
     }

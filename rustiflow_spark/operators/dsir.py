@@ -1,0 +1,182 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+Score every raw-corpus document by how much more likely its hashed
+n-gram bag is under the TARGET distribution (a small high-quality
+corpus) than under the RAW distribution, then keep the top-scoring
+documents. The published estimator:
+
+    log w(x) = sum_{positions i} [ log p_hat(b_i) - log q_hat(b_i) ]
+
+with p_hat/q_hat add-one-smoothed hashed-bigram unigram models over B
+buckets. Both models reduce to ONE tiny (B-row) count table per corpus,
+so at 100 TB the whole fit is two map-side-combined groupBys and the
+scoring pass is a broadcast join of a B-row ratio table against the
+exploded grams — no shuffle wider than B rows ever happens.
+
+arithmetic='log' (production): the paper's log-ratio sum in double —
+fast, but ln() is transcendental so cross-engine bit-equality is not
+guaranteed. arithmetic='fixed' (oracle mode): the repo's exact
+fixed-point surrogate — per-bucket LINEAR ratio
+
+    r_b = (ct_b + 1) * (Nr + B) * scale  div  (cr_b + 1) * (Nt + B)
+
+(one integral division in DECIMAL(38,0), truncation toward zero on both
+engines), and the document score is the exact integer sum of its
+positions' r_b. Monotone per feature in the same direction as the log
+ratio; same convention as operators/retrieval.py's linear-idf mode.
+
+Reference analog: none (north-rule training-data selection component).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _gram_buckets(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int, hash_fn: str
+) -> DataFrame:
+    """(id, bucket) — one row per unigram AND bigram position of the
+    whitespace word sequence, hashed into B buckets. Word split matches
+    repetition_stats (trim + ' +', empties dropped)."""
+    ws = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r" +"), lambda w: w != ""
+        ).alias("__ws"),
+    )
+    # NOTE sequence(1, 0) is a DESCENDING two-element sequence in Spark,
+    # not empty — docs under 2 words must take the empty-array branch
+    grams = ws.select(
+        "__id",
+        F.explode(
+            F.concat(
+                F.col("__ws"),
+                F.expr(
+                    "CASE WHEN size(__ws) >= 2 THEN"
+                    " transform(sequence(1, size(__ws) - 1),"
+                    " i -> array_join(slice(__ws, i, 2), ' '))"
+                    " ELSE CAST(array() AS array<string>) END"
+                ),
+            )
+        ).alias("__g"),
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("__g")
+    elif hash_fn == "md5":
+        h = F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast("long")
+    else:
+        raise ValueError(f"dsir: unknown hash_fn {hash_fn!r}")
+    return grams.select("__id", F.pmod(h, F.lit(n_buckets)).alias("__b"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+    hash_fn: str = "xxhash64",
+    arithmetic: str = "log",
+) -> DataFrame:
+    """Per-raw-document DSIR importance score.
+
+    Output: (id_col, n_feats, dsir_score) where n_feats is the document's
+    gram-position count and dsir_score is the log-ratio sum (double,
+    arithmetic='log') or the exact fixed-point linear-ratio sum (bigint,
+    arithmetic='fixed'; each bucket ratio pre-scaled by `scale`).
+    Documents with zero grams score 0.
+
+    Plan shape: target + raw each contribute one explode -> groupBy(B)
+    count (map-side combinable, B-bounded output); the per-bucket ratio
+    table (B rows) broadcasts into the scoring join; the final per-doc
+    sum is the only data-sized aggregation. Smoothing is add-one over
+    the B buckets, so EVERY bucket has a defined ratio — unseen grams
+    fall in a bucket whose counts are just smaller, never a special
+    case.
+    """
+    if arithmetic not in ("log", "fixed"):
+        raise ValueError(f"dsir: unknown arithmetic {arithmetic!r}")
+    sc = raw.sparkSession.sparkContext
+    # explode blowup ~2x words per row + per-gram hashing: spread a
+    # compressed narrow scan BEFORE the per-row work (scan partitions are
+    # sized by COMPRESSED bytes; no-op at real scale)
+    if raw.rdd.getNumPartitions() < sc.defaultParallelism:
+        raw = raw.repartition(sc.defaultParallelism)
+    rg = _gram_buckets(raw, id_col, text_col, n_buckets, hash_fn)
+    tg = _gram_buckets(target, id_col, text_col, n_buckets, hash_fn)
+    rc = rg.groupBy("__b").agg(F.count("*").alias("__cr"))
+    tc = tg.groupBy("__b").agg(F.count("*").alias("__ct"))
+    buckets = raw.sparkSession.range(n_buckets).select(
+        F.col("id").alias("__b")
+    )
+    ratios = (
+        buckets.join(rc, "__b", "left")
+        .join(tc, "__b", "left")
+        .select(
+            "__b",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+    )
+    # corpus totals from the B-row tables (tiny re-aggregation, no raw
+    # rescan) attached by a B x broadcast(1-row) crossJoin — allowlisted
+    # in the plan audit like temperature_mix/tfidf's single-row totals;
+    # the corpus-sized gram side only ever meets a broadcast HASH join
+    tot = ratios.agg(
+        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
+    )
+    ratios = ratios.crossJoin(F.broadcast(tot))
+    if arithmetic == "log":
+        ratio = F.log(
+            ((F.col("__ct") + 1) * (F.col("__nr") + n_buckets)).cast("double")
+        ) - F.log(
+            ((F.col("__cr") + 1) * (F.col("__nt") + n_buckets)).cast("double")
+        )
+    else:
+        # integral division with truncation toward zero on both engines:
+        # Spark `div` on decimals == DuckDB `//` (CLAUDE.md convention).
+        # |num| <= (Nt+1) * (Nr+B) * scale — DECIMAL(38,0) holds it to
+        # ~10^15 grams per corpus at scale=10^6
+        ratio = F.expr(
+            f"CAST((CAST(__ct + 1 AS DECIMAL(38,0)) * (__nr + {n_buckets})"
+            f" * {int(scale)}) div"
+            f" (CAST(__cr + 1 AS DECIMAL(38,0)) * (__nt + {n_buckets}))"
+            " AS BIGINT)"
+        )
+    ratios = ratios.select("__b", ratio.alias("__r"))
+    scored = (
+        rg.join(F.broadcast(ratios), "__b")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_feats"), F.sum("__r").alias("dsir_score"))
+    )
+    ids = raw.select(F.col(id_col).alias("__id"))
+    out_score = (
+        F.coalesce("dsir_score", F.lit(0)).cast("long")
+        if arithmetic == "fixed"
+        else F.coalesce("dsir_score", F.lit(0.0))
+    )
+    return ids.join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        out_score.alias("dsir_score"),
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    **kwargs,
+) -> DataFrame:
+    """Top-k raw documents by DSIR score (deterministic: score desc, id
+    asc — the resampling variant adds Gumbel noise, which is float-only;
+    compose dsir_weights with sampling.quota_sample for a stochastic-but-
+    deterministic draw). Distributed top-k (TakeOrderedAndProject), never
+    a global sort."""
+    w = dsir_weights(raw, target, id_col, text_col, **kwargs)
+    return w.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(k)

@@ -1053,3 +1053,38 @@ def test_ivf_assign_arrow_matches_catalyst_including_ties(spark):
         df, "vec_id", "embedding", cents, assign_mode="arrow"
     ).orderBy("vec_id").toPandas().fillna(-1)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_dsir_upweights_target_like_documents(spark):
+    from rustiflow_spark.operators.dsir import dsir_select, dsir_weights
+
+    rng = np.random.RandomState(13)
+    tech = [f"tech{i}" for i in range(30)]
+    chat = [f"chat{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        pool = tech if i < 30 else chat
+        words = [pool[j] for j in rng.randint(0, 30, 40)]
+        rows.append((i, " ".join(words)))
+    rows.append((98, ""))          # empty doc: 0 feats, score 0
+    rows.append((99, "   "))       # whitespace only
+    raw = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    target = raw.where("doc_id < 10")  # tech-flavored target
+    for arith in ("fixed", "log"):
+        w = dsir_weights(
+            raw, target, "doc_id", "text",
+            n_buckets=512, hash_fn="xxhash64", arithmetic=arith,
+        ).toPandas().set_index("doc_id")
+        tech_scores = w.loc[range(30), "dsir_score"]
+        chat_scores = w.loc[range(30, 60), "dsir_score"]
+        # per-position normalization isn't applied, so compare per-feat
+        tech_rate = (tech_scores / w.loc[range(30), "n_feats"]).mean()
+        chat_rate = (chat_scores / w.loc[range(30, 60), "n_feats"]).mean()
+        assert tech_rate > chat_rate, arith
+        assert w.loc[98, "n_feats"] == 0 and w.loc[98, "dsir_score"] == 0
+        assert w.loc[99, "n_feats"] == 0
+    top = dsir_select(
+        raw, target, "doc_id", "text", k=10,
+        n_buckets=512, hash_fn="xxhash64", arithmetic="fixed",
+    ).toPandas()
+    assert set(top["doc_id"]) <= set(range(30)), "top-k is tech-flavored"

@@ -64,6 +64,11 @@ ALLOW = {
     # corpus-sized side only sees explode + pushed isin filter
     "tfidf_search": {"bnlj"},
     "bm25_search": {"bnlj"},
+    # B-row ratio table x broadcast(single-row corpus totals): Catalyst
+    # folds the constant join key to a trivial condition and plans BNL
+    # over 256 x 1 rows; the corpus-sized gram side only ever meets a
+    # broadcast HASH join on the bucket id
+    "dsir_weights": {"bnlj"},
 }
 
 _PY_STAGES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython")
