@@ -80,6 +80,8 @@ def main() -> None:
     for name in [
         "point_in_time", "target_encode_split", "merge_upsert", "scd2",
         "bm25_search", "table_profile", "quota_sample", "random_projection",
+        "semantic_dedup", "dup_token_spans", "repetition_stats",
+        "dsir_weights",
     ]:
         fn = qmap[name]
         best = float("inf")

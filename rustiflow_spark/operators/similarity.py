@@ -205,6 +205,12 @@ def ivf_assign(
     q = df.select(
         F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
     )
+    return _assign_qe(q, centroids, mode)
+
+
+def _assign_qe(q: DataFrame, centroids: np.ndarray, mode: str) -> DataFrame:
+    """ivf_assign's core over an already-quantized (__id, __qe) frame —
+    shared with ivf_fit's Lloyd passes."""
     if mode == "catalyst":
         return (
             q.withColumn("__cents", _cent_lit(centroids))
@@ -252,6 +258,7 @@ def ivf_fit(
     seed_ids: list[int] | None = None,
     sample_fraction: float | None = None,
     sample_seed: int = 7,
+    assign_mode: str = "catalyst",
 ) -> np.ndarray:
     """Train an IVF codebook: (n_lists, d) int64 centroids in QUANT space.
 
@@ -269,6 +276,12 @@ def ivf_fit(
     seed_ids) are drawn from the sample, so seed_ids must survive it —
     prefer the default seeding with sampled fits. None = full-corpus fit
     (the bit-replayable oracle default).
+
+    assign_mode: 'catalyst' (oracle default) or 'arrow' — at SemDeDup-
+    sized K the Catalyst assignment embeds a K x d literal array in the
+    plan and pays K array aggregates per row; the Arrow matmul is
+    bit-identical (see ivf_assign) and turns each Lloyd pass into one
+    BLAS call per batch. Codebooks from the two modes are identical.
     """
     q = corpus.select(
         F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
@@ -276,7 +289,16 @@ def ivf_fit(
     if sample_fraction is not None:
         if not 0.0 < sample_fraction <= 1.0:
             raise ValueError(f"sample_fraction must be in (0, 1], got {sample_fraction}")
-        q = q.sample(fraction=sample_fraction, seed=sample_seed)
+        # deterministic hash sampling by id, NOT df.sample(): Bernoulli
+        # sample() draws per-PARTITION randoms, so the training set (and
+        # therefore the codebook) would change with the scan's partition
+        # count — an 8-core and a 32-core run of the same job would fit
+        # different centroids (caught by a two-parallelism checksum
+        # mismatch). The hash draw is partition- and engine-invariant.
+        q = q.where(
+            F.pmod(F.xxhash64("__id", F.lit(int(sample_seed))), 1_000_000)
+            < int(sample_fraction * 1_000_000)
+        )
     # every Lloyd iteration re-reads the training set: persist the
     # quantized projection once instead of re-scanning the source per pass
     # (released in the finally even when seeding or a pass fails)
@@ -297,13 +319,9 @@ def ivf_fit(
             )
         cents = np.array([r["__qe"] for r in seeds], dtype=np.int64)
         for _ in range(iters):
-            assigned = (
-                q.withColumn("__cents", _cent_lit(cents))
-                .withColumn("__dists", _ivf_dists_expr("__qe"))
-                .select(
-                    _ivf_cluster_expr("__dists").alias("__cl"),
-                    F.posexplode("__qe").alias("__pos", "__val"),
-                )
+            assigned = _assign_qe(q, cents, assign_mode).select(
+                F.col("cluster").alias("__cl"),
+                F.posexplode("__qe").alias("__pos", "__val"),
             )
             stats = (
                 assigned.groupBy("__cl", "__pos")

@@ -172,6 +172,14 @@ def test_ann_ivf(spark):
     # corpus must still probe to >=0.9 recall on separated clusters
     cs = ivf_fit(df, n_lists=4, iters=2, sample_fraction=0.5, sample_seed=11)
     assert cs.shape == c1.shape
+    # the sample is a deterministic hash draw, so the SAMPLED codebook is
+    # partition-invariant too (Bernoulli .sample() would not be: its
+    # per-partition RNG changes the training set with the partition count)
+    cs2 = ivf_fit(
+        df.repartition(7), n_lists=4, iters=2,
+        sample_fraction=0.5, sample_seed=11,
+    )
+    assert (cs == cs2).all(), "sampled fit must be partition-invariant"
     approx_s = ann_topk_ivf(
         df, queries, k=5, n_lists=4, nprobe=2, centroids=cs
     ).toPandas()
@@ -1088,3 +1096,52 @@ def test_dsir_upweights_target_like_documents(spark):
         n_buckets=512, hash_fn="xxhash64", arithmetic="fixed",
     ).toPandas()
     assert set(top["doc_id"]) <= set(range(30)), "top-k is tech-flavored"
+
+
+def test_semantic_dedup_pair_modes_identical(spark):
+    """The per-cluster Gram-matrix (arrow) pairing must produce verdicts
+    bit-identical to the Catalyst self-join — including EXACT threshold
+    equality, which the float prefilter must route through the big-int
+    path: qe=[1,1,0,0] vs [0,1,1,0] has cos^2 == 1/4 exactly, so tau=1/2
+    passes by the >= on equality."""
+    from rustiflow_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.RandomState(17)
+    rows = [(i, rng.randn(4).tolist()) for i in range(40)]
+    # boundary pair: quantizes to [1024,1024,0,0] / [0,1024,1024,0]
+    rows.append((200, [1.0, 1.0, 0.0, 0.0]))
+    rows.append((201, [0.0, 1.0, 1.0, 0.0]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    # a single cluster: every pair is a candidate
+    cents = np.zeros((1, 4), dtype=np.int64)
+    for tau in [(1, 2), (4, 5)]:
+        a = semantic_dedup(
+            df, "vec_id", "embedding", cents, *tau, pair_mode="catalyst"
+        ).orderBy("vec_id").toPandas().fillna(-1)
+        b = semantic_dedup(
+            df, "vec_id", "embedding", cents, *tau, pair_mode="arrow"
+        ).orderBy("vec_id").toPandas().fillna(-1)
+        assert a.values.tolist() == b.values.tolist(), tau
+    eq = semantic_dedup(
+        df.where("vec_id >= 200"), "vec_id", "embedding", cents, 1, 2,
+        pair_mode="arrow",
+    ).toPandas().set_index("vec_id")
+    assert bool(eq.loc[201, "is_dup"]) and eq.loc[201, "dup_of"] == 200
+
+
+def test_ivf_fit_assign_modes_identical(spark):
+    from rustiflow_spark.operators.similarity import ivf_fit
+
+    rng = np.random.RandomState(23)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(96, dtype="int64"),
+            "embedding": [rng.randn(8).tolist() for _ in range(96)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    c1 = ivf_fit(df, n_lists=4, iters=2, seed_ids=[0, 1, 2, 3])
+    c2 = ivf_fit(
+        df, n_lists=4, iters=2, seed_ids=[0, 1, 2, 3], assign_mode="arrow"
+    )
+    assert (c1 == c2).all()

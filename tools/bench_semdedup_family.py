@@ -78,15 +78,17 @@ def main() -> None:
     cents = ivf_fit(
         emb, n_lists=512, iters=2,
         seed_ids=None, sample_fraction=0.01, sample_seed=7,
+        assign_mode="arrow",
     )
     fit_s = time.time() - t0
-    print(json.dumps({"op": "ivf_fit(K=512,1% sample)", "sec": round(fit_s, 2),
-                      "cores": CORES}), flush=True)
+    print(json.dumps({"op": "ivf_fit(K=512,1% sample,arrow)",
+                      "sec": round(fit_s, 2), "cores": CORES}), flush=True)
     timed(
-        "semantic_dedup(K=512,arrow)",
+        "semantic_dedup(K=512,arrow+arrow)",
         semantic_dedup(
             emb, "vec_id", "embedding", cents,
-            tau_num=4, tau_den=5, max_cluster_size=5000, assign_mode="arrow",
+            tau_num=4, tau_den=5, max_cluster_size=5000,
+            assign_mode="arrow", pair_mode="arrow",
         ),
         n_vecs,
     )
