@@ -2406,6 +2406,90 @@ SELECT d.doc_id,
 FROM docs d LEFT JOIN cover c USING (doc_id)"""
 
 
+def q_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE side of ExactSubstr dedup (operators/dedup.py
+    remove_duplicate_token_spans): tokens covered by a non-canonical
+    duplicate 5-window are dropped; the earliest (id, start) occurrence
+    of each gram survives. The rewritten corpus itself is verified via
+    the position-weighted integer checksum (arrays-in-contracts
+    convention, same as bpe_encode) plus kept/removed counts — any
+    divergence at any position of any document flips the hash."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.dedup import remove_duplicate_token_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), w -> CAST(length(w) * 31 + ascii(w) AS INT))"
+        ).alias("tokens"),
+    )
+    out = remove_duplicate_token_spans(
+        toks, "doc_id", "tokens", window=5, min_count=2, use_hash=False
+    )
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_removed",
+        F.expr(
+            "CASE WHEN size(tokens) = 0 THEN 0 ELSE"
+            " aggregate(transform(sequence(1, size(tokens)),"
+            " i -> CAST(i AS BIGINT) * element_at(tokens, i)),"
+            " 0L, (s, x) -> s + x) % 1000000007 END"
+        ).alias("checksum"),
+    )
+
+
+def _dedup_spans_rewrite_sql(window: int = 5, min_count: int = 2) -> str:
+    w = window
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> CAST(length(t) * 31 + ascii(t) AS INTEGER)) AS tk
+  FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS start,
+         array_to_string(list_slice(tk, i, i + {w - 1}), ',') AS gk
+  FROM toks, unnest(generate_series(1, len(tk) - {w - 1})) AS t(i)
+  WHERE len(tk) >= {w}
+),
+dup AS (SELECT gk FROM spans GROUP BY gk HAVING count(*) >= {min_count}),
+ds AS (SELECT s.doc_id, s.start, s.gk FROM spans s JOIN dup USING (gk)),
+fo AS (
+  SELECT gk, doc_id AS fd, start AS fs FROM (
+    SELECT gk, doc_id, start,
+           row_number() OVER (PARTITION BY gk ORDER BY doc_id, start) AS rn
+    FROM ds
+  ) WHERE rn = 1
+),
+covered AS (
+  SELECT DISTINCT ds.doc_id, ds.start + j AS pos
+  FROM ds JOIN fo USING (gk), unnest(generate_series(0, {w - 1})) AS t(j)
+  WHERE NOT (ds.doc_id = fo.fd AND ds.start = fo.fs)
+),
+pos AS (
+  SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM toks, unnest(generate_series(1, len(tk))) AS t(i)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY p.pos) AS ni
+  FROM pos p ANTI JOIN covered c ON c.doc_id = p.doc_id AND c.pos = p.pos
+),
+chk AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_clean,
+         CAST(sum(CAST(ni AS BIGINT) * tok) % 1000000007 AS BIGINT) AS checksum
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tk) AS BIGINT) AS n_tok,
+       CAST(len(t.tk) - coalesce(c.n_clean, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(c.checksum, 0) AS BIGINT) AS checksum
+FROM toks t LEFT JOIN chk c USING (doc_id)"""
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition quality filters (operators/textstats.py
     repetition_stats; Rae et al. 2021 appendix A1.1, word-gram subset):
@@ -7173,6 +7257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new: SemDeDup + token-span dedup + Gopher repetition + DSIR --
         "semantic_dedup": q_semantic_dedup,
         "dup_token_spans": q_dup_token_spans,
+        "dedup_spans_rewrite": q_dedup_spans_rewrite,
         "repetition_stats": q_repetition_stats,
         "dsir_weights": q_dsir,
         # -- new this round: the three previously value-unverified layouts --
@@ -7213,13 +7298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "centroids": q_centroids,
         "ffill_stream": q_ffill_stream,
-        # -- carried head: the TCP-lifecycle + schema-superset contracts --
-        "flow_cic_udp": q_flow_cic_udp,
+        # -- carried head: the widest schema contract (all 203 columns) --
         "flow_rustiflow203": q_flow_rustiflow203,
         # -- pushed past the ~50-entry driver window this round (all
         #    driver-green in r02-r04 and strict-verified every session;
         #    session_features' oracle hash is still in-window via its
         #    catalyst/split twins, which share the same expected output) --
+        "flow_cic_udp": q_flow_cic_udp,
         "flow_tcp_rst": q_flow_tcp_rst,
         "flow_tcp_fin": q_flow_tcp_fin,
         "flow_od_modules": q_flow_od_modules,
@@ -7387,6 +7472,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam": _Q_DECONTAM_SQL,
         "semantic_dedup": _semantic_dedup_sql(),
         "dup_token_spans": _dup_token_spans_sql(),
+        "dedup_spans_rewrite": _dedup_spans_rewrite_sql(),
         "repetition_stats": _REPETITION_SQL,
         "dsir_weights": _dsir_sql(),
     }

@@ -962,3 +962,101 @@ def semantic_dedup(
         F.col("dup_of").isNotNull().alias("is_dup"),
         F.col("dup_of").cast("long").alias("dup_of"),
     )
+
+
+def remove_duplicate_token_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    window: int = 16,
+    min_count: int = 2,
+    use_hash: bool = True,
+) -> DataFrame:
+    """The REWRITE side of ExactSubstr dedup (duplicate_token_spans is
+    the detector): drop every token covered by a NON-CANONICAL duplicate
+    window, where the canonical occurrence of a gram is its first in
+    (id, start) order — so exactly the earliest copy of each duplicated
+    span survives. Single-pass semantics: canonicity is decided on the
+    ORIGINAL corpus (a canonical window whose positions are swallowed by
+    a different gram's non-canonical window is still removed there);
+    documented and deterministic.
+
+    Output: (id_col, tokens_col rewritten, n_tok, n_removed).
+
+    Plan: the detector's gram spans + the duplicate tail, then ONE
+    map-side-combined min(struct(id, start)) per gram picks canonicals —
+    deliberately an aggregate rather than a rank window, so a boilerplate
+    mega-gram (millions of occurrences) costs a combinable min, not a
+    single-reducer sort partition. Covered positions explode from the
+    non-canonical spans (<= window rows each), and the rewrite is a
+    posexplode -> broadcast-unfriendly but key-spread left_anti join ->
+    sorted re-assembly bounded by each doc's own length.
+
+    Reference analog: none (north-rule tokens-payload dedup component;
+    Lee et al. 2021's ExactSubstr cut re-expressed relationally).
+    """
+    if window <= 0 or min_count < 2:
+        raise ValueError(
+            "remove_duplicate_token_spans: window >= 1, min_count >= 2"
+        )
+    sc = df.sparkSession.sparkContext
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t")
+    )
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    gram = f"array_join(slice(__t, s, {window}), ',')"
+    key = f"xxhash64({gram})" if use_hash else gram
+    spans = base.where(F.size("__t") >= window).select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(__t) - {window - 1}),"
+                f" s -> named_struct('start', s, 'gk', {key}))"
+            )
+        ).alias("w"),
+    ).select("__id", F.col("w.start").alias("start"), F.col("w.gk").alias("gk"))
+    dup_spans = spans.join(
+        spans.groupBy("gk")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("gk"),
+        "gk",
+    )
+    first_occ = dup_spans.groupBy("gk").agg(
+        F.min(F.struct("__id", "start")).alias("__fo")
+    )
+    non_canonical = dup_spans.join(first_occ, "gk").where(
+        F.struct("__id", "start") != F.col("__fo")
+    )
+    covered = (
+        non_canonical.select(
+            "__id",
+            F.explode(
+                F.expr(f"sequence(start, start + {window - 1})")
+            ).alias("__pos"),
+        )
+        .groupBy("__id", "__pos")
+        .agg(F.lit(1).alias("__x"))
+        .drop("__x")
+    )
+    toks = base.select(
+        "__id", F.posexplode("__t").alias("__pos0", "__tok")
+    ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__tok")
+    kept = toks.join(covered, ["__id", "__pos"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(named_struct("
+            "'p', __pos, 't', __tok))), s -> s.t)"
+        ).alias("__clean")
+    )
+    return base.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(
+            "__clean", F.expr("CAST(array() AS array<int>)")
+        ).alias(tokens_col),
+        F.size("__t").cast("long").alias("n_tok"),
+        (F.size("__t") - F.coalesce(F.size("__clean"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -1145,3 +1145,45 @@ def test_ivf_fit_assign_modes_identical(spark):
         df, n_lists=4, iters=2, seed_ids=[0, 1, 2, 3], assign_mode="arrow"
     )
     assert (c1 == c2).all()
+
+
+def test_remove_duplicate_token_spans_keeps_first_occurrence(spark):
+    from rustiflow_spark.operators.dedup import remove_duplicate_token_spans
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "tokens": [
+                [1, 2, 3, 9, 9],   # canonical home of gram (1,2,3)
+                [7, 1, 2, 3, 8],   # non-canonical copy -> drop pos 2..4
+                [5, 6],            # shorter than the window: untouched
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        remove_duplicate_token_spans(df, "doc_id", "tokens", window=3, min_count=2)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert [list(t) for t in out["tokens"]] == [[1, 2, 3, 9, 9], [7, 8], [5, 6]]
+    assert out["n_removed"].tolist() == [0, 3, 0]
+    assert out["n_tok"].tolist() == [5, 5, 2]
+    # a doc that is ONE big duplicated window of an earlier doc empties out
+    pdf2 = pd.DataFrame(
+        {"doc_id": [10, 11], "tokens": [[4, 4, 4], [4, 4, 4]]}
+    )
+    out2 = (
+        remove_duplicate_token_spans(
+            spark.createDataFrame(pdf2), "doc_id", "tokens", window=3, min_count=2
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert [list(t) for t in out2["tokens"]] == [[4, 4, 4], []]
+    assert out2["n_removed"].tolist() == [0, 3]
+    # hash and string keying agree
+    alt = remove_duplicate_token_spans(
+        df, "doc_id", "tokens", window=3, min_count=2, use_hash=False
+    ).orderBy("doc_id").toPandas()
+    assert [list(t) for t in alt["tokens"]] == [list(t) for t in out["tokens"]]
