@@ -564,3 +564,184 @@ def random_project(
         .withColumn(out_col, F.expr(arr))
         .drop("__qv")
     )
+
+
+# --- Product quantization (PQ): memory-bound ANN codes --------------------
+# The 100-TB ANN memory story: a 64-dim float32 embedding is 256 bytes; its
+# PQ code is m bytes (m subspace codebook indices). pq_fit runs the SAME
+# integer-quantized Lloyd as ivf_fit once per subspace slice, so codebooks
+# inherit every exactness property (order-independent integer recompute,
+# lowest-index tie-breaks, deterministic id-hash sampling) and the whole
+# fit/encode/score chain is bit-replayable by a SQL oracle.
+
+
+def pq_fit(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 2,
+    seed_ids: list[int] | None = None,
+    sample_fraction: float | None = None,
+    sample_seed: int = 7,
+    assign_mode: str = "catalyst",
+) -> np.ndarray:
+    """(m, k_codes, d/m) int64 codebooks in QUANT space — one ivf_fit per
+    subspace slice. m independent fits keep the oracle replay structurally
+    identical to the IVF one; at scale pair with sample_fraction +
+    assign_mode='arrow' exactly like ivf_fit."""
+    d = len(corpus.select(emb_col).first()[0])
+    if d % m != 0:
+        raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("__sid"),
+            F.expr(f"slice(`{emb_col}`, {j * dsub + 1}, {dsub})").alias("__sub"),
+        )
+        books.append(
+            ivf_fit(
+                sub, "__sid", "__sub", n_lists=k_codes, iters=iters,
+                seed_ids=seed_ids, sample_fraction=sample_fraction,
+                sample_seed=sample_seed, assign_mode=assign_mode,
+            )
+        )
+    return np.stack(books)
+
+
+def _pq_code_expr(qe_col: str, book: np.ndarray, j: int, dsub: int):
+    """0-based nearest-centroid index of subspace j's slice of qe_col,
+    ties to the lowest code (array_position first-min, the ivf_assign
+    convention)."""
+    cents = ", ".join(
+        "array(" + ", ".join(str(int(x)) + "L" for x in row) + ")"
+        for row in book
+    )
+    sub = f"slice({qe_col}, {j * dsub + 1}, {dsub})"
+    dists = (
+        f"transform(array({cents}), c -> aggregate(zip_with({sub}, c,"
+        " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"
+    )
+    return F.expr(
+        f"CAST(array_position({dists}, array_min({dists})) AS INT) - 1"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    mode: str = "catalyst",
+) -> DataFrame:
+    """(id, codes array<int> of length m). mode='catalyst' is the
+    zero-Python oracle path; 'arrow' does m small exact-float64 matmuls
+    per batch (the ivf_assign argument — every product integral and
+    < 2^53, np.argmin first-min == array_position tie-break)."""
+    m, k_codes, dsub = codebooks.shape
+    q = corpus.select(
+        F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
+    )
+    if mode == "catalyst":
+        return q.select(
+            "__id",
+            F.array(
+                *[_pq_code_expr("__qe", codebooks[j], j, dsub) for j in range(m)]
+            ).alias("codes"),
+        )
+    if mode != "arrow":
+        raise ValueError(f"pq_encode: unknown mode {mode!r}")
+    C = codebooks.astype(np.float64)
+    cn = (C * C).sum(axis=2)  # (m, k)
+    cmax = float(np.abs(C).max()) if C.size else 0.0
+
+    def encode(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                pdf["codes"] = []
+                yield pdf[["__id", "codes"]]
+                continue
+            Q = np.asarray(pdf["__qe"].tolist(), dtype=np.float64)
+            qmax = float(np.abs(Q).max()) if Q.size else 0.0
+            if 2.0 * dsub * max(qmax * cmax, cmax * cmax) >= 2.0**53:
+                raise ValueError(
+                    "pq_encode(arrow): quantized magnitudes overflow the"
+                    " exact-float64 bound; lower the quantization scale"
+                )
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Qj = Q[:, j * dsub : (j + 1) * dsub]
+                scores = cn[j] - 2.0 * (Qj @ C[j].T)
+                codes[:, j] = np.argmin(scores, axis=1)
+            out = pdf[["__id"]].copy()
+            out["codes"] = list(codes)
+            yield out
+
+    return q.mapInPandas(encode, schema="__id long, codes array<int>").select(
+        F.col("__id"), F.col("codes")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 10,
+    encode_mode: str = "catalyst",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes its
+    m x k_codes integer distance table (exact squared L2 of the query
+    slice to every centroid), broadcasts it, and every corpus code pays
+    m array lookups + an integer sum — the classic memory-bound ADC scan,
+    byte-sized codes instead of float vectors. Map-only over the code
+    table (no shuffle of the corpus), distributed top-k via
+    TakeOrderedAndProject. Exact integers end-to-end, so ranking (dist
+    asc, neighbor asc) replays identically in SQL.
+
+    Pass `codes` to reuse a pre-encoded corpus (the deployment shape: the
+    code table is written once and scanned per query batch)."""
+    m, k_codes, dsub = codebooks.shape
+    if codes is None:
+        codes = pq_encode(corpus, codebooks, id_col, emb_col, mode=encode_mode)
+    tables = []
+    for j in range(m):
+        cents = ", ".join(
+            "array(" + ", ".join(str(int(x)) + "L" for x in row) + ")"
+            for row in codebooks[j]
+        )
+        sub = f"slice(__qe, {j * dsub + 1}, {dsub})"
+        tables.append(
+            f"transform(array({cents}), c -> aggregate(zip_with({sub}, c,"
+            " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"
+        )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"), _quant_expr(emb_col).alias("__qe")
+    ).select(
+        "query_id", F.expr("array(" + ", ".join(tables) + ")").alias("__dt")
+    )
+    cand = F.broadcast(qd).join(
+        codes.select(F.col("__id").alias("neighbor_id"), "codes"),
+        F.col("query_id") != F.col("neighbor_id"),
+    )
+    adc = F.expr(
+        "aggregate(zip_with(codes, __dt,"
+        " (c, t) -> element_at(t, c + 1)), 0L, (acc, v) -> acc + v)"
+    )
+    ranked = (
+        cand.withColumn("adc_dist", adc)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("adc_dist"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.select("query_id", "rank", "neighbor_id", "adc_dist")

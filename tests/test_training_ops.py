@@ -1187,3 +1187,47 @@ def test_remove_duplicate_token_spans_keeps_first_occurrence(spark):
         df, "doc_id", "tokens", window=3, min_count=2, use_hash=False
     ).orderBy("doc_id").toPandas()
     assert [list(t) for t in alt["tokens"]] == [list(t) for t in out["tokens"]]
+
+
+def test_pq_fit_encode_adc(spark):
+    from rustiflow_spark.operators.similarity import (
+        brute_force_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_fit,
+    )
+
+    rng = np.random.RandomState(31)
+    centers = rng.randn(4, 16) * 4
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(15):
+            rows.append((vid, (centers[c] + rng.randn(16) * 0.3).tolist()))
+            vid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    books = pq_fit(df, m=4, k_codes=8, iters=2, seed_ids=[0, 8, 16, 24, 32, 40, 48, 56])
+    assert books.shape == (4, 8, 4)
+    # encode modes bit-identical (argmin tie-break included)
+    cat = pq_encode(df, books, mode="catalyst").orderBy("__id").toPandas()
+    arr = pq_encode(df, books, mode="arrow").orderBy("__id").toPandas()
+    assert [list(c) for c in cat["codes"]] == [list(c) for c in arr["codes"]]
+    # ADC ranking: on separated clusters the nearest neighbors by ADC
+    # should come from the query's own cluster most of the time
+    queries = df.filter(F.col("vec_id").isin([0, 16, 31, 46]))
+    adc = pq_adc_topk(df, queries, books, k=5).toPandas()
+    assert len(adc) == 4 * 5
+    exact = brute_force_topk(df, queries, k=5).toPandas()
+    recall = 0.0
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(adc[adc["query_id"] == q]["neighbor_id"])
+        recall += len(e & a) / len(e)
+    recall /= exact["query_id"].nunique()
+    assert recall >= 0.5, f"PQ-ADC recall too low on separated clusters: {recall}"
+    # pre-encoded reuse path returns the same ranking
+    codes = pq_encode(df, books, mode="arrow")
+    adc2 = pq_adc_topk(df, queries, books, k=5, codes=codes).toPandas()
+    a1 = adc.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    a2 = adc2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a1.values.tolist() == a2.values.tolist()

@@ -69,6 +69,11 @@ ALLOW = {
     # over 256 x 1 rows; the corpus-sized gram side only ever meets a
     # broadcast HASH join on the bucket id
     "dsir_weights": {"bnlj"},
+    # ADC is BY DESIGN a map-only scan of the byte-code table with the
+    # query batch broadcast (memory-bound ANN): broadcast(queries) x
+    # codes with a != condition plans as BNL; each pair costs m array
+    # lookups, never a d-dim dot. Compose with IVF lists to prune.
+    "pq_adc": {"bnlj"},
 }
 
 _PY_STAGES = ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython")
