@@ -693,6 +693,8 @@ def pq_adc_topk(
     k: int = 10,
     encode_mode: str = "catalyst",
     codes: DataFrame | None = None,
+    ivf_centroids: np.ndarray | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: each query precomputes its
     m x k_codes integer distance table (exact squared L2 of the query
@@ -704,10 +706,42 @@ def pq_adc_topk(
     asc, neighbor asc) replays identically in SQL.
 
     Pass `codes` to reuse a pre-encoded corpus (the deployment shape: the
-    code table is written once and scanned per query batch)."""
+    code table is written once and scanned per query batch).
+
+    ivf_centroids: IVF-PQ composition — prune the scan to each query's
+    nprobe nearest inverted lists (an ivf_fit codebook over the FULL
+    vectors) before ADC-scoring, turning the full-corpus scan into an
+    equi-join on the list id; with nprobe == n_lists this degrades
+    exactly to the full scan (equivalence pytest-asserted). The codes
+    table gains a `list_id` column computed by the same ivf_assign the
+    flat IVF path uses."""
     m, k_codes, dsub = codebooks.shape
     if codes is None:
         codes = pq_encode(corpus, codebooks, id_col, emb_col, mode=encode_mode)
+    if ivf_centroids is not None:
+        lists = ivf_assign(
+            corpus, id_col, emb_col, ivf_centroids, mode=encode_mode
+        ).select("__id", F.col("cluster").alias("list_id"))
+        codes = codes.join(lists, "__id")
+        qp = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                _quant_expr(emb_col).alias("__qe"),
+            )
+            .withColumn("__cents", _cent_lit(ivf_centroids))
+            .select(
+                "query_id",
+                F.posexplode(_ivf_dists_expr("__qe")).alias("list_id", "__ld"),
+            )
+        )
+        wp = Window.partitionBy("query_id").orderBy(
+            F.asc("__ld"), F.asc("list_id")
+        )
+        probes = (
+            qp.withColumn("__pr", F.row_number().over(wp))
+            .filter(F.col("__pr") <= nprobe)
+            .select("query_id", "list_id")
+        )
     tables = []
     for j in range(m):
         cents = ", ".join(
@@ -724,10 +758,22 @@ def pq_adc_topk(
     ).select(
         "query_id", F.expr("array(" + ", ".join(tables) + ")").alias("__dt")
     )
-    cand = F.broadcast(qd).join(
-        codes.select(F.col("__id").alias("neighbor_id"), "codes"),
-        F.col("query_id") != F.col("neighbor_id"),
-    )
+    if ivf_centroids is not None:
+        cand = (
+            F.broadcast(qd.join(probes, "query_id"))
+            .join(
+                codes.select(
+                    F.col("__id").alias("neighbor_id"), "codes", "list_id"
+                ),
+                "list_id",
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+        )
+    else:
+        cand = F.broadcast(qd).join(
+            codes.select(F.col("__id").alias("neighbor_id"), "codes"),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
     adc = F.expr(
         "aggregate(zip_with(codes, __dt,"
         " (c, t) -> element_at(t, c + 1)), 0L, (acc, v) -> acc + v)"

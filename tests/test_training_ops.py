@@ -1231,3 +1231,43 @@ def test_pq_fit_encode_adc(spark):
     a1 = adc.sort_values(["query_id", "rank"]).reset_index(drop=True)
     a2 = adc2.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a1.values.tolist() == a2.values.tolist()
+
+
+def test_ivf_pq_full_probe_equals_full_scan(spark):
+    """IVF-PQ with nprobe == n_lists must reproduce the full ADC scan
+    exactly (same candidates, same integer distances, same ranking);
+    with nprobe=1 on separated clusters it still finds the same top-1."""
+    from rustiflow_spark.operators.similarity import (
+        ivf_fit,
+        pq_adc_topk,
+        pq_fit,
+    )
+
+    rng = np.random.RandomState(37)
+    centers = rng.randn(4, 16) * 4
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(15):
+            rows.append((vid, (centers[c] + rng.randn(16) * 0.3).tolist()))
+            vid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    books = pq_fit(df, m=4, k_codes=8, iters=2, seed_ids=[0, 8, 16, 24, 32, 40, 48, 56])
+    ivf_c = ivf_fit(df, n_lists=4, iters=2, seed_ids=[0, 15, 30, 45])
+    queries = df.filter(F.col("vec_id").isin([0, 16, 31, 46]))
+    full = pq_adc_topk(df, queries, books, k=5).orderBy(
+        "query_id", "rank"
+    ).toPandas()
+    pruned_all = pq_adc_topk(
+        df, queries, books, k=5, ivf_centroids=ivf_c, nprobe=4
+    ).orderBy("query_id", "rank").toPandas()
+    assert full.values.tolist() == pruned_all.values.tolist()
+    pruned_1 = pq_adc_topk(
+        df, queries, books, k=5, ivf_centroids=ivf_c, nprobe=1
+    ).orderBy("query_id", "rank").toPandas()
+    for q in full["query_id"].unique():
+        t1_full = full[(full["query_id"] == q) & (full["rank"] == 1)]
+        t1_pr = pruned_1[(pruned_1["query_id"] == q) & (pruned_1["rank"] == 1)]
+        assert (
+            t1_full["neighbor_id"].iloc[0] == t1_pr["neighbor_id"].iloc[0]
+        ), f"query {q}: nprobe=1 lost the top-1 on separated clusters"

@@ -93,6 +93,27 @@ def main() -> None:
         n_vecs,
     )
 
+    # PQ production shape: 8 subspaces x 256 codes (64-dim -> 8 bytes per
+    # vector, 32x smaller than float32), sampled arrow fits, arrow encode,
+    # ADC scan for an 8-query batch
+    from rustiflow_spark.operators.similarity import pq_adc_topk, pq_fit
+
+    t0 = time.time()
+    books = pq_fit(
+        emb, m=8, k_codes=256, iters=2,
+        sample_fraction=0.05, assign_mode="arrow",
+    )
+    fit_s = time.time() - t0
+    print(json.dumps({"op": "pq_fit(m=8,k=256,5% sample,arrow)",
+                      "sec": round(fit_s, 2), "cores": CORES}), flush=True)
+    timed(
+        "pq_adc_topk(8 queries,arrow encode)",
+        pq_adc_topk(
+            emb, emb.where("vec_id < 8"), books, k=10, encode_mode="arrow"
+        ),
+        n_vecs,
+    )
+
 
 if __name__ == "__main__":
     main()
