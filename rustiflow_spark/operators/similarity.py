@@ -352,6 +352,7 @@ def ann_topk_ivf(
     centroids: np.ndarray | None = None,
     broadcast_probes: bool = True,
     fit_sample_fraction: float | None = None,
+    assign_mode: str = "catalyst",
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the nprobe nearest inverted lists.
 
@@ -369,8 +370,12 @@ def ann_topk_ivf(
     if centroids is None:
         centroids = ivf_fit(
             corpus, id_col, emb_col, n_lists, iters, seed_ids,
-            sample_fraction=fit_sample_fraction,
+            sample_fraction=fit_sample_fraction, assign_mode=assign_mode,
         )
+    # corpus assignment stays an INLINE map-only projection (an
+    # ivf_assign + re-join would shuffle the corpus twice); at the K
+    # where O(K) Catalyst exprs per row hurt, the PQ / semantic_dedup
+    # paths carry the Arrow assignment
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
