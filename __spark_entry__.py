@@ -3624,13 +3624,7 @@ def q_pcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(user_id % 4 AS INT) AS file_id",
     )
 
-    # PID in the path: concurrent gate/bench runs over the same fixture
-    # dir must not rmtree each other's live working set
-    out_dir = (
-        f"/tmp/rustiflow_pcap_rt_"
-        f"{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}_{os.getpid()}"
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = _tmp_workdir("pcap_rt", sf_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -5253,13 +5247,8 @@ def q_flow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.config import EngineConfig
     from rustiflow_spark.streaming.sessionize_stream import sessionize_packets_stream
 
-    # PID in the path: see _replay_three_files for the concurrency note
-    base = (
-        f"/tmp/rustiflow_stream_"
-        f"{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}_{os.getpid()}"
-    )
+    base = _tmp_workdir("stream", sf_dir)
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
 
     pk = _packet_table(spark, sf_dir, tcp=False)
     pk.coalesce(1).write.mode("overwrite").parquet(src)
@@ -5344,23 +5333,52 @@ WHERE next_first IS NOT NULL
 """
 
 
+def _tmp_workdir(name: str, sf_dir: str) -> str:
+    """Per-(name, fixture, PID) scratch dir under /tmp.
+
+    PID in the path: concurrent gate/bench runs over the same fixture
+    must not rmtree each other's live stream source/checkpoint. atexit
+    removes THIS process's dirs (the PID suffix otherwise accumulates
+    one dir per run — review finding); stale dirs from crashed runs are
+    also swept here, but only when their PID is no longer alive, so a
+    concurrent live run is never touched."""
+    import atexit
+    import glob as globmod
+    import os
+    import re
+    import shutil
+    import zlib
+
+    base = (
+        f"/tmp/rustiflow_{name}_"
+        f"{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    prefix = base.rsplit("_", 1)[0]
+    for stale in globmod.glob(f"{prefix}_*"):
+        m = re.match(r".*_(\d+)$", stale)
+        if not m or stale == base:
+            continue
+        try:
+            os.kill(int(m.group(1)), 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(stale, ignore_errors=True)
+        except PermissionError:
+            pass  # alive under another uid: leave it
+    return base
+
+
 def _replay_three_files(ev: DataFrame, name: str, sf_dir: str) -> tuple[str, str, str]:
     """Write ev as three time-ranged parquet files with pinned mtimes so a
     FileStreamSource with maxFilesPerTrigger=1 replays them as three
     micro-batches in event-time order. Returns (src, out, ckpt) dirs."""
     import glob as globmod
+    import glob as globmod
     import os
-    import shutil
-    import zlib
 
-    # PID in the path: two concurrent gate/bench runs over the same fixture
-    # dir must not rmtree each other's live stream source/checkpoint
-    base = (
-        f"/tmp/rustiflow_{name}_"
-        f"{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}_{os.getpid()}"
-    )
+    base = _tmp_workdir(name, sf_dir)
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
     lo, hi = ev.selectExpr("min(ts_us)", "max(ts_us)").first()
     t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
     seen: set[str] = set()
@@ -7431,12 +7449,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "centroids": q_centroids,
         "ffill_stream": q_ffill_stream,
-        # -- carried head: the widest schema contract (all 203 columns) --
-        "flow_rustiflow203": q_flow_rustiflow203,
         # -- pushed past the ~50-entry driver window this round (all
         #    driver-green in r02-r04 and strict-verified every session;
         #    session_features' oracle hash is still in-window via its
         #    catalyst/split twins, which share the same expected output) --
+        "flow_rustiflow203": q_flow_rustiflow203,
         "flow_cic_udp": q_flow_cic_udp,
         "flow_tcp_rst": q_flow_tcp_rst,
         "flow_tcp_fin": q_flow_tcp_fin,

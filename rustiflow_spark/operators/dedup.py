@@ -65,6 +65,8 @@ def _materialize(df: DataFrame, mode: str) -> DataFrame:
                      survives executor loss with zero recompute, highest
                      write cost.
     """
+    if mode == "none":
+        return df  # caller already materialized this frame
     if mode == "disk":
         from pyspark import StorageLevel
 
@@ -684,6 +686,48 @@ def token_minhash_signatures(
     )
 
 
+def _gram_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    window: int,
+    min_count: int,
+    use_hash: bool,
+):
+    """Shared span construction for the ExactSubstr detector and rewriter
+    (a keying change MUST hit both or they disagree on what counts as a
+    duplicate): returns (base(__id, __t, n_tok), spans(__id, start, gk),
+    dup_keys(gk)). use_hash picks xxhash64 (production) vs the verbatim
+    comma-joined gram string (oracle replay)."""
+    sc = df.sparkSession.sparkContext
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t")
+    )
+    # explode blowup ~n_tok per row: spread a compressed narrow scan
+    # (scan partitions are sized by COMPRESSED bytes; no-op at real scale)
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    base = base.withColumn("n_tok", F.size("__t"))
+    gram = f"array_join(slice(__t, s, {window}), ',')"
+    key = f"xxhash64({gram})" if use_hash else gram
+    spans = base.where(F.col("n_tok") >= window).select(
+        "__id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, n_tok - {window - 1}),"
+                f" s -> named_struct('start', s, 'gk', {key}))"
+            )
+        ).alias("w"),
+    ).select("__id", F.col("w.start").alias("start"), F.col("w.gk").alias("gk"))
+    dup_keys = (
+        spans.groupBy("gk")
+        .agg(F.count("*").alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("gk")
+    )
+    return base, spans, dup_keys
+
+
 def duplicate_token_spans(
     df: DataFrame,
     id_col: str,
@@ -722,38 +766,15 @@ def duplicate_token_spans(
         raise ValueError("duplicate_token_spans: window >= 1, min_count >= 2")
     from pyspark.sql import Window as W
 
-    sc = df.sparkSession.sparkContext
-    base = df.select(
-        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t")
+    base, spans, dup_keys = _gram_spans(
+        df, id_col, tokens_col, window, min_count, use_hash
     )
-    # explode blowup ~n_tok per row: spread a compressed narrow scan
-    # (scan partitions are sized by COMPRESSED bytes; no-op at real scale)
-    if base.rdd.getNumPartitions() < sc.defaultParallelism:
-        base = base.repartition(sc.defaultParallelism)
-    base = base.withColumn("n_tok", F.size("__t"))
     docs = base.select(
         "__id",
         "n_tok",
         F.greatest(F.lit(0), F.col("n_tok") - (window - 1)).alias(
             "n_windows"
         ),
-    )
-    gram = f"array_join(slice(__t, s, {window}), ',')"
-    key = f"xxhash64({gram})" if use_hash else gram
-    spans = base.where(F.col("n_tok") >= window).select(
-        "__id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, n_tok - {window - 1}),"
-                f" s -> named_struct('start', s, 'gk', {key}))"
-            )
-        ).alias("w"),
-    ).select("__id", F.col("w.start").alias("start"), F.col("w.gk").alias("gk"))
-    dup_keys = (
-        spans.groupBy("gk")
-        .agg(F.count("*").alias("__c"))
-        .where(F.col("__c") >= min_count)
-        .select("gk")
     )
     ordered = W.partitionBy("__id").orderBy("start")
     cover = (
@@ -818,6 +839,17 @@ def _semantic_pairs_arrow(
             return pd.DataFrame({"__id": [], "dup_of": []}).astype(
                 {"__id": "int64", "dup_of": "int64"}
             )
+        # exactness guard (same convention as ivf_assign): every dot and
+        # norm must stay an exact float64 integer, otherwise the raw
+        # `dots > 0` sign test below could confidently reject a true
+        # positive dot without reaching the big-int path
+        qmax = float(np.abs(Q).max())
+        if Q.shape[1] * qmax * qmax >= 2.0**53:
+            raise ValueError(
+                "semantic_dedup(pair_mode='arrow'): quantized magnitudes"
+                " overflow the exact-float64 bound; lower the quantization"
+                " scale"
+            )
         n2 = (Q * Q).sum(axis=1)
         qi = None  # lazily-built exact int rows for band pairs
         out_id, out_dup = [], []
@@ -872,8 +904,10 @@ def semantic_dedup(
     reaches tau = tau_num / tau_den; `dup_of` is the smallest such id
     (the kept representative rule). Pairing only ever happens inside one
     cluster — never across the corpus — so the quadratic part is bounded
-    by max_cluster_size (oversized clusters are dropped loudly, the
-    _drop_oversized_buckets convention).
+    by max_cluster_size. Rows of an OVERSIZED cluster are excluded from
+    pairing only: they remain in the output as kept (is_dup=false) —
+    degenerate mega-clusters are exact-dedup material, and deleting their
+    rows from the output would silently lose documents.
 
     Exactness: vectors ride ivf_fit's integer carrier (round(x * 1024));
     the threshold test is integer-only —
@@ -909,9 +943,18 @@ def semantic_dedup(
     from rustiflow_spark.operators.similarity import ivf_assign
 
     assigned = ivf_assign(df, id_col, emb_col, centroids, mode=assign_mode)
-    assigned = _drop_oversized_buckets(assigned, ["cluster"], max_cluster_size)
+    # the cluster-size cap bounds PAIRING only — rows of an oversized
+    # (degenerate) cluster stay in the output as kept (is_dup=false,
+    # their members belong to exact dedup), they are just never paired.
+    # Dropping them from the output spine would silently DELETE documents
+    # from a pipeline that filters on is_dup (review finding); it would
+    # also diverge from the uncapped oracle.
+    assigned = _materialize(assigned, "local")
+    pairable = _drop_oversized_buckets(
+        assigned, ["cluster"], max_cluster_size, persist="none"
+    )
     if pair_mode == "arrow":
-        pairs = _semantic_pairs_arrow(assigned, tau_num, tau_den)
+        pairs = _semantic_pairs_arrow(pairable, tau_num, tau_den)
         return assigned.join(pairs, "__id", "left").select(
             F.col("__id").alias(id_col),
             F.col("cluster").cast("int").alias("cluster"),
@@ -923,7 +966,7 @@ def semantic_dedup(
     norm2 = F.expr(
         "aggregate(transform(__qe, x -> x * x), 0L, (acc, v) -> acc + v)"
     )
-    prepared = assigned.withColumn("__n2", norm2)
+    prepared = pairable.withColumn("__n2", norm2)
     a = prepared.alias("a")
     b = prepared.select(
         F.col("__id").alias("__idb"),
@@ -983,14 +1026,16 @@ def remove_duplicate_token_spans(
 
     Output: (id_col, tokens_col rewritten, n_tok, n_removed).
 
-    Plan: the detector's gram spans + the duplicate tail, then ONE
+    Plan: the detector's shared gram spans + duplicate tail (_gram_spans
+    — one keying definition for detector and rewriter), then ONE
     map-side-combined min(struct(id, start)) per gram picks canonicals —
     deliberately an aggregate rather than a rank window, so a boilerplate
     mega-gram (millions of occurrences) costs a combinable min, not a
-    single-reducer sort partition. Covered positions explode from the
-    non-canonical spans (<= window rows each), and the rewrite is a
-    posexplode -> broadcast-unfriendly but key-spread left_anti join ->
-    sorted re-assembly bounded by each doc's own length.
+    single-reducer sort partition. Only AFFECTED documents (those with a
+    covered position — typically a few percent of the corpus) pay the
+    posexplode -> left_anti -> sorted re-assembly; untouched documents
+    pass through project-only, so the rewrite's heavy path is sized by
+    the duplication rate, not the corpus.
 
     Reference analog: none (north-rule tokens-payload dedup component;
     Lee et al. 2021's ExactSubstr cut re-expressed relationally).
@@ -999,30 +1044,10 @@ def remove_duplicate_token_spans(
         raise ValueError(
             "remove_duplicate_token_spans: window >= 1, min_count >= 2"
         )
-    sc = df.sparkSession.sparkContext
-    base = df.select(
-        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t")
+    base, spans, dup_keys = _gram_spans(
+        df, id_col, tokens_col, window, min_count, use_hash
     )
-    if base.rdd.getNumPartitions() < sc.defaultParallelism:
-        base = base.repartition(sc.defaultParallelism)
-    gram = f"array_join(slice(__t, s, {window}), ',')"
-    key = f"xxhash64({gram})" if use_hash else gram
-    spans = base.where(F.size("__t") >= window).select(
-        "__id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, size(__t) - {window - 1}),"
-                f" s -> named_struct('start', s, 'gk', {key}))"
-            )
-        ).alias("w"),
-    ).select("__id", F.col("w.start").alias("start"), F.col("w.gk").alias("gk"))
-    dup_spans = spans.join(
-        spans.groupBy("gk")
-        .agg(F.count("*").alias("__c"))
-        .where(F.col("__c") >= min_count)
-        .select("gk"),
-        "gk",
-    )
+    dup_spans = spans.join(dup_keys, "gk")
     first_occ = dup_spans.groupBy("gk").agg(
         F.min(F.struct("__id", "start")).alias("__fo")
     )
@@ -1040,7 +1065,9 @@ def remove_duplicate_token_spans(
         .agg(F.lit(1).alias("__x"))
         .drop("__x")
     )
-    toks = base.select(
+    affected_ids = covered.select("__id").distinct()
+    affected = base.join(affected_ids, "__id", "left_semi")
+    toks = affected.select(
         "__id", F.posexplode("__t").alias("__pos0", "__tok")
     ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__tok")
     kept = toks.join(covered, ["__id", "__pos"], "left_anti")
@@ -1050,13 +1077,23 @@ def remove_duplicate_token_spans(
             "'p', __pos, 't', __tok))), s -> s.t)"
         ).alias("__clean")
     )
-    return base.join(rebuilt, "__id", "left").select(
+    # untouched docs (no covered position) pass through project-only;
+    # an affected doc absent from `rebuilt` emptied out completely
+    rewritten = base.join(affected_ids, "__id", "left_semi").join(
+        rebuilt, "__id", "left"
+    ).select(
+        "__id",
+        F.coalesce("__clean", F.expr("CAST(array() AS array<int>)")).alias(
+            "__out"
+        ),
+        "__t",
+    )
+    untouched = base.join(affected_ids, "__id", "left_anti").select(
+        "__id", F.col("__t").alias("__out"), "__t"
+    )
+    return rewritten.unionByName(untouched).select(
         F.col("__id").alias(id_col),
-        F.coalesce(
-            "__clean", F.expr("CAST(array() AS array<int>)")
-        ).alias(tokens_col),
+        F.col("__out").alias(tokens_col),
         F.size("__t").cast("long").alias("n_tok"),
-        (F.size("__t") - F.coalesce(F.size("__clean"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
+        (F.size("__t") - F.size("__out")).cast("long").alias("n_removed"),
     )

@@ -130,10 +130,16 @@ def dsir_weights(
     )
     ratios = ratios.crossJoin(F.broadcast(tot))
     if arithmetic == "log":
+        # each factor cast to double BEFORE the multiply: (ct+1)*(Nr+B)
+        # in LONG overflows 2^63 once the raw corpus holds ~10^13+ gram
+        # positions — exactly the target scale (review finding). Double
+        # products can't overflow and feed a log anyway.
         ratio = F.log(
-            ((F.col("__ct") + 1) * (F.col("__nr") + n_buckets)).cast("double")
+            (F.col("__ct") + 1).cast("double")
+            * (F.col("__nr") + n_buckets).cast("double")
         ) - F.log(
-            ((F.col("__cr") + 1) * (F.col("__nt") + n_buckets)).cast("double")
+            (F.col("__cr") + 1).cast("double")
+            * (F.col("__nt") + n_buckets).cast("double")
         )
     else:
         # integral division with truncation toward zero on both engines:

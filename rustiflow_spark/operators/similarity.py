@@ -202,6 +202,12 @@ def ivf_assign(
     aggregates per row. Quantization stays in Catalyst (Spark round is
     HALF_UP; np.round is banker's — computing qe in NumPy would diverge
     on exact halves)."""
+    # K distance evaluations per row dominate a compressed narrow scan:
+    # spread to defaultParallelism first (CLAUDE.md convention; no-op at
+    # real scale)
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     q = df.select(
         F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
     )
@@ -232,9 +238,11 @@ def _assign_qe(q: DataFrame, centroids: np.ndarray, mode: str) -> DataFrame:
                 continue
             Q = np.asarray(pdf["__qe"].tolist(), dtype=np.float64)
             qmax = float(np.abs(Q).max()) if Q.size else 0.0
-            # exactness guard: every |score| term must stay integral in
-            # float64 — 2*d*max|q|*max|c| and d*max|c|^2 below 2^53
-            if 2.0 * d * max(qmax * cmax, cmax * cmax) >= 2.0**53:
+            # exactness guard on the FULL score cn - 2 q.c, not each term:
+            # |score| <= d*max|c|^2 + 2*d*max|q|*max|c| must stay < 2^53
+            # or integers round-to-even and a one-unit cluster gap can
+            # falsely tie (review finding)
+            if d * (cmax * cmax + 2.0 * qmax * cmax) >= 2.0**53:
                 raise ValueError(
                     "ivf_assign(arrow): quantized magnitudes overflow the"
                     " exact-float64 bound; lower the quantization scale"
@@ -301,7 +309,12 @@ def ivf_fit(
         )
     # every Lloyd iteration re-reads the training set: persist the
     # quantized projection once instead of re-scanning the source per pass
-    # (released in the finally even when seeding or a pass fails)
+    # (released in the finally even when seeding or a pass fails).
+    # Spread first — the per-row K-distance assignment work would
+    # otherwise inherit a compressed narrow scan's few partitions
+    sc = corpus.sparkSession.sparkContext
+    if q.rdd.getNumPartitions() < sc.defaultParallelism:
+        q = q.repartition(sc.defaultParallelism)
     q = q.persist()
     try:
         if seed_ids is not None:
@@ -591,12 +604,20 @@ def pq_fit(
     sample_fraction: float | None = None,
     sample_seed: int = 7,
     assign_mode: str = "catalyst",
+    dim: int | None = None,
 ) -> np.ndarray:
     """(m, k_codes, d/m) int64 codebooks in QUANT space — one ivf_fit per
     subspace slice. m independent fits keep the oracle replay structurally
     identical to the IVF one; at scale pair with sample_fraction +
     assign_mode='arrow' exactly like ivf_fit."""
-    d = len(corpus.select(emb_col).first()[0])
+    # dim param skips the dimension-probe job (one extra scan otherwise);
+    # an empty corpus fails loudly instead of a NoneType subscript
+    if dim is None:
+        row = corpus.select(emb_col).first()
+        if row is None:
+            raise ValueError("pq_fit: empty corpus")
+        dim = len(row[0])
+    d = int(dim)
     if d % m != 0:
         raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
     dsub = d // m
@@ -646,6 +667,11 @@ def pq_encode(
     per batch (the ivf_assign argument — every product integral and
     < 2^53, np.argmin first-min == array_position tie-break)."""
     m, k_codes, dsub = codebooks.shape
+    # m x k distance evaluations per row dominate a compressed narrow
+    # scan: spread first (CLAUDE.md convention; no-op at real scale)
+    sc = corpus.sparkSession.sparkContext
+    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism)
     q = corpus.select(
         F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
     )
@@ -670,7 +696,8 @@ def pq_encode(
                 continue
             Q = np.asarray(pdf["__qe"].tolist(), dtype=np.float64)
             qmax = float(np.abs(Q).max()) if Q.size else 0.0
-            if 2.0 * dsub * max(qmax * cmax, cmax * cmax) >= 2.0**53:
+            # full-score bound, see ivf_assign
+            if dsub * (cmax * cmax + 2.0 * qmax * cmax) >= 2.0**53:
                 raise ValueError(
                     "pq_encode(arrow): quantized magnitudes overflow the"
                     " exact-float64 bound; lower the quantization scale"

@@ -1271,3 +1271,25 @@ def test_ivf_pq_full_probe_equals_full_scan(spark):
         assert (
             t1_full["neighbor_id"].iloc[0] == t1_pr["neighbor_id"].iloc[0]
         ), f"query {q}: nprobe=1 lost the top-1 on separated clusters"
+
+
+def test_semantic_dedup_oversized_cluster_rows_survive(spark):
+    """The cluster-size cap bounds PAIRING only: rows of an oversized
+    cluster must still appear in the output as kept — dropping them
+    would silently delete documents (review finding)."""
+    from rustiflow_spark.operators.dedup import semantic_dedup
+
+    # 6 identical vectors -> one cluster of 6, over a cap of 3
+    rows = [(i, [1.0, 0.0]) for i in range(6)]
+    rows += [(10, [0.0, 1.0]), (11, [0.0, 1.0])]  # small cluster, a dup pair
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    cents = np.array([[1024, 0], [0, 1024]], dtype=np.int64)
+    for pm in ("catalyst", "arrow"):
+        out = semantic_dedup(
+            df, "vec_id", "embedding", cents, 4, 5,
+            max_cluster_size=3, pair_mode=pm,
+        ).toPandas().set_index("vec_id")
+        assert len(out) == 8, pm  # nothing deleted
+        big = out.loc[range(6)]
+        assert (~big["is_dup"]).all(), pm  # capped cluster: never paired
+        assert bool(out.loc[11, "is_dup"]) and out.loc[11, "dup_of"] == 10
