@@ -2185,6 +2185,66 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (operators/retrieval.py rrf_fuse): reciprocal
+    rank fusion of the exact fixed-point BM25 top-25 (the 6-term text
+    query) with the LSH-ANN top-5 for the query embedding (vec_id 0;
+    doc_id == vec_id is the fixtures' linkage). Every contribution is
+    one integral division (10^6 div (60 + rank)), so the fused ranking
+    replays bit-for-bit — the oracle nests both family oracles as
+    subqueries and re-derives the fusion. Reference analog: none
+    (north-rule retrieval component)."""
+    _ensure_package_shipped(spark)
+    from pyspark.sql import Window
+
+    from rustiflow_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from rustiflow_spark.operators.similarity import ann_topk_lsh
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bm = bm25_topk(
+        docs, "doc_id", "text", _RETRIEVAL_TERMS, k=25,
+        exact_scale=_RETRIEVAL_SCALE, arithmetic="int64",
+    ).select(
+        F.col("doc_id").alias("item_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_scaled"), F.asc("doc_id")))
+        .alias("r"),
+    )
+    an = ann_topk_lsh(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, n_planes=6, n_tables=6
+    ).select(F.col("neighbor_id").alias("item_id"), F.col("rank").alias("r"))
+    return rrf_fuse([bm, an], "item_id", "r", topk=10).select(
+        F.col("item_id").cast("long").alias("item_id"),
+        "n_sources",
+        "rrf_scaled",
+        "rank",
+    )
+
+
+def _hybrid_sql() -> str:
+    return f"""
+WITH bm AS (
+  SELECT CAST(doc_id AS BIGINT) AS item_id,
+         row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS r
+  FROM ({_retrieval_sql("bm25_scaled")})
+),
+an AS (
+  SELECT CAST(neighbor_id AS BIGINT) AS item_id, rank AS r
+  FROM ({_ann_topk_sql()}) WHERE query_id = 0
+),
+u AS (SELECT * FROM bm UNION ALL SELECT * FROM an),
+fused AS (
+  SELECT item_id, CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(1000000 // (60 + r)) AS BIGINT) AS rrf_scaled
+  FROM u GROUP BY item_id
+)
+SELECT item_id, n_sources, rrf_scaled, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_scaled DESC, item_id) AS rank
+  FROM fused
+) WHERE rank <= 10"""
+
+
 def _retrieval_sql(order_col: str) -> str:
     terms = ",".join(f"'{t}'" for t in _RETRIEVAL_TERMS)
     s = _RETRIEVAL_SCALE
@@ -7411,6 +7471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "dsir_weights": q_dsir,
         "pq_adc": q_pq_adc,
+        "hybrid_search": q_hybrid_search,
         # -- new this round: the three previously value-unverified layouts --
         "flow_basic": q_flow_basic,
         "flow_cidds": q_flow_cidds,
@@ -7626,4 +7687,5 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "dsir_weights": _dsir_sql(),
         "pq_adc": _pq_sql(),
+        "hybrid_search": _hybrid_sql(),
     }

@@ -256,3 +256,58 @@ def bm25_topk(
         .limit(k)
         .select(F.col("__doc").alias(id_col), "n_matched", out_col)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    item_col: str,
+    rank_col: str,
+    query_col: str | None = None,
+    k_const: int = 60,
+    scale: int = 1_000_000,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of N ranked lists —
+    the standard hybrid-retrieval combiner (BM25 + ANN, or any mix):
+
+        rrf(item) = sum over lists of scale div (k_const + rank)
+
+    kept EXACT in integers (one integral division per contribution, the
+    same `div`-truncation contract as the BM25 fixed-point mode), so the
+    fused ranking replays bit-for-bit in SQL. Output: (query_col?,
+    item_col, n_sources, rrf_scaled, rank), rank by (rrf desc, item asc).
+
+    Plan: union of the (tiny) top-k lists -> one map-side-combined
+    groupBy -> rank window per query. The inputs are already k-bounded,
+    so this never touches corpus-sized data.
+
+    Reference analog: none (north-rule retrieval component; composes
+    tfidf/bm25_topk with the ANN family)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    keys = ([query_col] if query_col else []) + [item_col]
+    tagged = [
+        r.select(
+            *keys, F.col(rank_col).cast("long").alias("__r")
+        )
+        for r in rankings
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    contrib = F.expr(f"CAST({int(scale)} div ({int(k_const)} + __r) AS BIGINT)")
+    fused = (
+        u.withColumn("__c", contrib)
+        .groupBy(*keys)
+        .agg(
+            F.count("*").cast("long").alias("n_sources"),
+            F.sum("__c").cast("long").alias("rrf_scaled"),
+        )
+    )
+    w = Window.partitionBy(*([query_col] if query_col else [])).orderBy(
+        F.desc("rrf_scaled"), F.asc(item_col)
+    )
+    out = fused.withColumn("rank", F.row_number().over(w).cast("long"))
+    if topk is not None:
+        out = out.filter(F.col("rank") <= topk)
+    return out

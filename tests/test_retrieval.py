@@ -287,3 +287,26 @@ def test_random_project_knn_recall():
         size=(400, 64)
     )
     assert _knn_recall(Xc, Xc @ R16.T) > 0.55
+
+
+def test_rrf_fuse_hand_computed(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        pd.DataFrame({"item": [10, 20, 30], "r": [1, 2, 3]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"item": [20, 40], "r": [1, 2]})
+    )
+    out = rrf_fuse([a, b], "item", "r", k_const=60, scale=1_000_000).toPandas()
+    got = out.set_index("item")
+    # item 20: 1e6//62 + 1e6//61 = 16129 + 16393 = 32522 -> rank 1
+    assert got.loc[20, "rrf_scaled"] == 1_000_000 // 62 + 1_000_000 // 61
+    assert got.loc[20, "rank"] == 1 and got.loc[20, "n_sources"] == 2
+    assert got.loc[10, "rrf_scaled"] == 1_000_000 // 61
+    # tie between 10 (rank1 in a) and 40 (rank2 in b): 16393 vs 16129 -> 10 first
+    order = out.sort_values("rank")["item"].tolist()
+    assert order[0] == 20 and order[1] == 10

@@ -69,6 +69,10 @@ ALLOW = {
     # over 256 x 1 rows; the corpus-sized gram side only ever meets a
     # broadcast HASH join on the bucket id
     "dsir_weights": {"bnlj"},
+    # RRF fuses two ALREADY k-bounded top-k lists (<= ~30 rows): the
+    # single-query rank windows + the bm25 single-row totals BNL are all
+    # sketch-sized by construction
+    "hybrid_search": {"global_window", "bnlj"},
     # ADC is BY DESIGN a map-only scan of the byte-code table with the
     # query batch broadcast (memory-bound ANN): broadcast(queries) x
     # codes with a != condition plans as BNL; each pair costs m array
