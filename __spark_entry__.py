@@ -2847,6 +2847,63 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)"""
 
 
+def q_histogram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution drift (operators/profile.py
+    histogram_drift): events deterministically split into a reference
+    (even event_id) and current (odd) sample, per-event_type chi-square
+    over 16 equal-width value bins on the declared [0, 100] range —
+    the training/serving-skew monitor. The statistic is the exact
+    fixed-point rational surrogate (one DECIMAL(38,0) integral division
+    per bin), so the oracle replays binning, both histograms, and every
+    contribution bit-for-bit. Reference analog: none (north-rule
+    data-quality component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.profile import histogram_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return histogram_drift(
+        ev.where(F.col("event_id") % 2 == 0),
+        ev.where(F.col("event_id") % 2 == 1),
+        "value",
+        by="event_type",
+        lo=0,
+        hi=100,
+        n_bins=16,
+    ).orderBy("event_type")
+
+
+_DRIFT_SQL = """
+WITH src AS (
+  SELECT event_type, event_id % 2 AS side,
+         least(15, greatest(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0) * 16 / 100) AS INT))) AS bin
+  FROM events
+),
+h AS (
+  SELECT event_type, bin,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS b
+  FROM src GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type, sum(a) AS nr, sum(b) AS nc FROM h GROUP BY event_type
+)
+SELECT h.event_type,
+       CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur,
+       CAST(sum(
+         (CAST(1000000 AS HUGEINT) * (a * nc - b * nr) * (a * nc - b * nr))
+         // (CAST(a + b AS HUGEINT) * nr * nc)
+       ) AS BIGINT) AS chi2_scaled
+FROM h JOIN tot USING (event_type)
+WHERE a + b > 0
+GROUP BY h.event_type
+ORDER BY h.event_type
+"""
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/encoding.py robust_scale):
     (x - median) / MAD over events.value by event_type, with the LOWER
@@ -7472,6 +7529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir,
         "pq_adc": q_pq_adc,
         "hybrid_search": q_hybrid_search,
+        "histogram_drift": q_histogram_drift,
         # -- new this round: the three previously value-unverified layouts --
         "flow_basic": q_flow_basic,
         "flow_cidds": q_flow_cidds,
@@ -7688,4 +7746,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights": _dsir_sql(),
         "pq_adc": _pq_sql(),
         "hybrid_search": _hybrid_sql(),
+        "histogram_drift": _DRIFT_SQL,
     }

@@ -84,3 +84,100 @@ def profile_table(
         )
         .orderBy("col_name")
     )
+
+
+def histogram_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    lo: int | None = None,
+    hi: int | None = None,
+    n_bins: int = 32,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Two-sample drift between a REFERENCE snapshot and a CURRENT one
+    (training/serving skew, the monitoring twin of profile_table): bin
+    `value_col` into n_bins equal-width buckets over the declared
+    [lo, hi] range (out-of-range values clamp to the edge bins — they
+    must count as drift mass, not vanish), then the two-sample
+    chi-square statistic
+
+        chi2 = N_r*N_c * sum_bins (a_i*N_c - b_i*N_r)^2
+                         / (a_i + b_i)   / (N_r*N_c)^2  (standard form)
+
+    kept EXACT in fixed point: per-bin contribution
+    scale * (a_i*N_c - b_i*N_r)^2 div ((a_i + b_i) * N_r * N_c) as
+    DECIMAL(38,0) products + `div` (truncation toward zero on both
+    engines), summed per group. Empty bins on both sides contribute 0.
+    Magnitude bound: scale * (N_r*N_c)^2 < 10^38, i.e. valid to ~10^8
+    rows per group side at scale=10^6 — beyond that pre-aggregate per
+    shard or lower scale; DECIMAL overflow under ANSI is LOUD, never a
+    silent wrap (the BM25 int64-carrier convention).
+    PSI needs ln(); chi-square is rational, so the whole monitor is
+    bit-replayable — the repo's fixed-point-surrogate convention
+    (retrieval/DSIR).
+
+    Plan: each side is ONE map-side-combined groupBy([by], bin) count
+    (histogram tables, <= groups x n_bins rows), a full outer join of
+    the two tiny tables, totals re-aggregated from them (never a raw
+    rescan), one broadcast join back, one sum. Nothing wider than the
+    histogram ever shuffles.
+
+    Output: ([by], n_ref, n_cur, chi2_scaled) — threshold stays with
+    the caller. Declared [lo, hi] keeps the binning deterministic and
+    cross-snapshot-comparable (a data-derived range would shift bins as
+    data drifts — exactly when comparability matters most).
+
+    Reference analog: none (north-rule data-quality component;
+    profile_stream is the single-corpus streaming monitor).
+    """
+    if lo is None or hi is None or hi <= lo:
+        raise ValueError("histogram_drift: need declared lo < hi")
+    if n_bins <= 0:
+        raise ValueError("histogram_drift: n_bins must be positive")
+    keys = [by] if by else []
+    width_num, width_den = hi - lo, n_bins  # bin = (x-lo)*n_bins/(hi-lo)
+
+    def hist(df: DataFrame, cname: str) -> DataFrame:
+        b = F.floor(
+            (F.col(value_col).cast("double") - lo) * width_den / width_num
+        ).cast("int")
+        b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+        return (
+            df.select(*keys, b.alias("__bin"))
+            .groupBy(*keys, "__bin")
+            .agg(F.count("*").alias(cname))
+        )
+
+    hr = hist(ref, "__a")
+    hc = hist(cur, "__b")
+    joined = hr.join(hc, [*keys, "__bin"], "full_outer").select(
+        *keys,
+        "__bin",
+        F.coalesce("__a", F.lit(0)).alias("__a"),
+        F.coalesce("__b", F.lit(0)).alias("__b"),
+    )
+    totals = joined.groupBy(*keys).agg(
+        F.sum("__a").alias("__nr"), F.sum("__b").alias("__nc")
+    )
+    contrib = F.expr(
+        f"CAST((CAST({int(scale)} AS DECIMAL(38,0))"
+        " * (__a * __nc - __b * __nr) * (__a * __nc - __b * __nr))"
+        " div (CAST(__a + __b AS DECIMAL(38,0)) * __nr * __nc) AS BIGINT)"
+    )
+    scored = (
+        joined.join(F.broadcast(totals), keys)
+        if keys
+        else joined.crossJoin(F.broadcast(totals))
+    )
+    return (
+        scored.where((F.col("__a") + F.col("__b")) > 0)
+        .withColumn("__c", contrib)
+        .groupBy(*keys)
+        .agg(
+            F.max("__nr").cast("long").alias("n_ref"),
+            F.max("__nc").cast("long").alias("n_cur"),
+            F.sum("__c").cast("long").alias("chi2_scaled"),
+        )
+    )

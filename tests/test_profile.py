@@ -115,3 +115,39 @@ def test_hash_cross_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_histogram_drift_detects_shift(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.profile import histogram_drift
+
+    n = 4000
+    base = spark.range(n).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.abs(F.xxhash64("id")) % 100).cast("double").alias("v"),
+    )
+    # same distribution -> tiny statistic
+    same = histogram_drift(
+        base.where("id % 4 < 2"), base.where("id % 4 >= 2"),
+        "v", by="g", lo=0, hi=100, n_bins=16,
+    ).toPandas()
+    # shifted current (+40 clamps into the top bins) -> large statistic
+    shifted = histogram_drift(
+        base,
+        base.withColumn("v", F.col("v") + 40.0),
+        "v", by="g", lo=0, hi=100, n_bins=16,
+    ).toPandas()
+    # "same" is still two DIFFERENT random samples: chi2 ~ df(=15)
+    # in expectation, i.e. ~15e6 scaled; the +40 shift lands ~50x that
+    assert (shifted["chi2_scaled"].min()) > 20 * max(
+        1, same["chi2_scaled"].max()
+    )
+    # out-of-range values clamp into edge bins (count as drift mass)
+    clamp = histogram_drift(
+        base, base.withColumn("v", F.lit(1e9)),
+        "v", by="g", lo=0, hi=100, n_bins=16,
+    ).toPandas()
+    assert (clamp["n_cur"] == clamp["n_ref"]).all()
+    assert (clamp["chi2_scaled"] > 0).all()
