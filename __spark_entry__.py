@@ -2904,6 +2904,110 @@ ORDER BY h.event_type
 """
 
 
+def q_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor (streaming/rollup_stream.py
+    drift_hist_stream + operators/profile.py histogram_chi2): per-hour
+    per-event_type value histograms emitted exactly once under the
+    3-file availableNow replay, then each finalized window scored
+    against the full-corpus reference histogram with the exact
+    fixed-point chi-square tail. Oracle: batch per-hour histograms
+    restricted to buckets the final watermark passed (the sketch-stream
+    closed form), reference + chi-square replayed in HUGEINT."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.profile import histogram_chi2
+    from rustiflow_spark.streaming.rollup_stream import drift_hist_stream
+
+    ev = _events(spark, sf_dir).select("ts_us", "event_type", "value")
+    src, out, ckpt = _replay_three_files(ev, "driftstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    hists = drift_hist_stream(
+        stream, "ts_us", 3600, "value", ["event_type"],
+        lo=0, hi=100, n_bins=16, watermark_delay="10 seconds",
+    )
+    _run_available_now(hists, out, ckpt)
+    emitted = spark.read.parquet(out)
+    # reference: the full corpus, same declared bins
+    bexpr = F.least(
+        F.lit(15),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("value").cast("double") - 0) * 16 / 100).cast("int"),
+        ),
+    )
+    ref = (
+        ev.select("event_type", bexpr.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    # the reference replicates across every emitted window of its group
+    ref_w = ref.join(
+        emitted.select("event_type", "bucket_s").distinct(), "event_type"
+    )
+    return histogram_chi2(
+        ref_w, emitted, ["event_type", "bucket_s"]
+    ).select(
+        "event_type",
+        F.col("bucket_s").cast("long").alias("bucket_s"),
+        "n_ref",
+        "n_cur",
+        "chi2_scaled",
+    )
+
+
+_DRIFT_STREAM_SQL = """
+WITH wm AS (
+  SELECT (CAST(floor(max(epoch_us(ts)) / 1000) AS BIGINT) - 10000) * 1000 AS wm_us
+  FROM events
+),
+src AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_s,
+         least(15, greatest(0,
+           CAST(floor((CAST(value AS DOUBLE) - 0) * 16 / 100) AS INT))) AS bin
+  FROM events
+),
+cur AS (
+  SELECT event_type, bucket_s, bin, count(*) AS b
+  FROM src, wm
+  WHERE (bucket_s + 3600) * 1000000 <= wm_us
+  GROUP BY event_type, bucket_s, bin
+),
+ref AS (
+  SELECT event_type, bin, count(*) AS a FROM src GROUP BY event_type, bin
+),
+refw AS (
+  SELECT r.event_type, w.bucket_s, r.bin, r.a
+  FROM ref r JOIN (SELECT DISTINCT event_type, bucket_s FROM cur) w
+       USING (event_type)
+),
+j AS (
+  SELECT coalesce(r.event_type, c.event_type) AS event_type,
+         coalesce(r.bucket_s, c.bucket_s) AS bucket_s,
+         coalesce(r.bin, c.bin) AS bin,
+         coalesce(r.a, 0) AS a, coalesce(c.b, 0) AS b
+  FROM refw r FULL OUTER JOIN cur c
+    ON r.event_type = c.event_type AND r.bucket_s = c.bucket_s
+   AND r.bin = c.bin
+),
+tot AS (
+  SELECT event_type, bucket_s, sum(a) AS nr, sum(b) AS nc
+  FROM j GROUP BY event_type, bucket_s
+)
+SELECT j.event_type, CAST(j.bucket_s AS BIGINT) AS bucket_s,
+       CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur,
+       CAST(sum(
+         (CAST(1000000 AS HUGEINT) * (a * nc - b * nr) * (a * nc - b * nr))
+         // (CAST(a + b AS HUGEINT) * nr * nc)
+       ) AS BIGINT) AS chi2_scaled
+FROM j JOIN tot USING (event_type, bucket_s)
+WHERE a + b > 0
+GROUP BY j.event_type, j.bucket_s
+"""
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/encoding.py robust_scale):
     (x - median) / MAD over events.value by event_type, with the LOWER
@@ -7530,6 +7634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc": q_pq_adc,
         "hybrid_search": q_hybrid_search,
         "histogram_drift": q_histogram_drift,
+        "drift_stream": q_drift_stream,
         # -- new this round: the three previously value-unverified layouts --
         "flow_basic": q_flow_basic,
         "flow_cidds": q_flow_cidds,
@@ -7747,4 +7852,5 @@ def oracle_sql() -> dict[str, str]:
         "pq_adc": _pq_sql(),
         "hybrid_search": _hybrid_sql(),
         "histogram_drift": _DRIFT_SQL,
+        "drift_stream": _DRIFT_STREAM_SQL,
     }

@@ -150,8 +150,36 @@ def histogram_drift(
             .agg(F.count("*").alias(cname))
         )
 
-    hr = hist(ref, "__a")
-    hc = hist(cur, "__b")
+    return histogram_chi2(
+        hist(ref, "__a").withColumnRenamed("__a", "n"),
+        hist(cur, "__b").withColumnRenamed("__b", "n"),
+        keys,
+        bin_col="__bin",
+        scale=scale,
+    )
+
+
+def histogram_chi2(
+    ref_hist: DataFrame,
+    cur_hist: DataFrame,
+    keys: list[str],
+    bin_col: str = "bin",
+    count_col: str = "n",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The chi-square tail over PRE-BUILT histogram tables
+    ([keys...], bin_col, count_col) — shared by histogram_drift (batch)
+    and the streaming monitor (streaming/rollup_stream.py
+    drift_hist_stream emits exactly this shape), so a stream's emitted
+    windows score against any reference histogram without rescanning
+    raw data. Same exact fixed-point contract and magnitude bound as
+    histogram_drift."""
+    hr = ref_hist.select(
+        *keys, F.col(bin_col).alias("__bin"), F.col(count_col).alias("__a")
+    )
+    hc = cur_hist.select(
+        *keys, F.col(bin_col).alias("__bin"), F.col(count_col).alias("__b")
+    )
     joined = hr.join(hc, [*keys, "__bin"], "full_outer").select(
         *keys,
         "__bin",

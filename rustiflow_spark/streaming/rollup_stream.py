@@ -333,3 +333,50 @@ def profile_stream(
             "max_s",
         )
     )
+
+
+def drift_hist_stream(
+    stream: DataFrame,
+    ts_us_col: str,
+    width_s: int,
+    value_col: str,
+    group_cols: list[str],
+    lo: int,
+    hi: int,
+    n_bins: int = 32,
+    watermark_delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming windowed value histograms — the monitoring twin of
+    operators/profile.py histogram_drift: per (group..., tumbling
+    bucket), the count in each of n_bins equal-width bins over the
+    declared [lo, hi] range (out-of-range clamps to the edge bins).
+
+    Same append-mode/watermark contract as the sketch streams: a
+    bucket's histogram emits exactly once when the watermark passes its
+    end, state is O(groups x open buckets x occupied bins), and counts
+    are map-side-combinable sums. The emitted rows ARE the mergeable
+    histogram table — feed any window's rows plus a broadcast reference
+    histogram straight into histogram_drift's chi-square tail (or
+    groupBy-sum adjacent windows first: sums merge losslessly), so a
+    continuous 100-TB stream reduces once to bin counts and every later
+    drift read is histogram-sized."""
+    if lo is None or hi is None or hi <= lo or n_bins <= 0:
+        raise ValueError("drift_hist_stream: need lo < hi and n_bins > 0")
+    b = F.floor(
+        (F.col(value_col).cast("double") - lo) * n_bins / (hi - lo)
+    ).cast("int")
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    win = F.window(F.col("__ts"), f"{width_s} seconds")
+    return (
+        stream.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))
+        .select(*group_cols, "__ts", b.alias("bin"))
+        .withWatermark("__ts", watermark_delay)
+        .groupBy(win.alias("__w"), *group_cols, "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            *group_cols,
+            F.unix_timestamp(F.col("__w.start")).alias("bucket_s"),
+            "bin",
+            "n",
+        )
+    )
