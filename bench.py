@@ -81,7 +81,7 @@ def main() -> None:
         "point_in_time", "target_encode_split", "merge_upsert", "scd2",
         "bm25_search", "table_profile", "quota_sample", "random_projection",
         "semantic_dedup", "dup_token_spans", "repetition_stats",
-        "dsir_weights",
+        "dsir_weights", "pq_adc", "hybrid_search", "histogram_drift",
     ]:
         fn = qmap[name]
         best = float("inf")
