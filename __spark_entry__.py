@@ -3008,6 +3008,71 @@ GROUP BY j.event_type, j.bucket_s
 """
 
 
+_EXPECT_RULES = [
+    {"kind": "not_null", "col": "text"},
+    {"kind": "between", "col": "n_chars", "lo": 1, "hi": 100000},
+    {"kind": "in_set", "col": "lang", "values": ["en", "fr", "de", "es", "zh"]},
+    {"kind": "regex", "col": "source", "pattern": "^src[0-9]+$"},
+    {"kind": "unique", "col": "doc_id"},
+    {"kind": "expr", "name": "chars_match", "sql": "length(text) = n_chars"},
+]
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/profile.py
+    validate_expectations): six expectation rules over documents —
+    not_null / range / value-set / regex shape / key uniqueness / a
+    cross-column consistency expression — ALL evaluated in ONE aggregate
+    over ONE scan (violations are conditional sums; uniqueness adds an
+    exact distinct to the same agg). The oracle recomputes every rule's
+    violation count in SQL. Reference analog: none (north-rule
+    data-quality component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.profile import validate_expectations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return validate_expectations(docs, _EXPECT_RULES).orderBy("rule")
+
+
+_EXPECT_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_nn,
+         sum(CASE WHEN n_chars IS NULL OR n_chars < 1 OR n_chars > 100000
+                  THEN 1 ELSE 0 END) AS v_bt,
+         sum(CASE WHEN lang IS NULL
+                       OR lang NOT IN ('en','fr','de','es','zh')
+                  THEN 1 ELSE 0 END) AS v_in,
+         sum(CASE WHEN source IS NULL
+                       OR NOT regexp_matches(CAST(source AS VARCHAR), '^src[0-9]+$')
+                  THEN 1 ELSE 0 END) AS v_re,
+         count(doc_id) - count(DISTINCT doc_id) AS v_uq,
+         sum(CASE WHEN NOT (length(text) = n_chars) THEN 1 ELSE 0 END) AS v_ex
+  FROM documents
+)
+SELECT * FROM (
+  SELECT 'not_null_text' AS rule, 'text' AS col, 'not_null' AS kind,
+         CAST(n AS BIGINT) AS n_rows, CAST(v_nn AS BIGINT) AS n_violations,
+         v_nn = 0 AS passed FROM agg
+  UNION ALL
+  SELECT 'between_n_chars', 'n_chars', 'between',
+         CAST(n AS BIGINT), CAST(v_bt AS BIGINT), v_bt = 0 FROM agg
+  UNION ALL
+  SELECT 'in_set_lang', 'lang', 'in_set',
+         CAST(n AS BIGINT), CAST(v_in AS BIGINT), v_in = 0 FROM agg
+  UNION ALL
+  SELECT 'regex_source', 'source', 'regex',
+         CAST(n AS BIGINT), CAST(v_re AS BIGINT), v_re = 0 FROM agg
+  UNION ALL
+  SELECT 'unique_doc_id', 'doc_id', 'unique',
+         CAST(n AS BIGINT), CAST(v_uq AS BIGINT), v_uq = 0 FROM agg
+  UNION ALL
+  SELECT 'chars_match', '', 'expr',
+         CAST(n AS BIGINT), CAST(v_ex AS BIGINT), v_ex = 0 FROM agg
+) ORDER BY rule
+"""
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/encoding.py robust_scale):
     (x - median) / MAD over events.value by event_type, with the LOWER
@@ -7635,6 +7700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,
         "histogram_drift": q_histogram_drift,
         "drift_stream": q_drift_stream,
+        "expectations": q_expectations,
         # -- new this round: the three previously value-unverified layouts --
         "flow_basic": q_flow_basic,
         "flow_cidds": q_flow_cidds,
@@ -7853,4 +7919,5 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _hybrid_sql(),
         "histogram_drift": _DRIFT_SQL,
         "drift_stream": _DRIFT_STREAM_SQL,
+        "expectations": _EXPECT_SQL,
     }

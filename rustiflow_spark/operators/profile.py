@@ -209,3 +209,78 @@ def histogram_chi2(
             F.sum("__c").cast("long").alias("chi2_scaled"),
         )
     )
+
+
+def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality gate (the expectations pattern): each
+    rule counts its violations; ALL row-local rules ride ONE aggregate
+    over ONE scan (violations are conditional sums, map-side combined),
+    and `unique` rules add exact count-distincts to the same aggregate
+    (Expand, the profile_table trade). Output: one row per rule —
+    (rule, col, kind, n_rows, n_violations, passed) — the long table a
+    pipeline gate thresholds before a corpus drop trains.
+
+    Rule kinds:
+      {"kind": "not_null",  "col": c}
+      {"kind": "between",   "col": c, "lo": x, "hi": y}   # inclusive
+      {"kind": "in_set",    "col": c, "values": [...]}
+      {"kind": "regex",     "col": c, "pattern": r}       # full match
+      {"kind": "unique",    "col": c}
+      {"kind": "expr",      "name": n, "sql": "<boolean SQL>"}  # true = ok
+    NULL fails between/in_set/regex (an absent value cannot satisfy a
+    range/set/shape expectation; use not_null-less semantics via an
+    explicit expr rule if NULLs are acceptable).
+
+    Reference analog: none (north-rule data-quality component; the
+    one-scan design matches profile_table).
+    """
+    if not rules:
+        raise ValueError("validate_expectations: no rules")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    meta = []
+    for i, r in enumerate(rules):
+        kind = r["kind"]
+        c = r.get("col")
+        name = r.get("name") or f"{kind}_{c or i}"
+        if kind == "not_null":
+            bad = F.col(c).isNull()
+        elif kind == "between":
+            bad = ~F.col(c).between(r["lo"], r["hi"]) | F.col(c).isNull()
+        elif kind == "in_set":
+            bad = ~F.col(c).isin(list(r["values"])) | F.col(c).isNull()
+        elif kind == "regex":
+            bad = (
+                ~F.col(c).cast("string").rlike(r["pattern"])
+                | F.col(c).isNull()
+            )
+        elif kind == "expr":
+            bad = ~F.expr(r["sql"])
+        elif kind == "unique":
+            # violations = rows beyond one per distinct value
+            aggs.append(
+                (F.count(c) - F.count_distinct(F.col(c))).alias(f"__v{i}")
+            )
+            meta.append((i, name, c, kind))
+            continue
+        else:
+            raise ValueError(f"validate_expectations: unknown kind {kind!r}")
+        aggs.append(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+        )
+        meta.append((i, name, c, kind))
+    one = df.agg(*aggs)
+    rows = [
+        one.select(
+            F.lit(name).alias("rule"),
+            F.lit(c if c is not None else "").alias("col"),
+            F.lit(kind).alias("kind"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"__v{i}").cast("long").alias("n_violations"),
+            (F.col(f"__v{i}") == 0).alias("passed"),
+        )
+        for i, name, c, kind in meta
+    ]
+    out = rows[0]
+    for r2 in rows[1:]:
+        out = out.unionByName(r2)
+    return out

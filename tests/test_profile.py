@@ -151,3 +151,38 @@ def test_histogram_drift_detects_shift(spark):
     ).toPandas()
     assert (clamp["n_cur"] == clamp["n_ref"]).all()
     assert (clamp["chi2_scaled"] > 0).all()
+
+
+def test_validate_expectations_counts(spark):
+    import pandas as pd
+
+    from rustiflow_spark.operators.profile import validate_expectations
+
+    pdf = pd.DataFrame(
+        {
+            "id": [1, 2, 2, 4],
+            "v": [5.0, None, 200.0, 50.0],
+            "s": ["a", "b", "zz", "a"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = validate_expectations(
+        df,
+        [
+            {"kind": "not_null", "col": "v"},
+            {"kind": "between", "col": "v", "lo": 0, "hi": 100},
+            {"kind": "in_set", "col": "s", "values": ["a", "b"]},
+            {"kind": "regex", "col": "s", "pattern": "^[ab]$"},
+            {"kind": "unique", "col": "id"},
+            {"kind": "expr", "name": "v_lt_300", "sql": "v < 300"},
+        ],
+    ).toPandas().set_index("rule")
+    assert out.loc["not_null_v", "n_violations"] == 1
+    assert out.loc["between_v", "n_violations"] == 2  # NULL + 200
+    assert out.loc["in_set_s", "n_violations"] == 1   # zz
+    assert out.loc["regex_s", "n_violations"] == 1
+    assert out.loc["unique_id", "n_violations"] == 1  # one extra 2
+    # NULL < 300 is NULL -> NOT NULL -> no violation (documented)
+    assert out.loc["v_lt_300", "n_violations"] == 0
+    assert not out.loc["between_v", "passed"]
+    assert (out["n_rows"] == 4).all()
