@@ -7671,15 +7671,17 @@ FROM events e LEFT JOIN stats st USING (event_type)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the first 50
-    # entries only. The head holds exactly the 50 queries the driver has
-    # never run: the 8 round-4 leftovers, the SemDeDup/token-span/
-    # rewrite/repetition/DSIR/PQ family, the Basic/CIDDS/NF schema
-    # queries, and the retrieval/encoder/PIT/CDC/stream/export families.
-    # EVERYTHING from flow_rustiflow203 onward is outside the driver
-    # window this round — driver-green in rounds 2-4, pytest-covered,
-    # and re-verified in full every session by tools/strict_contract.py
-    # (103/103 this session before pq_adc; every query is DuckDB-oracled,
-    # zero rows-only).
+    # entries only. 58 queries have never had a driver row; the window
+    # holds the 50 of them with UNIQUE oracles (the 8 round-4 leftovers,
+    # the SemDeDup/token-span/rewrite/repetition/DSIR/PQ/hybrid/drift/
+    # expectations family, the Basic/CIDDS/NF schema queries, and the
+    # retrieval/encoder/PIT/CDC/stream/export families). The 8 that ride
+    # tools/strict_contract.py only: 5 shared-oracle twins whose expected
+    # hash IS driver-verified via an in-window sibling (ffill_stream +
+    # the *_split prefix-scan family), plus dedup_stream / redact_pii /
+    # tokenize. Everything from flow_rustiflow203 onward is r02-r04
+    # driver-green, pytest-covered, and re-verified in full every session
+    # by strict_contract (every query DuckDB-oracled, zero rows-only).
     return {
         # -- never driver-run before round 5 --
         "session_features_catalyst": q_session_features_catalyst,
@@ -7689,7 +7691,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "neardup_jaccard": q_neardup_jaccard,
         "salted_stats": q_salted_stats,
-        "session_features_split": q_session_features_split,
         # -- new: SemDeDup + token-span dedup + Gopher repetition + DSIR --
         "semantic_dedup": q_semantic_dedup,
         "dup_token_spans": q_dup_token_spans,
@@ -7722,12 +7723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         # -- new: leakage-free encoders + PIT enrichment --
         "backfill": q_backfill,
-        "backfill_split": q_backfill_split,
         "point_in_time": q_point_in_time,
         "target_encode": q_target_encode,
-        "target_encode_split": q_target_encode_split,
         "quantile_bin": q_quantile_bin,
-        "quantile_bin_split": q_quantile_bin_split,
         "zscore": q_zscore,
         "sketch_merge": q_sketch_merge,
         "merge_upsert": q_merge_upsert,
@@ -7738,7 +7736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_export": q_shuffle_export,
         "temperature_mix": q_temperature_mix,
         "centroids": q_centroids,
-        "ffill_stream": q_ffill_stream,
+        "quality_stream": q_quality_stream,
+        "dedup_stream": q_dedup_stream,
+        "redact_pii": q_redact_pii,
+        "tokenize": q_tokenize,
         # -- pushed past the ~50-entry driver window this round (all
         #    driver-green in r02-r04 and strict-verified every session;
         #    session_features' oracle hash is still in-window via its
@@ -7752,6 +7753,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": q_session_features,
         "similarity_topk": q_similarity_topk,
         "asof_join": q_asof_join,
+        "ffill_stream": q_ffill_stream,
+        "session_features_split": q_session_features_split,
+        "backfill_split": q_backfill_split,
+        "target_encode_split": q_target_encode_split,
+        "quantile_bin_split": q_quantile_bin_split,
         "session_annotation": q_session_annotation,
         "lag_features": q_lag_features,
         "flow_cic_derived": q_flow_cic_derived,
@@ -7770,10 +7776,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_stream": q_hll_stream,
         "cms_stream": q_cms_stream,
         "hdr_stream": q_hdr_stream,
-        "quality_stream": q_quality_stream,
-        "dedup_stream": q_dedup_stream,
-        "redact_pii": q_redact_pii,
-        "tokenize": q_tokenize,
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
