@@ -186,3 +186,38 @@ def test_validate_expectations_counts(spark):
     assert out.loc["v_lt_300", "n_violations"] == 0
     assert not out.loc["between_v", "passed"]
     assert (out["n_rows"] == 4).all()
+
+
+def test_drift_hist_windows_merge_losslessly(spark):
+    """Adjacent emitted windows groupBy-sum to exactly the batch
+    histogram of their union — the mergeable-table contract that lets a
+    continuous stream replace any batch drift read."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = 2000
+    ev = spark.range(n).select(
+        (F.col("id") * 1_000_000).alias("ts_us"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.abs(F.xxhash64("id")) % 100).cast("double").alias("v"),
+    )
+    # batch twin of drift_hist_stream's binning, split in two hours
+    b = F.least(
+        F.lit(15),
+        F.greatest(F.lit(0), F.floor((F.col("v") - 0) * 16 / 100).cast("int")),
+    )
+    per_hour = (
+        ev.select("g", (F.col("ts_us") / 3_600_000_000).cast("long").alias("h"), b.alias("bin"))
+        .groupBy("g", "h", "bin")
+        .agg(F.count("*").alias("n"))
+    )
+    merged = (
+        per_hour.groupBy("g", "bin").agg(F.sum("n").alias("n"))
+        .orderBy("g", "bin")
+        .toPandas()
+    )
+    whole = (
+        ev.select("g", b.alias("bin")).groupBy("g", "bin")
+        .agg(F.count("*").alias("n")).orderBy("g", "bin").toPandas()
+    )
+    assert merged.values.tolist() == whole.values.tolist()
