@@ -2894,8 +2894,11 @@ SELECT h.event_type,
        CAST(max(nr) AS BIGINT) AS n_ref,
        CAST(max(nc) AS BIGINT) AS n_cur,
        CAST(sum(
+         CASE WHEN nr = 0 OR nc = 0 THEN CAST(1000000 AS HUGEINT) * (a + b)
+         ELSE
          (CAST(1000000 AS HUGEINT) * (a * nc - b * nr) * (a * nc - b * nr))
          // (CAST(a + b AS HUGEINT) * nr * nc)
+         END
        ) AS BIGINT) AS chi2_scaled
 FROM h JOIN tot USING (event_type)
 WHERE a + b > 0
@@ -2999,8 +3002,11 @@ SELECT j.event_type, CAST(j.bucket_s AS BIGINT) AS bucket_s,
        CAST(max(nr) AS BIGINT) AS n_ref,
        CAST(max(nc) AS BIGINT) AS n_cur,
        CAST(sum(
+         CASE WHEN nr = 0 OR nc = 0 THEN CAST(1000000 AS HUGEINT) * (a + b)
+         ELSE
          (CAST(1000000 AS HUGEINT) * (a * nc - b * nr) * (a * nc - b * nr))
          // (CAST(a + b AS HUGEINT) * nr * nc)
+         END
        ) AS BIGINT) AS chi2_scaled
 FROM j JOIN tot USING (event_type, bucket_s)
 WHERE a + b > 0
@@ -3044,7 +3050,8 @@ WITH agg AS (
                        OR lang NOT IN ('en','fr','de','es','zh')
                   THEN 1 ELSE 0 END) AS v_in,
          sum(CASE WHEN source IS NULL
-                       OR NOT regexp_matches(CAST(source AS VARCHAR), '^src[0-9]+$')
+                       OR NOT regexp_matches(CAST(source AS VARCHAR),
+                                             '^(?:^src[0-9]+$)$')
                   THEN 1 ELSE 0 END) AS v_re,
          count(doc_id) - count(DISTINCT doc_id) AS v_uq,
          sum(CASE WHEN NOT (length(text) = n_chars) THEN 1 ELSE 0 END) AS v_ex
@@ -3871,9 +3878,6 @@ def q_pcap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pcap round-trip: synthesize packets, encode real capture files
     (4 files: LE/us, LE/ns, BE/us, SLL), decode with the distributed
     read_pcap source, project the packet-event columns."""
-    import shutil
-    import zlib
-
     import pandas as pd
 
     _ensure_package_shipped(spark)
@@ -5526,9 +5530,6 @@ def q_flow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     successor-closed sessions (the trailing open flow per key stays in
     state), so the oracle is the batch session SQL minus each key's last
     session."""
-    import shutil
-    import zlib
-
     _ensure_package_shipped(spark)
     from rustiflow_spark.config import EngineConfig
     from rustiflow_spark.streaming.sessionize_stream import sessionize_packets_stream
@@ -5659,7 +5660,6 @@ def _replay_three_files(ev: DataFrame, name: str, sf_dir: str) -> tuple[str, str
     """Write ev as three time-ranged parquet files with pinned mtimes so a
     FileStreamSource with maxFilesPerTrigger=1 replays them as three
     micro-batches in event-time order. Returns (src, out, ckpt) dirs."""
-    import glob as globmod
     import glob as globmod
     import os
 
@@ -6181,15 +6181,12 @@ def q_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to exactly that set (round-3 verdict item 5)."""
     import glob as globmod
     import os
-    import shutil
-    import zlib
 
     _ensure_package_shipped(spark)
     from rustiflow_spark.streaming.sessionize_stream import sessionize_stream
 
-    base = f"/tmp/rustiflow_evstream_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:x}"
+    base = _tmp_workdir("evstream", sf_dir)
     src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
-    shutil.rmtree(base, ignore_errors=True)
 
     ev = _events(spark, sf_dir).select(
         "user_id", "ts_us", "value", "direction", "terminator", "event_seq"

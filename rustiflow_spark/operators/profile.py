@@ -139,7 +139,7 @@ def histogram_drift(
     keys = [by] if by else []
     width_num, width_den = hi - lo, n_bins  # bin = (x-lo)*n_bins/(hi-lo)
 
-    def hist(df: DataFrame, cname: str) -> DataFrame:
+    def hist(df: DataFrame) -> DataFrame:
         b = F.floor(
             (F.col(value_col).cast("double") - lo) * width_den / width_num
         ).cast("int")
@@ -147,15 +147,11 @@ def histogram_drift(
         return (
             df.select(*keys, b.alias("__bin"))
             .groupBy(*keys, "__bin")
-            .agg(F.count("*").alias(cname))
+            .agg(F.count("*").alias("n"))
         )
 
     return histogram_chi2(
-        hist(ref, "__a").withColumnRenamed("__a", "n"),
-        hist(cur, "__b").withColumnRenamed("__b", "n"),
-        keys,
-        bin_col="__bin",
-        scale=scale,
+        hist(ref), hist(cur), keys, bin_col="__bin", scale=scale
     )
 
 
@@ -189,10 +185,20 @@ def histogram_chi2(
     totals = joined.groupBy(*keys).agg(
         F.sum("__a").alias("__nr"), F.sum("__b").alias("__nc")
     )
+    # a group present on only ONE side (a category appearing in serving
+    # data, or vanishing from it) is the monitor's most important case —
+    # and the raw formula's denominator is 0 there (review finding: ANSI
+    # DIVIDE_BY_ZERO crash). The two-sample chi-square's supremum under
+    # complete separation is exactly N_r + N_c, so one-sided groups take
+    # that limit per-bin (scale * (a+b) sums to scale * (N_r + N_c)):
+    # always above any same-size two-sided statistic, always flagged.
     contrib = F.expr(
-        f"CAST((CAST({int(scale)} AS DECIMAL(38,0))"
+        f"CASE WHEN __nr = 0 OR __nc = 0"
+        f" THEN CAST({int(scale)} AS BIGINT) * (__a + __b)"
+        f" ELSE CAST((CAST({int(scale)} AS DECIMAL(38,0))"
         " * (__a * __nc - __b * __nr) * (__a * __nc - __b * __nr))"
         " div (CAST(__a + __b AS DECIMAL(38,0)) * __nr * __nc) AS BIGINT)"
+        " END"
     )
     scored = (
         joined.join(F.broadcast(totals), keys)
@@ -249,8 +255,11 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         elif kind == "in_set":
             bad = ~F.col(c).isin(list(r["values"])) | F.col(c).isNull()
         elif kind == "regex":
+            # FULL match per the documented contract: rlike alone does
+            # substring search, which silently passes malformed values
+            # like 'xx<match>yy' (review finding) — anchor internally
             bad = (
-                ~F.col(c).cast("string").rlike(r["pattern"])
+                ~F.col(c).cast("string").rlike(f"^(?:{r['pattern']})$")
                 | F.col(c).isNull()
             )
         elif kind == "expr":
@@ -268,6 +277,17 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
             F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(f"__v{i}")
         )
         meta.append((i, name, c, kind))
+    # two rules of the same kind on the same column would collide on the
+    # default name, making output rows indistinguishable — suffix every
+    # member of a duplicated name with its rule index (explicit names
+    # and unique defaults are untouched)
+    from collections import Counter
+
+    counts = Counter(name for _, name, _, _ in meta)
+    meta = [
+        (i, f"{name}_{i}" if counts[name] > 1 else name, c, kind)
+        for i, name, c, kind in meta
+    ]
     one = df.agg(*aggs)
     rows = [
         one.select(

@@ -202,13 +202,11 @@ def ivf_assign(
     aggregates per row. Quantization stays in Catalyst (Spark round is
     HALF_UP; np.round is banker's — computing qe in NumPy would diverge
     on exact halves)."""
-    # K distance evaluations per row dominate a compressed narrow scan:
-    # spread to defaultParallelism first (CLAUDE.md convention; no-op at
-    # real scale)
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    q = df.select(
+    # K distance evaluations per row dominate a compressed narrow scan
+    # (CLAUDE.md convention; no-op at real scale)
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    q = ensure_min_parallelism(df).select(
         F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
     )
     return _assign_qe(q, centroids, mode)
@@ -312,10 +310,9 @@ def ivf_fit(
     # (released in the finally even when seeding or a pass fails).
     # Spread first — the per-row K-distance assignment work would
     # otherwise inherit a compressed narrow scan's few partitions
-    sc = corpus.sparkSession.sparkContext
-    if q.rdd.getNumPartitions() < sc.defaultParallelism:
-        q = q.repartition(sc.defaultParallelism)
-    q = q.persist()
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    q = ensure_min_parallelism(q).persist()
     try:
         if seed_ids is not None:
             seeds = (
@@ -668,11 +665,10 @@ def pq_encode(
     < 2^53, np.argmin first-min == array_position tie-break)."""
     m, k_codes, dsub = codebooks.shape
     # m x k distance evaluations per row dominate a compressed narrow
-    # scan: spread first (CLAUDE.md convention; no-op at real scale)
-    sc = corpus.sparkSession.sparkContext
-    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
-        corpus = corpus.repartition(sc.defaultParallelism)
-    q = corpus.select(
+    # scan (CLAUDE.md convention; no-op at real scale)
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    q = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("__id"), _quant_expr(emb_col).alias("__qe")
     )
     if mode == "catalyst":

@@ -221,3 +221,55 @@ def test_drift_hist_windows_merge_losslessly(spark):
         .agg(F.count("*").alias("n")).orderBy("g", "bin").toPandas()
     )
     assert merged.values.tolist() == whole.values.tolist()
+
+
+def test_histogram_drift_one_sided_group_is_max_not_crash(spark):
+    """A group present on only one side (a NEW category in serving data)
+    must score the complete-separation supremum scale*(n_ref+n_cur), not
+    crash with ANSI DIVIDE_BY_ZERO (review finding)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.profile import histogram_drift
+
+    ref = spark.createDataFrame(
+        pd.DataFrame({"g": ["A"] * 10, "v": [float(i) for i in range(10)]})
+    )
+    cur = spark.createDataFrame(
+        pd.DataFrame(
+            {"g": ["A"] * 10 + ["B"] * 7,
+             "v": [float(i) for i in range(10)] + [50.0] * 7}
+        )
+    )
+    out = histogram_drift(
+        ref, cur, "v", by="g", lo=0, hi=100, n_bins=16
+    ).toPandas().set_index("g")
+    assert out.loc["B", "n_ref"] == 0 and out.loc["B", "n_cur"] == 7
+    assert out.loc["B", "chi2_scaled"] == 1_000_000 * 7
+    assert out.loc["A", "chi2_scaled"] == 0  # identical histograms
+
+
+def test_validate_expectations_regex_full_match(spark):
+    """The regex rule is a FULL match: a value merely CONTAINING a match
+    must count as a violation (review finding: bare rlike is substring
+    search)."""
+    import pandas as pd
+
+    from rustiflow_spark.operators.profile import validate_expectations
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"s": ["src1", "xxsrc1yy", "nope"]})
+    )
+    out = validate_expectations(
+        df, [{"kind": "regex", "col": "s", "pattern": "src[0-9]+"}]
+    ).toPandas()
+    assert out["n_violations"].iloc[0] == 2  # xxsrc1yy AND nope
+    # duplicate default names get index suffixes
+    two = validate_expectations(
+        df,
+        [
+            {"kind": "regex", "col": "s", "pattern": "src[0-9]+"},
+            {"kind": "regex", "col": "s", "pattern": ".*"},
+        ],
+    ).toPandas()
+    assert sorted(two["rule"]) == ["regex_s_0", "regex_s_1"]
