@@ -1065,30 +1065,28 @@ def remove_duplicate_token_spans(
         .agg(F.lit(1).alias("__x"))
         .drop("__x")
     )
-    affected_ids = covered.select("__id").distinct()
-    affected = base.join(affected_ids, "__id", "left_semi")
-    toks = affected.select(
-        "__id", F.posexplode("__t").alias("__pos0", "__tok")
-    ).select("__id", (F.col("__pos0") + 1).alias("__pos"), "__tok")
-    kept = toks.join(covered, ["__id", "__pos"], "left_anti")
-    rebuilt = kept.groupBy("__id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(named_struct("
-            "'p', __pos, 't', __tok))), s -> s.t)"
-        ).alias("__clean")
+    # each affected doc's covered positions fold into ONE bounded array
+    # (<= n_tok entries), and the rewrite is a per-row Catalyst position
+    # filter — no token posexplode, no per-token anti-join shuffle, no
+    # sort-based array rebuild. Measured 191 s -> see BENCH.md on the
+    # worst-case (every doc affected) sf10 fixture.
+    covered_arr = covered.groupBy("__id").agg(
+        F.array_sort(F.collect_set("__pos")).alias("__cov")
     )
-    # untouched docs (no covered position) pass through project-only;
-    # an affected doc absent from `rebuilt` emptied out completely
-    rewritten = base.join(affected_ids, "__id", "left_semi").join(
-        rebuilt, "__id", "left"
+    rewritten = base.join(covered_arr, "__id").select(
+        "__id",
+        F.expr(
+            "filter(transform(sequence(1, size(__t)),"
+            " p -> named_struct('p', p, 't', element_at(__t, p))),"
+            " s -> NOT array_contains(__cov, s.p))"
+        ).alias("__kept"),
+        "__t",
     ).select(
         "__id",
-        F.coalesce("__clean", F.expr("CAST(array() AS array<int>)")).alias(
-            "__out"
-        ),
+        F.expr("transform(__kept, s -> s.t)").alias("__out"),
         "__t",
     )
-    untouched = base.join(affected_ids, "__id", "left_anti").select(
+    untouched = base.join(covered_arr, "__id", "left_anti").select(
         "__id", F.col("__t").alias("__out"), "__t"
     )
     return rewritten.unionByName(untouched).select(
