@@ -3080,6 +3080,69 @@ SELECT * FROM (
 """
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer losslessness as a contract (operators/bpe.py
+    bpe_decode): learn 4 merges, greedily rewrite the corpus, then
+    EXPAND every merge back in reverse order — the per-document
+    position-weighted checksum of decode(encode(corpus)) must equal the
+    checksum of the ORIGINAL tokens, so the oracle is just the direct
+    checksum of the synthesized token arrays (any loss at any position
+    of any document flips the hash). Also returns the encoded length so
+    the row proves the merges actually fired before being inverted."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.bpe import bpe_decode, bpe_learn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '), w -> CAST(length(w) * 31 + ascii(w) AS INT))"
+        ).alias("tokens"),
+    )
+    merges, encoded = bpe_learn(toks, "tokens", n_merges=4, new_id_base=1_000_000)
+    decoded = bpe_decode(
+        encoded.select("doc_id", "tokens", F.size("tokens").alias("n_enc")),
+        "tokens",
+        merges,
+    )
+    return decoded.select(
+        "doc_id",
+        F.col("n_enc").cast("long").alias("n_enc"),
+        F.size("tokens").cast("long").alias("n_dec"),
+        F.expr(
+            "CASE WHEN size(tokens) = 0 THEN 0 ELSE"
+            " aggregate(transform(sequence(1, size(tokens)),"
+            " i -> CAST(i AS BIGINT) * element_at(tokens, i)),"
+            " 0L, (s, x) -> s + x) % 1000000007 END"
+        ).alias("checksum"),
+    )
+
+
+def _bpe_roundtrip_sql(n_merges: int = 4, base: int = 1_000_000) -> str:
+    """The decoded corpus must equal the ORIGINAL: original-token
+    checksums, plus the encoded length replayed from the merge CTEs
+    (_bpe_ctes — same fit replay bpe_encode's oracle uses)."""
+    body = _bpe_ctes(n_merges, base)
+    return f"""{body}
+, fin AS (
+  SELECT doc_id, list_filter(string_split(s, ';'), x -> x <> '') AS l
+  FROM s{n_merges}
+),
+orig AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> CAST(length(t) * 31 + ascii(t) AS INTEGER)) AS tk
+  FROM documents
+)
+SELECT o.doc_id,
+       CAST(len(f.l) AS BIGINT) AS n_enc,
+       CAST(len(o.tk) AS BIGINT) AS n_dec,
+       CAST(coalesce((SELECT sum(CAST(i AS BIGINT) * o.tk[i])
+                      FROM unnest(generate_series(1, len(o.tk))) AS t(i)), 0)
+            % 1000000007 AS BIGINT) AS checksum
+FROM orig o JOIN fin f USING (doc_id)"""
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/encoding.py robust_scale):
     (x - median) / MAD over events.value by event_type, with the LOWER
@@ -7676,7 +7739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/strict_contract.py only: 5 shared-oracle twins whose expected
     # hash IS driver-verified via an in-window sibling (ffill_stream +
     # the *_split prefix-scan family), plus dedup_stream / redact_pii /
-    # tokenize. Everything from flow_rustiflow203 onward is r02-r04
+    # tokenize / bpe_roundtrip (the bpe family already holds two driver
+    # rows; the round-trip losslessness proof rides strict). Everything from flow_rustiflow203 onward is r02-r04
     # driver-green, pytest-covered, and re-verified in full every session
     # by strict_contract (every query DuckDB-oracled, zero rows-only).
     return {
@@ -7750,6 +7814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": q_session_features,
         "similarity_topk": q_similarity_topk,
         "asof_join": q_asof_join,
+        "bpe_roundtrip": q_bpe_roundtrip,
         "ffill_stream": q_ffill_stream,
         "session_features_split": q_session_features_split,
         "backfill_split": q_backfill_split,
@@ -7919,4 +7984,5 @@ def oracle_sql() -> dict[str, str]:
         "histogram_drift": _DRIFT_SQL,
         "drift_stream": _DRIFT_STREAM_SQL,
         "expectations": _EXPECT_SQL,
+        "bpe_roundtrip": _bpe_roundtrip_sql(),
     }

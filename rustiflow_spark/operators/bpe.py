@@ -173,3 +173,30 @@ def bpe_apply(
         if (i + 1) % checkpoint_every == 0:
             cur = cur.localCheckpoint(eager=True)
     return cur
+
+
+def bpe_decode(df: DataFrame, tokens_col: str, merges: list[dict]) -> DataFrame:
+    """Invert bpe_apply: expand every merged id back into its pair, in
+    REVERSE merge order (a later merge may reference an earlier one's
+    new_id, so the last-learned expands first). Each round is one pure
+    Catalyst projection — flatten(transform(t, CASE new_id -> [a, b]))
+    — so decoding is shuffle-free and stacks into a single codegen
+    stage like bpe_apply's forward rounds.
+
+    decode(encode(x)) == x exactly (greedy merges are injective on the
+    sequences they produce): the round-trip is hash-asserted corpus-wide
+    by the dedup_spans... sibling convention in __spark_entry__
+    (q_bpe_roundtrip — the oracle just checksums the ORIGINAL tokens).
+    """
+    cur = df
+    for m in reversed(merges):
+        a, b, nid = int(m["a"]), int(m["b"]), int(m["new_id"])
+        cur = cur.withColumn(
+            tokens_col,
+            F.expr(
+                f"flatten(transform(`{tokens_col}`,"
+                f" t -> CASE WHEN t = {nid} THEN array({a}, {b})"
+                f" ELSE array(t) END))"
+            ),
+        )
+    return cur
