@@ -125,3 +125,26 @@ def test_bpe_apply_plan_is_projection_only(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_bpe_decode_inverts_nested_merges(spark):
+    """decode must expand in REVERSE merge order: a later merge's pair
+    can reference an earlier merge's new_id."""
+    import pandas as pd
+
+    from rustiflow_spark.operators.bpe import bpe_decode, bpe_learn
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "tokens": [[1, 2, 3, 1, 2, 3]] * 4 + [[1, 2], [3]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    merges, enc = bpe_learn(df, "tokens", n_merges=3, new_id_base=1_000_000)
+    assert len(merges) >= 2  # (1,2) then ((1,2),3) chain on this corpus
+    dec = bpe_decode(enc, "tokens", merges).orderBy("doc_id").toPandas()
+    assert [list(t) for t in dec["tokens"]] == [list(t) for t in pdf["tokens"]]
+    # encoded corpus is actually shorter (merges fired before inversion)
+    enc_len = enc.selectExpr("sum(size(tokens))").first()[0]
+    assert enc_len < sum(len(t) for t in pdf["tokens"])
