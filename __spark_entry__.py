@@ -3143,6 +3143,78 @@ SELECT o.doc_id,
 FROM orig o JOIN fin f USING (doc_id)"""
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling (operators/sampling.py
+    negative_samples): 5 negatives per (query, positive) pair over the
+    document id space — hash(query, slot, seed) draws, positives and
+    duplicate draws dropped, first-k by slot order. md5 replay mode; the
+    oracle reproduces the slot explosion, the rank mapping, and both
+    dedup windows. Partition-invariant by construction (no RNG state —
+    the .sample() lesson). Reference analog: none (north-rule
+    training-export component)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.sampling import negative_samples
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.where(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("query_id"), F.col("doc_id").alias("pos_id")
+    )
+    return negative_samples(
+        pairs, docs, "query_id", "pos_id", "doc_id",
+        k=5, seed=7, buffer=8, hash_fn="md5",
+    )
+
+
+def _negative_samples_sql(
+    k: int = 5, seed: int = 7, buffer: int = 8
+) -> str:
+    hexparse = (
+        "("
+        + " + ".join(
+            f"CAST((strpos('0123456789abcdef', substr(hx, {j + 1}, 1)) - 1) AS BIGINT)"
+            f" * {16 ** (14 - j)}"
+            for j in range(15)
+        )
+        + ")"
+    )
+    return f"""
+WITH it AS (SELECT DISTINCT doc_id AS item FROM documents),
+n AS (SELECT count(*) AS n FROM it),
+ranked AS (
+  SELECT item, row_number() OVER (ORDER BY item) - 1 AS r FROM it
+),
+slots AS (
+  SELECT doc_id AS q, doc_id AS pos, unnest(generate_series(0, {k + buffer - 1})) AS slot
+  FROM documents WHERE doc_id < 50
+),
+h AS (
+  SELECT q, pos, slot, {hexparse} % n.n AS r
+  FROM (
+    SELECT q, pos, slot,
+           substr(md5(q || chr(31) || slot || chr(31) || {seed}), 1, 15) AS hx
+    FROM slots
+  ), n
+),
+cand AS (
+  SELECT h.q, h.slot, ranked.item
+  FROM h JOIN ranked USING (r)
+  WHERE ranked.item != h.pos
+),
+dedup AS (
+  SELECT q, slot, item FROM (
+    SELECT q, slot, item,
+           row_number() OVER (PARTITION BY q, item ORDER BY slot) AS dup
+    FROM cand
+  ) WHERE dup = 1
+)
+SELECT q AS query_id, CAST(neg_rank AS BIGINT) AS neg_rank, item AS doc_id
+FROM (
+  SELECT q, item,
+         row_number() OVER (PARTITION BY q ORDER BY slot) AS neg_rank
+  FROM dedup
+) WHERE neg_rank <= {k}"""
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/encoding.py robust_scale):
     (x - median) / MAD over events.value by event_type, with the LOWER
@@ -7814,6 +7886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": q_session_features,
         "similarity_topk": q_similarity_topk,
         "asof_join": q_asof_join,
+        "negative_samples": q_negative_samples,
         "bpe_roundtrip": q_bpe_roundtrip,
         "ffill_stream": q_ffill_stream,
         "session_features_split": q_session_features_split,
@@ -7971,6 +8044,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale": _ROBUST_SCALE_SQL,
         "bpe_merges": _bpe_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "negative_samples": _negative_samples_sql(),
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,
         "decontam": _Q_DECONTAM_SQL,

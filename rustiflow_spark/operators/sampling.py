@@ -270,3 +270,100 @@ def temporal_split(
             .otherwise(F.lit("test"))
         )
     return df.withColumn(split_col, expr)
+
+
+def negative_samples(
+    pairs: DataFrame,
+    items: DataFrame,
+    query_col: str,
+    pos_col: str,
+    item_col: str,
+    k: int,
+    seed: int = 7,
+    buffer: int = 8,
+    hash_fn: str = "xxhash64",
+    dense_ids: bool = False,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every (query, positive) row, draw k pseudo-random corpus items
+    that are not the positive — the (query, positive, negatives) triples
+    a retrieval/embedding trainer consumes. Draws are pure hash
+    arithmetic over (query, slot, seed): partition- and engine-invariant
+    (no RNG state — the .sample() lesson), so the SAME triples come out
+    of any cluster size and a SQL oracle replays them.
+
+    Plan: items get a dense rank ONCE (row_number over the id
+    projection — a narrow global sort of ids only); each pair explodes
+    into k + buffer slots; slot -> hash mod n_items -> rank equi-join
+    against the item table; positives and duplicate draws drop, the
+    first k surviving slots (slot order) are the negatives. With
+    n_items >> k, collisions are rare and the buffer absorbs them; if a
+    query still ends under k the rows that exist are returned (count
+    with the caller, loud by inspection — never silently resampled).
+
+    Output: (query_col, neg_rank 1..k, item_col).
+
+    Reference analog: none (north-rule training-export component;
+    composes with retrieval/hybrid relevance tables).
+    """
+    if k <= 0 or buffer < 0:
+        raise ValueError("negative_samples: k >= 1, buffer >= 0")
+    from pyspark.sql import Window
+
+    it = items.select(F.col(item_col).alias("__item")).distinct()
+    n = it.count()
+    if n < 2:
+        raise ValueError("negative_samples: need at least 2 distinct items")
+    if dense_ids:
+        # THE scale path: ids are 0..n-1, so rank == id and the draw is
+        # pure per-row arithmetic — no rank table, no join. (A 10^9-item
+        # rank table could neither broadcast nor sort in one task.)
+        ranked = None
+    else:
+        # generic ids: dense-rank the ids-only projection once (narrow
+        # global sort — the q_ann_ivf seed-selection trade; map ids to
+        # dense yourself and use dense_ids=True at real scale)
+        ranked = it.withColumn(
+            "__r", F.row_number().over(Window.orderBy("__item")) - 1
+        )
+    slots = pairs.select(
+        F.col(query_col).alias("__q"), F.col(pos_col).alias("__pos")
+    ).select(
+        "__q",
+        "__pos",
+        F.explode(F.expr(f"sequence(0, {k + buffer - 1})")).alias("__slot"),
+    )
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("__q", "__slot", F.lit(int(seed)))
+    elif hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", "__q", "__slot", F.lit(int(seed)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"negative_samples: unknown hash_fn {hash_fn!r}")
+    cand = slots.withColumn("__r", F.pmod(h, F.lit(n)))
+    if ranked is None:
+        cand = cand.withColumn("__item", F.col("__r"))
+    else:
+        cand = cand.join(ranked, "__r")
+    cand = cand.where(F.col("__item") != F.col("__pos"))
+    # first occurrence per (query, item) in slot order, then first k
+    w_item = Window.partitionBy("__q", "__item").orderBy("__slot")
+    w_q = Window.partitionBy("__q").orderBy("__slot")
+    return (
+        cand.withColumn("__dup", F.row_number().over(w_item))
+        .where(F.col("__dup") == 1)
+        .withColumn("neg_rank", F.row_number().over(w_q))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            F.col("__q").alias(query_col),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("__item").alias(item_col),
+        )
+    )

@@ -77,3 +77,36 @@ def test_temporal_split_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_negative_samples_deterministic_and_exclusive(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.sampling import negative_samples
+
+    items = spark.range(100).select(F.col("id").alias("item_id"))
+    pairs = spark.range(10).select(
+        F.col("id").alias("q"), (F.col("id") * 3).alias("pos")
+    )
+    out = negative_samples(
+        pairs, items, "q", "pos", "item_id", k=5
+    ).toPandas()
+    assert len(out) == 50
+    assert out.groupby("q")["item_id"].nunique().eq(5).all()
+    merged = out.merge(
+        pairs.toPandas(), on="q"
+    )
+    assert (merged["item_id"] != merged["pos"]).all(), "positive leaked"
+    # partition-invariant: same triples from a different partitioning
+    out2 = negative_samples(
+        pairs.repartition(7), items.repartition(5), "q", "pos", "item_id", k=5
+    ).toPandas()
+    a = out.sort_values(["q", "neg_rank"]).values.tolist()
+    b = out2.sort_values(["q", "neg_rank"]).values.tolist()
+    assert a == b
+    # dense-id fast path (no rank join) draws the identical triples
+    out3 = negative_samples(
+        pairs, items, "q", "pos", "item_id", k=5, dense_ids=True
+    ).toPandas().sort_values(["q", "neg_rank"]).values.tolist()
+    assert out3 == a

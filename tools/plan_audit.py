@@ -69,6 +69,10 @@ ALLOW = {
     # over 256 x 1 rows; the corpus-sized gram side only ever meets a
     # broadcast HASH join on the bucket id
     "dsir_weights": {"bnlj"},
+    # generic-id mode dense-ranks the ids-only projection (one narrow
+    # global sort, the q_ann_ivf seed trade); dense_ids=True is the
+    # rank-free scale path and is equality-tested against this one
+    "negative_samples": {"global_window"},
     # RRF fuses two ALREADY k-bounded top-k lists (<= ~30 rows): the
     # single-query rank windows + the bm25 single-row totals BNL are all
     # sketch-sized by construction
