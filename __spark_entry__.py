@@ -3051,7 +3051,7 @@ WITH agg AS (
                   THEN 1 ELSE 0 END) AS v_in,
          sum(CASE WHEN source IS NULL
                        OR NOT regexp_matches(CAST(source AS VARCHAR),
-                                             '^(?:^src[0-9]+$)$')
+                                             '^(?:^src[0-9]+$)\\z')
                   THEN 1 ELSE 0 END) AS v_re,
          count(doc_id) - count(DISTINCT doc_id) AS v_uq,
          sum(CASE WHEN NOT (length(text) = n_chars) THEN 1 ELSE 0 END) AS v_ex

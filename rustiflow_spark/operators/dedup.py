@@ -1031,11 +1031,13 @@ def remove_duplicate_token_spans(
     map-side-combined min(struct(id, start)) per gram picks canonicals —
     deliberately an aggregate rather than a rank window, so a boilerplate
     mega-gram (millions of occurrences) costs a combinable min, not a
-    single-reducer sort partition. Only AFFECTED documents (those with a
-    covered position — typically a few percent of the corpus) pay the
-    posexplode -> left_anti -> sorted re-assembly; untouched documents
-    pass through project-only, so the rewrite's heavy path is sized by
-    the duplication rate, not the corpus.
+    single-reducer sort partition. Each AFFECTED document's covered
+    positions fold into ONE bounded array (<= n_tok entries) and the
+    rewrite is a per-row indexed filter lambda — no token posexplode, no
+    per-token join, no array re-assembly; untouched documents pass
+    through project-only, so the rewrite's heavy path is sized by the
+    duplication rate, not the corpus (2.1x at the 100%-duplicated sf10
+    worst case, see BENCH.md).
 
     Reference analog: none (north-rule tokens-payload dedup component;
     Lee et al. 2021's ExactSubstr cut re-expressed relationally).
@@ -1073,17 +1075,13 @@ def remove_duplicate_token_spans(
     covered_arr = covered.groupBy("__id").agg(
         F.array_sort(F.collect_set("__pos")).alias("__cov")
     )
+    # two-argument filter lambda: the index rides the lambda itself
+    # (0-based), no sequence/struct materialization per row
     rewritten = base.join(covered_arr, "__id").select(
         "__id",
         F.expr(
-            "filter(transform(sequence(1, size(__t)),"
-            " p -> named_struct('p', p, 't', element_at(__t, p))),"
-            " s -> NOT array_contains(__cov, s.p))"
-        ).alias("__kept"),
-        "__t",
-    ).select(
-        "__id",
-        F.expr("transform(__kept, s -> s.t)").alias("__out"),
+            "filter(__t, (t, p) -> NOT array_contains(__cov, p + 1))"
+        ).alias("__out"),
         "__t",
     )
     untouched = base.join(covered_arr, "__id", "left_anti").select(

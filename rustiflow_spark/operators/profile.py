@@ -257,9 +257,12 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         elif kind == "regex":
             # FULL match per the documented contract: rlike alone does
             # substring search, which silently passes malformed values
-            # like 'xx<match>yy' (review finding) — anchor internally
+            # like 'xx<match>yy' — anchor internally with \\z, not $
+            # (Java $ matches BEFORE a trailing newline, so 'src1\\n'
+            # would pass a 'src[0-9]+' gate; \\z is end-of-text in both
+            # Java regex and RE2, keeping the oracle bit-aligned)
             bad = (
-                ~F.col(c).cast("string").rlike(f"^(?:{r['pattern']})$")
+                ~F.col(c).cast("string").rlike(f"^(?:{r['pattern']})\\z")
                 | F.col(c).isNull()
             )
         elif kind == "expr":
@@ -279,13 +282,32 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         meta.append((i, name, c, kind))
     # two rules of the same kind on the same column would collide on the
     # default name, making output rows indistinguishable — suffix every
-    # member of a duplicated name with its rule index (explicit names
-    # and unique defaults are untouched)
+    # member of a duplicated DEFAULT name with its rule index. Explicit
+    # names are the caller's contract: silently renaming them would make
+    # a `rule == name` threshold match nothing, so duplicates there
+    # raise instead (review finding).
     from collections import Counter
 
+    explicit = {
+        r.get("name") for r in rules if r.get("name")
+    }
+    dup_explicit = [
+        n for n, c2 in Counter(
+            r.get("name") for r in rules if r.get("name")
+        ).items() if c2 > 1
+    ]
+    if dup_explicit:
+        raise ValueError(
+            f"validate_expectations: duplicate explicit rule names {dup_explicit}"
+        )
     counts = Counter(name for _, name, _, _ in meta)
     meta = [
-        (i, f"{name}_{i}" if counts[name] > 1 else name, c, kind)
+        (
+            i,
+            f"{name}_{i}" if counts[name] > 1 and name not in explicit else name,
+            c,
+            kind,
+        )
         for i, name, c, kind in meta
     ]
     one = df.agg(*aggs)

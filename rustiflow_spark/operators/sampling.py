@@ -283,23 +283,36 @@ def negative_samples(
     buffer: int = 8,
     hash_fn: str = "xxhash64",
     dense_ids: bool = False,
+    n_items: int | None = None,
 ) -> DataFrame:
-    """Deterministic negative sampling for contrastive training pairs:
-    for every (query, positive) row, draw k pseudo-random corpus items
-    that are not the positive — the (query, positive, negatives) triples
-    a retrieval/embedding trainer consumes. Draws are pure hash
-    arithmetic over (query, slot, seed): partition- and engine-invariant
-    (no RNG state — the .sample() lesson), so the SAME triples come out
-    of any cluster size and a SQL oracle replays them.
+    """Deterministic negative sampling for contrastive training: for
+    every QUERY, draw k pseudo-random corpus items that are not any of
+    the query's positives — the (query, negatives) side of the
+    (query, positive, negatives) triples a retrieval/embedding trainer
+    consumes (join the negatives back to the pairs table on query_col
+    for full triples). Draws are pure hash arithmetic over
+    (query, slot, seed): partition- and engine-invariant (no RNG
+    state — the .sample() lesson), so the SAME triples come out of any
+    cluster size and a SQL oracle replays them.
+
+    Exclusion is per-QUERY against ALL the query's positives (pairs may
+    hold several rows per query): positives are folded into one set per
+    query before the draw, so a multi-positive query can never see one
+    of its positives surface as a negative via another pair row (review
+    finding). One negative list comes out per query, not per pair.
 
     Plan: items get a dense rank ONCE (row_number over the id
-    projection — a narrow global sort of ids only); each pair explodes
+    projection — a narrow global sort of ids only); each query explodes
     into k + buffer slots; slot -> hash mod n_items -> rank equi-join
     against the item table; positives and duplicate draws drop, the
     first k surviving slots (slot order) are the negatives. With
-    n_items >> k, collisions are rare and the buffer absorbs them; if a
-    query still ends under k the rows that exist are returned (count
-    with the caller, loud by inspection — never silently resampled).
+    n_items >> k + |positives|, collisions are rare and the buffer
+    absorbs them; if a query still ends under k the rows that exist are
+    returned (count with the caller — never silently resampled).
+
+    dense_ids=True with n_items=N is the 10^9-item path: ids are 0..N-1
+    so rank == id — no rank table, no join, no item scan at all (without
+    n_items the distinct-count still scans items once).
 
     Output: (query_col, neg_rank 1..k, item_col).
 
@@ -310,8 +323,12 @@ def negative_samples(
         raise ValueError("negative_samples: k >= 1, buffer >= 0")
     from pyspark.sql import Window
 
-    it = items.select(F.col(item_col).alias("__item")).distinct()
-    n = it.count()
+    if n_items is not None:
+        n = int(n_items)
+        it = None
+    else:
+        it = items.select(F.col(item_col).alias("__item")).distinct()
+        n = it.count()
     if n < 2:
         raise ValueError("negative_samples: need at least 2 distinct items")
     if dense_ids:
@@ -323,14 +340,22 @@ def negative_samples(
         # generic ids: dense-rank the ids-only projection once (narrow
         # global sort — the q_ann_ivf seed-selection trade; map ids to
         # dense yourself and use dense_ids=True at real scale)
+        if it is None:
+            it = items.select(F.col(item_col).alias("__item")).distinct()
         ranked = it.withColumn(
             "__r", F.row_number().over(Window.orderBy("__item")) - 1
         )
-    slots = pairs.select(
-        F.col(query_col).alias("__q"), F.col(pos_col).alias("__pos")
-    ).select(
+    # fold ALL of a query's positives into one set before the draw
+    per_q = (
+        pairs.select(
+            F.col(query_col).alias("__q"), F.col(pos_col).alias("__pos")
+        )
+        .groupBy("__q")
+        .agg(F.collect_set("__pos").alias("__poss"))
+    )
+    slots = per_q.select(
         "__q",
-        "__pos",
+        "__poss",
         F.explode(F.expr(f"sequence(0, {k + buffer - 1})")).alias("__slot"),
     )
     if hash_fn == "xxhash64":
@@ -352,7 +377,7 @@ def negative_samples(
         cand = cand.withColumn("__item", F.col("__r"))
     else:
         cand = cand.join(ranked, "__r")
-    cand = cand.where(F.col("__item") != F.col("__pos"))
+    cand = cand.where(~F.array_contains("__poss", F.col("__item")))
     # first occurrence per (query, item) in slot order, then first k
     w_item = Window.partitionBy("__q", "__item").orderBy("__slot")
     w_q = Window.partitionBy("__q").orderBy("__slot")

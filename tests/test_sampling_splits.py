@@ -110,3 +110,34 @@ def test_negative_samples_deterministic_and_exclusive(spark):
         pairs, items, "q", "pos", "item_id", k=5, dense_ids=True
     ).toPandas().sort_values(["q", "neg_rank"]).values.tolist()
     assert out3 == a
+
+
+def test_negative_samples_multi_positive_queries(spark):
+    """A query with several positives must never see ANY of them as a
+    negative, and gets ONE k-negative list, not one per pair (review
+    finding: per-pair filtering leaked each pair's positive through the
+    other pair's rows)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.sampling import negative_samples
+
+    items = spark.range(20).select(F.col("id").alias("item_id"))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"q": [1, 1, 2], "pos": [5, 9, 0]})
+    )
+    out = negative_samples(
+        pairs, items, "q", "pos", "item_id", k=15, buffer=30
+    ).toPandas()
+    q1 = out[out["q"] == 1]
+    assert len(q1) == 15  # one list per QUERY
+    assert 5 not in set(q1["item_id"]) and 9 not in set(q1["item_id"])
+    # n_items + dense_ids: no item scan, same draws
+    out2 = negative_samples(
+        pairs, items, "q", "pos", "item_id", k=15, buffer=30,
+        dense_ids=True, n_items=20,
+    ).toPandas()
+    assert (
+        out.sort_values(["q", "neg_rank"]).values.tolist()
+        == out2.sort_values(["q", "neg_rank"]).values.tolist()
+    )
