@@ -3215,6 +3215,52 @@ FROM (
 ) WHERE neg_rank <= {k}"""
 
 
+def q_dsir_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR gate (operators/dsir.py dsir_score_stream): the
+    B-row ratio table is fitted offline (dsir_ratio_table, same fixed-
+    point arithmetic as dsir_weights), then the document stream is
+    scored STATELESSLY under the 3-file availableNow replay — grams
+    never leave their row, the 256 ratios ride the plan as a literal,
+    no streaming state at all. Every streamed document emits exactly
+    one row identical to the batch scorer's, so the oracle IS the batch
+    dsir SQL. Reference analog: none (north-rule data-selection
+    component; the streaming twin of dsir_weights)."""
+    _ensure_package_shipped(spark)
+    from rustiflow_spark.operators.dsir import (
+        dsir_ratio_table,
+        dsir_score_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ratios = (
+        dsir_ratio_table(
+            docs, docs.where(F.col("lang") == "en"), "doc_id", "text",
+            n_buckets=256, scale=1_000_000, hash_fn="md5",
+            arithmetic="fixed",
+        )
+        .orderBy("__b")
+        .collect()
+    )
+    ratio_values = [int(r["__r"]) for r in ratios]
+    ev = docs.select(
+        (F.lit(1_704_067_200_000_000) + F.col("doc_id") * 1_000_000).alias(
+            "ts_us"
+        ),
+        "doc_id",
+        "text",
+    )
+    src, out, ckpt = _replay_three_files(ev, "dsirstream", sf_dir)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    scored = dsir_score_stream(
+        stream, ratio_values, "doc_id", "text",
+        hash_fn="md5", arithmetic="fixed",
+    )
+    _run_available_now(scored, out, ckpt)
+    return spark.read.parquet(out).select("doc_id", "n_feats", "dsir_score")
+
+
 def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group robust scaling (operators/encoding.py robust_scale):
     (x - median) / MAD over events.value by event_type, with the LOWER
@@ -7886,6 +7932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_features": q_session_features,
         "similarity_topk": q_similarity_topk,
         "asof_join": q_asof_join,
+        "dsir_stream": q_dsir_stream,
         "negative_samples": q_negative_samples,
         "bpe_roundtrip": q_bpe_roundtrip,
         "ffill_stream": q_ffill_stream,
@@ -8044,6 +8091,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_scale": _ROBUST_SCALE_SQL,
         "bpe_merges": _bpe_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "dsir_stream": _dsir_sql(),
         "negative_samples": _negative_samples_sql(),
         "pack_chunks": _Q_PACK_SQL,
         "chunk_tokens": _Q_CHUNK_SQL,

@@ -71,47 +71,16 @@ def _gram_buckets(
     return grams.select("__id", F.pmod(h, F.lit(n_buckets)).alias("__b"))
 
 
-def dsir_weights(
-    raw: DataFrame,
-    target: DataFrame,
-    id_col: str,
-    text_col: str,
-    n_buckets: int = 1024,
-    scale: int = 1_000_000,
-    hash_fn: str = "xxhash64",
-    arithmetic: str = "log",
+def _ratio_table(
+    spark, rg: DataFrame, tg: DataFrame, n_buckets: int, scale: int,
+    arithmetic: str,
 ) -> DataFrame:
-    """Per-raw-document DSIR importance score.
-
-    Output: (id_col, n_feats, dsir_score) where n_feats is the document's
-    gram-position count and dsir_score is the log-ratio sum (double,
-    arithmetic='log') or the exact fixed-point linear-ratio sum (bigint,
-    arithmetic='fixed'; each bucket ratio pre-scaled by `scale`).
-    Documents with zero grams score 0.
-
-    Plan shape: target + raw each contribute one explode -> groupBy(B)
-    count (map-side combinable, B-bounded output); the per-bucket ratio
-    table (B rows) broadcasts into the scoring join; the final per-doc
-    sum is the only data-sized aggregation. Smoothing is add-one over
-    the B buckets, so EVERY bucket has a defined ratio — unseen grams
-    fall in a bucket whose counts are just smaller, never a special
-    case.
-    """
-    if arithmetic not in ("log", "fixed"):
-        raise ValueError(f"dsir: unknown arithmetic {arithmetic!r}")
-    sc = raw.sparkSession.sparkContext
-    # explode blowup ~2x words per row + per-gram hashing: spread a
-    # compressed narrow scan BEFORE the per-row work (scan partitions are
-    # sized by COMPRESSED bytes; no-op at real scale)
-    if raw.rdd.getNumPartitions() < sc.defaultParallelism:
-        raw = raw.repartition(sc.defaultParallelism)
-    rg = _gram_buckets(raw, id_col, text_col, n_buckets, hash_fn)
-    tg = _gram_buckets(target, id_col, text_col, n_buckets, hash_fn)
+    """The B-row smoothed (__b, __r) ratio table from raw/target gram
+    streams — the model-fit half shared by dsir_weights (inline) and
+    dsir_ratio_table (standalone, for streaming)."""
     rc = rg.groupBy("__b").agg(F.count("*").alias("__cr"))
     tc = tg.groupBy("__b").agg(F.count("*").alias("__ct"))
-    buckets = raw.sparkSession.range(n_buckets).select(
-        F.col("id").alias("__b")
-    )
+    buckets = spark.range(n_buckets).select(F.col("id").alias("__b"))
     ratios = (
         buckets.join(rc, "__b", "left")
         .join(tc, "__b", "left")
@@ -152,7 +121,48 @@ def dsir_weights(
             f" (CAST(__cr + 1 AS DECIMAL(38,0)) * (__nt + {n_buckets}))"
             " AS BIGINT)"
         )
-    ratios = ratios.select("__b", ratio.alias("__r"))
+    return ratios.select("__b", ratio.alias("__r"))
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+    hash_fn: str = "xxhash64",
+    arithmetic: str = "log",
+) -> DataFrame:
+    """Per-raw-document DSIR importance score.
+
+    Output: (id_col, n_feats, dsir_score) where n_feats is the document's
+    gram-position count and dsir_score is the log-ratio sum (double,
+    arithmetic='log') or the exact fixed-point linear-ratio sum (bigint,
+    arithmetic='fixed'; each bucket ratio pre-scaled by `scale`).
+    Documents with zero grams score 0.
+
+    Plan shape: target + raw each contribute one explode -> groupBy(B)
+    count (map-side combinable, B-bounded output); the per-bucket ratio
+    table (B rows) broadcasts into the scoring join; the final per-doc
+    sum is the only data-sized aggregation. Smoothing is add-one over
+    the B buckets, so EVERY bucket has a defined ratio — unseen grams
+    fall in a bucket whose counts are just smaller, never a special
+    case.
+    """
+    if arithmetic not in ("log", "fixed"):
+        raise ValueError(f"dsir: unknown arithmetic {arithmetic!r}")
+    sc = raw.sparkSession.sparkContext
+    # explode blowup ~2x words per row + per-gram hashing: spread a
+    # compressed narrow scan BEFORE the per-row work (scan partitions are
+    # sized by COMPRESSED bytes; no-op at real scale)
+    if raw.rdd.getNumPartitions() < sc.defaultParallelism:
+        raw = raw.repartition(sc.defaultParallelism)
+    rg = _gram_buckets(raw, id_col, text_col, n_buckets, hash_fn)
+    tg = _gram_buckets(target, id_col, text_col, n_buckets, hash_fn)
+    ratios = _ratio_table(
+        raw.sparkSession, rg, tg, n_buckets, scale, arithmetic
+    )
     scored = (
         rg.join(F.broadcast(ratios), "__b")
         .groupBy("__id")
@@ -186,3 +196,85 @@ def dsir_select(
     a global sort."""
     w = dsir_weights(raw, target, id_col, text_col, **kwargs)
     return w.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(k)
+
+
+def dsir_score_stream(
+    stream: DataFrame,
+    ratio_values: list,
+    id_col: str,
+    text_col: str,
+    hash_fn: str = "xxhash64",
+    arithmetic: str = "log",
+) -> DataFrame:
+    """Streaming DSIR scoring: score an unbounded document stream against
+    a PRE-FITTED ratio table (dsir_ratio_table, trained offline on the
+    reference corpora) — the online data-selection gate in front of an
+    ingestion pipeline. STATELESS by construction: a document's grams
+    never leave its row (no explode, no groupBy — a streaming groupBy
+    would open state per doc id), the B ratios ride the plan as a
+    literal array (B is sketch-sized by design), and the score is one
+    per-row aggregate over the gram array. Works under any trigger /
+    output mode with zero state; rows match dsir_weights'
+    (id, n_feats, dsir_score) exactly, so the batch oracle applies
+    verbatim to the stream's full output.
+
+    ratio_values: the B ratio values indexed by bucket (collect
+    dsir_ratio_table ordered by __b — B integers for 'fixed', doubles
+    for 'log')."""
+    b = len(ratio_values)
+    if b == 0:
+        raise ValueError("dsir_score_stream: empty ratio table")
+    if arithmetic == "fixed":
+        rlit = "array(" + ", ".join(f"{int(v)}L" for v in ratio_values) + ")"
+        zero, typ = "0L", "long"
+    elif arithmetic == "log":
+        rlit = "array(" + ", ".join(repr(float(v)) + "D" for v in ratio_values) + ")"
+        zero, typ = "CAST(0.0 AS DOUBLE)", "double"
+    else:
+        raise ValueError(f"dsir: unknown arithmetic {arithmetic!r}")
+    if hash_fn == "xxhash64":
+        hexp = "xxhash64(g)"
+    elif hash_fn == "md5":
+        hexp = "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        raise ValueError(f"dsir: unknown hash_fn {hash_fn!r}")
+    ws = (
+        f"filter(split(trim(`{text_col}`), ' +'), w -> w != '')"
+    )
+    grams = (
+        f"concat({ws}, CASE WHEN size({ws}) >= 2 THEN"
+        f" transform(sequence(1, size({ws}) - 1),"
+        f" i -> array_join(slice({ws}, i, 2), ' '))"
+        f" ELSE CAST(array() AS array<string>) END)"
+    )
+    score = (
+        f"aggregate(transform({grams},"
+        f" g -> element_at({rlit}, CAST(pmod({hexp}, {b}) AS INT) + 1)),"
+        f" {zero}, (acc, v) -> acc + v)"
+    )
+    return stream.select(
+        F.col(id_col),
+        F.expr(f"CAST(size({grams}) AS BIGINT)").alias("n_feats"),
+        F.expr(score).cast(typ).alias("dsir_score"),
+    )
+
+
+def dsir_ratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+    hash_fn: str = "xxhash64",
+    arithmetic: str = "log",
+) -> DataFrame:
+    """The B-row smoothed ratio table alone (the model-fit half of
+    dsir_weights) — persist/broadcast it once offline, then score any
+    stream or batch against it with dsir_score_stream. Columns:
+    (__b, __r)."""
+    rg = _gram_buckets(raw, id_col, text_col, n_buckets, hash_fn)
+    tg = _gram_buckets(target, id_col, text_col, n_buckets, hash_fn)
+    return _ratio_table(
+        raw.sparkSession, rg, tg, n_buckets, scale, arithmetic
+    )
