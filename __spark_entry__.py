@@ -7856,9 +7856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # retrieval/encoder/PIT/CDC/stream/export families). The 8 that ride
     # tools/strict_contract.py only: 5 shared-oracle twins whose expected
     # hash IS driver-verified via an in-window sibling (ffill_stream +
-    # the *_split prefix-scan family), plus dedup_stream / redact_pii /
-    # tokenize / bpe_roundtrip (the bpe family already holds two driver
-    # rows; the round-trip losslessness proof rides strict). Everything from flow_rustiflow203 onward is r02-r04
+    # the *_split prefix-scan family + dsir_stream, which shares
+    # dsir_weights' oracle AND hash — the stateless stream equals the
+    # batch scorer bit-for-bit), plus dedup_stream / redact_pii /
+    # tokenize / bpe_roundtrip / negative_samples. Everything from flow_rustiflow203 onward is r02-r04
     # driver-green, pytest-covered, and re-verified in full every session
     # by strict_contract (every query DuckDB-oracled, zero rows-only).
     return {
