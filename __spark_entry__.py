@@ -7849,12 +7849,12 @@ FROM events e LEFT JOIN stats st USING (event_type)
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver records correctness rows for the first 50
-    # entries only. 58 queries have never had a driver row; the window
+    # entries only. 61 queries have never had a driver row; the window
     # holds the 50 of them with UNIQUE oracles (the 8 round-4 leftovers,
     # the SemDeDup/token-span/rewrite/repetition/DSIR/PQ/hybrid/drift/
     # expectations family, the Basic/CIDDS/NF schema queries, and the
-    # retrieval/encoder/PIT/CDC/stream/export families). The 8 that ride
-    # tools/strict_contract.py only: 5 shared-oracle twins whose expected
+    # retrieval/encoder/PIT/CDC/stream/export families). The 11 that ride
+    # tools/strict_contract.py only: 6 shared-oracle twins whose expected
     # hash IS driver-verified via an in-window sibling (ffill_stream +
     # the *_split prefix-scan family + dsir_stream, which shares
     # dsir_weights' oracle AND hash — the stateless stream equals the

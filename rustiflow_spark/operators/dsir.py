@@ -238,8 +238,12 @@ def dsir_score_stream(
         hexp = "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)"
     else:
         raise ValueError(f"dsir: unknown hash_fn {hash_fn!r}")
+    # NULL text must score (0, 0) like dsir_weights' left-join coalesce
+    # (review finding: NULL propagates through trim/split/size and the
+    # stream would emit NULL rows the batch twin never produces)
     ws = (
-        f"filter(split(trim(`{text_col}`), ' +'), w -> w != '')"
+        f"filter(split(trim(coalesce(`{text_col}`, '')), ' +'),"
+        " w -> w != '')"
     )
     grams = (
         f"concat({ws}, CASE WHEN size({ws}) >= 2 THEN"
@@ -273,7 +277,11 @@ def dsir_ratio_table(
     dsir_weights) — persist/broadcast it once offline, then score any
     stream or batch against it with dsir_score_stream. Columns:
     (__b, __r)."""
-    rg = _gram_buckets(raw, id_col, text_col, n_buckets, hash_fn)
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    rg = _gram_buckets(
+        ensure_min_parallelism(raw), id_col, text_col, n_buckets, hash_fn
+    )
     tg = _gram_buckets(target, id_col, text_col, n_buckets, hash_fn)
     return _ratio_table(
         raw.sparkSession, rg, tg, n_buckets, scale, arithmetic

@@ -247,6 +247,7 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     for i, r in enumerate(rules):
         kind = r["kind"]
         c = r.get("col")
+        is_explicit = bool(r.get("name"))
         name = r.get("name") or f"{kind}_{c or i}"
         if kind == "not_null":
             bad = F.col(c).isNull()
@@ -272,14 +273,14 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
             aggs.append(
                 (F.count(c) - F.count_distinct(F.col(c))).alias(f"__v{i}")
             )
-            meta.append((i, name, c, kind))
+            meta.append((i, name, c, kind, is_explicit))
             continue
         else:
             raise ValueError(f"validate_expectations: unknown kind {kind!r}")
         aggs.append(
             F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias(f"__v{i}")
         )
-        meta.append((i, name, c, kind))
+        meta.append((i, name, c, kind, is_explicit))
     # two rules of the same kind on the same column would collide on the
     # default name, making output rows indistinguishable — suffix every
     # member of a duplicated DEFAULT name with its rule index. Explicit
@@ -288,9 +289,6 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     # raise instead (review finding).
     from collections import Counter
 
-    explicit = {
-        r.get("name") for r in rules if r.get("name")
-    }
     dup_explicit = [
         n for n, c2 in Counter(
             r.get("name") for r in rules if r.get("name")
@@ -300,15 +298,19 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         raise ValueError(
             f"validate_expectations: duplicate explicit rule names {dup_explicit}"
         )
-    counts = Counter(name for _, name, _, _ in meta)
+    # the flag is PER RULE (a set-membership test would also exempt a
+    # DEFAULT name that happens to equal some other rule's explicit name
+    # — review finding): any duplicated name's default holders get the
+    # index suffix; explicit holders keep their contract name
+    counts = Counter(name for _, name, _, _, _ in meta)
     meta = [
         (
             i,
-            f"{name}_{i}" if counts[name] > 1 and name not in explicit else name,
+            f"{name}_{i}" if counts[name] > 1 and not is_exp else name,
             c,
             kind,
         )
-        for i, name, c, kind in meta
+        for i, name, c, kind, is_exp in meta
     ]
     one = df.agg(*aggs)
     rows = [

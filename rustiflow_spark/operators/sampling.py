@@ -324,6 +324,14 @@ def negative_samples(
     from pyspark.sql import Window
 
     if n_items is not None:
+        if not dense_ids:
+            # an n_items that disagrees with the rank table's true size
+            # would silently draw ranks that match nothing (fewer than k
+            # negatives) or make high ranks undrawable — the shortcut is
+            # only sound when rank == id by construction
+            raise ValueError(
+                "negative_samples: n_items requires dense_ids=True"
+            )
         n = int(n_items)
         it = None
     else:

@@ -273,3 +273,32 @@ def test_validate_expectations_regex_full_match(spark):
         ],
     ).toPandas()
     assert sorted(two["rule"]) == ["regex_s_0", "regex_s_1"]
+
+
+def test_validate_expectations_default_vs_explicit_name_collision(spark):
+    """A DEFAULT name colliding with another rule's EXPLICIT name: the
+    default holder gets the index suffix, the explicit one keeps its
+    contract name (review finding: a set-membership test exempted both)."""
+    import pandas as pd
+
+    from rustiflow_spark.operators.profile import validate_expectations
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, None]}))
+    out = validate_expectations(
+        df,
+        [
+            {"kind": "not_null", "col": "x"},  # default name: not_null_x
+            {"kind": "expr", "name": "not_null_x", "sql": "x IS NOT NULL"},
+        ],
+    ).toPandas()
+    assert sorted(out["rule"]) == ["not_null_x", "not_null_x_0"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate explicit"):
+        validate_expectations(
+            df,
+            [
+                {"kind": "expr", "name": "g", "sql": "x > 0"},
+                {"kind": "expr", "name": "g", "sql": "x < 9"},
+            ],
+        )

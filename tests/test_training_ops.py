@@ -1293,3 +1293,47 @@ def test_semantic_dedup_oversized_cluster_rows_survive(spark):
         big = out.loc[range(6)]
         assert (~big["is_dup"]).all(), pm  # capped cluster: never paired
         assert bool(out.loc[11, "is_dup"]) and out.loc[11, "dup_of"] == 10
+
+
+def test_dsir_stream_scorer_equals_batch_including_null_text(spark):
+    """dsir_score_stream's per-row scorer must be bit-identical to batch
+    dsir_weights on the same fitted ratio table — including NULL text,
+    which must score (0, 0) like the batch left-join coalesce (review
+    finding), not NULL."""
+    from rustiflow_spark.operators.dsir import (
+        dsir_ratio_table,
+        dsir_score_stream,
+        dsir_weights,
+    )
+
+    rng = np.random.RandomState(41)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(vocab[j] for j in rng.randint(0, 50, 20)))
+        for i in range(40)
+    ]
+    rows.append((98, None))
+    rows.append((99, ""))
+    raw = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    target = raw.where("doc_id < 10")
+    for arith in ("fixed", "log"):
+        rt = (
+            dsir_ratio_table(
+                raw, target, "doc_id", "text",
+                n_buckets=64, hash_fn="md5", arithmetic=arith,
+            )
+            .orderBy("__b")
+            .collect()
+        )
+        vals = [r["__r"] for r in rt]
+        batch = dsir_weights(
+            raw, target, "doc_id", "text",
+            n_buckets=64, hash_fn="md5", arithmetic=arith,
+        ).orderBy("doc_id").toPandas()
+        # the "stream" scorer is a pure projection: apply it to the
+        # batch frame — identical rows are exactly the stream guarantee
+        streamed = dsir_score_stream(
+            raw, vals, "doc_id", "text", hash_fn="md5", arithmetic=arith
+        ).orderBy("doc_id").toPandas()
+        assert batch.values.tolist() == streamed.values.tolist(), arith
+        assert streamed.set_index("doc_id").loc[98, "dsir_score"] == 0

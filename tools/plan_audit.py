@@ -32,11 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SKIP = {
     "flow_stream", "session_stream", "rollup_stream", "hll_stream",
     "cms_stream", "hdr_stream", "quality_stream", "dedup_stream",
-    "pit_stream", "ffill_stream", "profile_stream",
+    "pit_stream", "ffill_stream", "profile_stream", "drift_stream",
+    "dsir_stream",
     "pcap_roundtrip",
     # driver-loop learner: one collect per merge iteration by design;
     # rewrite-plan shape asserted in tests/test_bpe.py instead
-    "bpe_merges", "bpe_encode",
+    "bpe_merges", "bpe_encode", "bpe_roundtrip",
 }
 
 # deliberate, documented exceptions: query -> allowed flags
