@@ -240,26 +240,40 @@ def dsir_score_stream(
         raise ValueError(f"dsir: unknown hash_fn {hash_fn!r}")
     # NULL text must score (0, 0) like dsir_weights' left-join coalesce
     # (review finding: NULL propagates through trim/split/size and the
-    # stream would emit NULL rows the batch twin never produces)
-    ws = (
+    # stream would emit NULL rows the batch twin never produces).
+    #
+    # Subexpression binding matters here: with no explode/aggregation
+    # boundary, collapsed projections would INLINE the word-split into
+    # every bigram slice — O(words^2) splits per row (measured 207 s for
+    # 500k docs). Lambda variables evaluate once, so the split and the
+    # gram array are each bound through a single-element transform.
+    ws_expr = (
         f"filter(split(trim(coalesce(`{text_col}`, '')), ' +'),"
         " w -> w != '')"
     )
-    grams = (
-        f"concat({ws}, CASE WHEN size({ws}) >= 2 THEN"
-        f" transform(sequence(1, size({ws}) - 1),"
-        f" i -> array_join(slice({ws}, i, 2), ' '))"
-        f" ELSE CAST(array() AS array<string>) END)"
+    grams_of_w = (
+        "concat(w, CASE WHEN size(w) >= 2 THEN"
+        " transform(sequence(1, size(w) - 1),"
+        " i -> array_join(slice(w, i, 2), ' '))"
+        " ELSE CAST(array() AS array<string>) END)"
     )
-    score = (
-        f"aggregate(transform({grams},"
-        f" g -> element_at({rlit}, CAST(pmod({hexp}, {b}) AS INT) + 1)),"
-        f" {zero}, (acc, v) -> acc + v)"
+    # one pass over the bound gram array computes count AND score
+    both = (
+        f"element_at(transform(array({ws_expr}),"
+        f" w -> transform(array({grams_of_w}),"
+        f" gs -> named_struct("
+        f"'n', size(gs),"
+        f" 's', aggregate(gs, {zero},"
+        f" (acc, g) -> acc + element_at({rlit},"
+        f" CAST(pmod({hexp}, {b}) AS INT) + 1))"
+        f"))[0]), 1)"  # [..] subscript is 0-based; element_at is 1-based
     )
     return stream.select(
-        F.col(id_col),
-        F.expr(f"CAST(size({grams}) AS BIGINT)").alias("n_feats"),
-        F.expr(score).cast(typ).alias("dsir_score"),
+        F.col(id_col), F.expr(both).alias("__o")
+    ).select(
+        id_col,
+        F.col("__o.n").cast("long").alias("n_feats"),
+        F.col("__o.s").cast(typ).alias("dsir_score"),
     )
 
 
