@@ -1439,9 +1439,16 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     seed_ids = [int(r["vec_id"]) for r in seed_rows][:k_codes]
-    books = pq_fit(emb, m=2, k_codes=k_codes, iters=1, seed_ids=seed_ids)
+    # catalyst modes pinned: at this codebook size (m=2, k_codes=4) the
+    # zero-Python expressions beat the Arrow matmul's worker round trip
+    # (A/B at sf1.0: 4.0 s vs 4.7 s best-of-3); modes are bit-identical,
+    # and 'arrow' stays the default for real (large-K) codebooks
+    books = pq_fit(
+        emb, m=2, k_codes=k_codes, iters=1, seed_ids=seed_ids,
+        assign_mode="catalyst",
+    )
     queries = emb.filter(F.col("vec_id") < 4)
-    return pq_adc_topk(emb, queries, books, k=5).select(
+    return pq_adc_topk(emb, queries, books, k=5, encode_mode="catalyst").select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("rank").cast("long").alias("rank"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),

@@ -894,8 +894,8 @@ def semantic_dedup(
     tau_num: int = 4,
     tau_den: int = 5,
     max_cluster_size: int = 10_000,
-    assign_mode: str = "catalyst",
-    pair_mode: str = "catalyst",
+    assign_mode: str = "arrow",
+    pair_mode: str = "arrow",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     web-scale through semantic deduplication"): assign each embedding to
@@ -918,7 +918,9 @@ def semantic_dedup(
     or sample_fraction fit), so the cluster assignment is the same
     bit-replayable expression ann_topk_ivf probes with.
 
-    assign_mode: 'catalyst' (zero-Python, oracle mode) or 'arrow' (one
+    assign_mode (default 'arrow' — the scale path; bit-identical to
+    'catalyst', so oracle hashes cannot move): 'catalyst' (zero-Python,
+    oracle-replay mode) or 'arrow' (one
     exact float64 matmul per batch — THE scale path for SemDeDup-sized
     codebooks, where K is in the thousands and O(K) Catalyst array
     aggregates per row would dominate; both modes are bit-identical, see

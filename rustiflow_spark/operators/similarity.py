@@ -182,10 +182,11 @@ def ivf_assign(
     id_col: str,
     emb_col: str,
     centroids: np.ndarray,
-    mode: str = "catalyst",
+    mode: str = "arrow",
 ) -> DataFrame:
     """Nearest-centroid assignment: (__id, __qe, cluster), ties to the
-    lowest cluster index.
+    lowest cluster index. Default 'arrow' — the scale path; both modes
+    are bit-identical (tested), so the oracle contract holds either way.
 
     mode='catalyst': the zero-Python expression plan (_ivf_dists_expr +
     array_position) — the oracle-replayable path, O(K) array expressions
@@ -264,7 +265,7 @@ def ivf_fit(
     seed_ids: list[int] | None = None,
     sample_fraction: float | None = None,
     sample_seed: int = 7,
-    assign_mode: str = "catalyst",
+    assign_mode: str = "arrow",
 ) -> np.ndarray:
     """Train an IVF codebook: (n_lists, d) int64 centroids in QUANT space.
 
@@ -362,7 +363,7 @@ def ann_topk_ivf(
     centroids: np.ndarray | None = None,
     broadcast_probes: bool = True,
     fit_sample_fraction: float | None = None,
-    assign_mode: str = "catalyst",
+    assign_mode: str = "arrow",
 ) -> DataFrame:
     """IVF-flat approximate top-k: probe the nprobe nearest inverted lists.
 
@@ -600,7 +601,7 @@ def pq_fit(
     seed_ids: list[int] | None = None,
     sample_fraction: float | None = None,
     sample_seed: int = 7,
-    assign_mode: str = "catalyst",
+    assign_mode: str = "arrow",
     dim: int | None = None,
 ) -> np.ndarray:
     """(m, k_codes, d/m) int64 codebooks in QUANT space — one ivf_fit per
@@ -657,7 +658,7 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    mode: str = "catalyst",
+    mode: str = "arrow",
 ) -> DataFrame:
     """(id, codes array<int> of length m). mode='catalyst' is the
     zero-Python oracle path; 'arrow' does m small exact-float64 matmuls
@@ -719,7 +720,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     k: int = 10,
-    encode_mode: str = "catalyst",
+    encode_mode: str = "arrow",
     codes: DataFrame | None = None,
     ivf_centroids: np.ndarray | None = None,
     nprobe: int = 2,
