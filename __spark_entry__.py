@@ -643,11 +643,21 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k similarity search over the embedding column
     (training-data op; JVM-side aggregate/zip_with dot products, built as
     SQL-string lambdas — one parse per expression)."""
+    # norms are per-ROW constants: evaluate them once on each side of the
+    # crossJoin instead of per PAIR (round-5 shape re-ran both sqrt
+    # aggregates for all |queries| x |corpus| pairs — 2 of the 3 HOF
+    # aggregates per pair were loop-invariant; guide §1.2 "per-task
+    # work"). sqrt(agg) per row then multiplied per pair evaluates the
+    # exact same double operations, so cos is bit-identical.
     df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
         "vec_id", "cast(embedding as array<double>) as embedding"
+    ).selectExpr(
+        "vec_id", "embedding",
+        "sqrt(aggregate(transform(embedding, x -> x * x), 0.0D,"
+        " (a, x) -> a + x)) as e_norm",
     )
     queries = df.where("vec_id < 8").selectExpr(
-        "vec_id as query_id", "embedding as q_emb"
+        "vec_id as query_id", "embedding as q_emb", "e_norm as q_norm"
     )
     sims = (
         queries.crossJoin(df)
@@ -657,10 +667,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id as neighbor_id",
             "aggregate(zip_with(q_emb, embedding, (a, b) -> a * b), 0.0D,"
             " (acc, x) -> acc + x)"
-            " / (sqrt(aggregate(transform(q_emb, x -> x * x), 0.0D,"
-            " (a, x) -> a + x))"
-            " * sqrt(aggregate(transform(embedding, x -> x * x), 0.0D,"
-            " (a, x) -> a + x))) as cos",
+            " / (q_norm * e_norm) as cos",
         )
     )
     return (

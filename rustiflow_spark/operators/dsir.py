@@ -77,27 +77,31 @@ def _ratio_table(
 ) -> DataFrame:
     """The B-row smoothed (__b, __r) ratio table from raw/target gram
     streams — the model-fit half shared by dsir_weights (inline) and
-    dsir_ratio_table (standalone, for streaming)."""
-    rc = rg.groupBy("__b").agg(F.count("*").alias("__cr"))
-    tc = tg.groupBy("__b").agg(F.count("*").alias("__ct"))
-    buckets = spark.range(n_buckets).select(F.col("id").alias("__b"))
-    ratios = (
-        buckets.join(rc, "__b", "left")
-        .join(tc, "__b", "left")
-        .select(
-            "__b",
-            F.coalesce("__cr", F.lit(0)).alias("__cr"),
-            F.coalesce("__ct", F.lit(0)).alias("__ct"),
-        )
+    dsir_ratio_table (standalone, for streaming).
+
+    Each side's bucket counts are pulled to the driver (bounded: <= B
+    rows per side, B is sketch-sized) and the smoothed ratio is
+    evaluated over a B-row LOCAL relation with the totals as literals.
+    The round-5 shape left the counts lazy and derived the totals from
+    the same count CTE, so the totals aggregate and the ratio join each
+    re-ran both corpus-wide gram explodes — FOUR corpus passes per fit
+    where two suffice (measured 7.1 s -> 3.2 s fit at sf1.0; guide §5:
+    collect the sketch, never recompute the corpus). The ratio
+    expression itself is unchanged, so values are bit-identical."""
+    rcm = {
+        int(r["__b"]): int(r["n"])
+        for r in rg.groupBy("__b").agg(F.count("*").alias("n")).collect()
+    }
+    tcm = {
+        int(r["__b"]): int(r["n"])
+        for r in tg.groupBy("__b").agg(F.count("*").alias("n")).collect()
+    }
+    # exact integer totals (Python int == the round-5 Spark SUM bigint)
+    nr, nt = sum(rcm.values()), sum(tcm.values())
+    ratios = spark.createDataFrame(
+        [(b, rcm.get(b, 0), tcm.get(b, 0), nr, nt) for b in range(n_buckets)],
+        "__b long, __cr long, __ct long, __nr long, __nt long",
     )
-    # corpus totals from the B-row tables (tiny re-aggregation, no raw
-    # rescan) attached by a B x broadcast(1-row) crossJoin — allowlisted
-    # in the plan audit like temperature_mix/tfidf's single-row totals;
-    # the corpus-sized gram side only ever meets a broadcast HASH join
-    tot = ratios.agg(
-        F.sum("__cr").alias("__nr"), F.sum("__ct").alias("__nt")
-    )
-    ratios = ratios.crossJoin(F.broadcast(tot))
     if arithmetic == "log":
         # each factor cast to double BEFORE the multiply: (ct+1)*(Nr+B)
         # in LONG overflows 2^63 once the raw corpus holds ~10^13+ gram
@@ -143,12 +147,24 @@ def dsir_weights(
     Documents with zero grams score 0.
 
     Plan shape: target + raw each contribute one explode -> groupBy(B)
-    count (map-side combinable, B-bounded output); the per-bucket ratio
-    table (B rows) broadcasts into the scoring join; the final per-doc
-    sum is the only data-sized aggregation. Smoothing is add-one over
-    the B buckets, so EVERY bucket has a defined ratio — unseen grams
-    fall in a bucket whose counts are just smaller, never a special
-    case.
+    count (map-side combinable, B-bounded output) for the FIT; the B-row
+    ratio table is then pulled to the driver (bounded by construction —
+    B is sketch-sized) and the SCORE pass is a pure per-row projection
+    (dsir_score_stream's fold over the doc's own gram array,
+    bit-identical to the round-5 broadcast-join + groupBy plan:
+    pytest-asserted for both arithmetics including NULL text). The
+    round-5 shape paid a second corpus-wide gram explode, a corpus-sized
+    groupBy(__id) shuffle and a corpus-sized id left join purely to
+    reassemble values that never needed to leave their row (optimization
+    guide §2.4); now nothing wider than B rows ever shuffles and the raw
+    corpus is scanned exactly twice (fit + score). Smoothing is add-one
+    over the B buckets, so EVERY bucket has a defined ratio — unseen
+    grams fall in a bucket whose counts are just smaller, never a
+    special case.
+
+    Assumes id_col identifies rows (a duplicated id now scores its own
+    row's text; the round-5 join shape merged duplicate-id grams —
+    fixtures and the contract keep ids unique).
     """
     if arithmetic not in ("log", "fixed"):
         raise ValueError(f"dsir: unknown arithmetic {arithmetic!r}")
@@ -163,21 +179,12 @@ def dsir_weights(
     ratios = _ratio_table(
         raw.sparkSession, rg, tg, n_buckets, scale, arithmetic
     )
-    scored = (
-        rg.join(F.broadcast(ratios), "__b")
-        .groupBy("__id")
-        .agg(F.count("*").alias("n_feats"), F.sum("__r").alias("dsir_score"))
-    )
-    ids = raw.select(F.col(id_col).alias("__id"))
-    out_score = (
-        F.coalesce("dsir_score", F.lit(0)).cast("long")
-        if arithmetic == "fixed"
-        else F.coalesce("dsir_score", F.lit(0.0))
-    )
-    return ids.join(scored, "__id", "left").select(
-        F.col("__id").alias(id_col),
-        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
-        out_score.alias("dsir_score"),
+    # B-row bounded collect (the dsir_stream convention): the fit must
+    # finish before any document can be scored, so this is the pipeline
+    # barrier, not a driver data path
+    vals = [r["__r"] for r in ratios.orderBy("__b").collect()]
+    return dsir_score_stream(
+        raw, vals, id_col, text_col, hash_fn=hash_fn, arithmetic=arithmetic
     )
 
 

@@ -62,16 +62,6 @@ def brute_force_topk(
     )
 
 
-def _bucket_expr(emb_alias: str, planes: np.ndarray) -> "F.Column":
-    planes_lit = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in planes])
-    return F.expr(
-        "aggregate(transform(__planes,"
-        f" p -> IF(aggregate(zip_with({emb_alias}, p, (x, y) -> x * y), 0D,"
-        " (acc, v) -> acc + v) >= 0, 1L, 0L)),"
-        " 0L, (acc, b) -> acc * 2 + b)"
-    ), planes_lit
-
-
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -82,39 +72,125 @@ def ann_topk_lsh(
     n_tables: int = 4,
     seed: int = 11,
     dim: int | None = None,
+    mode: str = "arrow",
 ) -> DataFrame:
     """Approximate cosine top-k via multi-table random-hyperplane LSH.
 
     Candidates = corpus vectors sharing the query's bucket in >=1 of
-    n_tables hash tables; exact cosine is computed only on candidates."""
+    n_tables hash tables; exact cosine is computed only on candidates.
+
+    Plan shape: ALL n_tables buckets (and the vector norm) are computed
+    in ONE pass per row and posexploded to (table_id, bucket) — the
+    round-5 shape unioned n_tables separate scans of the corpus, paying
+    the parquet decode and scan setup n_tables times, and re-derived
+    both norms per candidate PAIR (guide §2.4 / §1.2). posexplode's
+    0-based position IS the old table_id literal.
+
+    mode='arrow' (default, the scale path): one Arrow batch pass
+    computes every plane dot with the SAME left-to-right fold order as
+    the Catalyst aggregate — vectorized across rows but sequential over
+    dimensions (acc += q[j] * p[j] for j in 0..d-1), so every
+    intermediate double is bit-identical to the HOF fold and the >= 0
+    sign test (hence the candidate set, hence the output) cannot
+    diverge. np.sqrt and Math.sqrt are both IEEE-correctly-rounded, so
+    the norms match too. mode='catalyst' is the zero-Python
+    expression-tree twin (oracle-replay shape); equality of the two is
+    pytest-asserted."""
     first = corpus.select(F.size(emb_col).alias("d")).first()
     d = dim or (first["d"] if first else 0)
+    # NB: corpus and query sides must see the SAME plane sequence
     rng = np.random.RandomState(seed)
+    all_planes = [rng.randn(n_planes, d) for _ in range(n_tables)]
+    if mode not in ("arrow", "catalyst"):
+        raise ValueError(f"ann_topk_lsh: unknown mode {mode!r}")
+    # T*P plane dots per row dominate a compressed narrow scan
+    # (CLAUDE.md convention; no-op at real scale)
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    corpus = ensure_min_parallelism(corpus)
+
+    def bucket_col(emb_alias: str, planes: np.ndarray):
+        planes_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+        )
+        return F.aggregate(
+            F.transform(
+                planes_lit,
+                lambda p: F.when(
+                    F.aggregate(
+                        F.zip_with(F.col(emb_alias), p, lambda x, y: x * y),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    >= 0,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        )
+
+    # (n_tables * n_planes, d) plane matrix for the Arrow path
+    Pm = np.concatenate(all_planes, axis=0) if all_planes else np.zeros((0, d))
+
+    def arrow_buckets(id_alias: str):
+        e = f"__e_{id_alias}"
+        nrm = f"__n_{id_alias}"
+
+        def per_batch(it):
+            import pandas as pd
+
+            for pdf in it:
+                n = len(pdf)
+                if n == 0:
+                    pdf[nrm] = np.array([], dtype="float64")
+                    pdf["__bks"] = []
+                    yield pdf
+                    continue
+                Q = np.asarray(pdf[e].tolist(), dtype=np.float64)
+                # exact replay of the Catalyst left fold: vectorized over
+                # rows, SEQUENTIAL over dimensions — each per-plane acc
+                # is ((0 + q0*p0) + q1*p1) + ... like aggregate()
+                acc = np.zeros((n, Pm.shape[0]))
+                nacc = np.zeros(n)
+                for j in range(Q.shape[1]):
+                    acc += Q[:, j : j + 1] * Pm[None, :, j]
+                    nacc += Q[:, j] * Q[:, j]
+                bits = (acc >= 0).astype(np.int64).reshape(n, n_tables, n_planes)
+                buckets = np.zeros((n, n_tables), dtype=np.int64)
+                for p in range(n_planes):
+                    buckets = buckets * 2 + bits[:, :, p]
+                out = pdf.copy()
+                out[nrm] = np.sqrt(nacc)
+                out["__bks"] = list(buckets)
+                yield out
+
+        return per_batch
 
     def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        e = f"__e_{id_alias}"
         out = df.select(
             F.col(id_col).alias(id_alias),
-            F.col(emb_col).cast("array<double>").alias(f"__e_{id_alias}"),
+            F.col(emb_col).cast("array<double>").alias(e),
         )
-        tables = []
-        for t in range(n_tables):
-            planes = rng.randn(n_planes, d)
-            expr, planes_lit = _bucket_expr(f"__e_{id_alias}", planes)
-            tables.append(
-                out.withColumn("__planes", planes_lit)
-                .withColumn("bucket", expr)
-                .withColumn("table_id", F.lit(t))
-                .drop("__planes")
+        if mode == "arrow":
+            out = out.mapInPandas(
+                arrow_buckets(id_alias),
+                schema=f"{id_alias} long, {e} array<double>,"
+                f" __n_{id_alias} double, __bks array<long>",
             )
-        res = tables[0]
-        for t in tables[1:]:
-            res = res.unionByName(t)
-        return res
+            return out.select(
+                "*", F.posexplode("__bks").alias("table_id", "bucket")
+            ).drop("__bks")
+        out = out.withColumn(f"__n_{id_alias}", _norm(e))
+        return out.select(
+            "*",
+            F.posexplode(
+                F.array(*[bucket_col(e, p) for p in all_planes])
+            ).alias("table_id", "bucket"),
+        )
 
-    # NB: the two with_buckets calls must see the SAME plane sequence
-    rng = np.random.RandomState(seed)
     cb = with_buckets(corpus, "neighbor_id")
-    rng = np.random.RandomState(seed)
     qb = with_buckets(queries, "query_id")
 
     cands = (
@@ -123,7 +199,7 @@ def ann_topk_lsh(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     cos = _dot("__e_query_id", "__e_neighbor_id") / (
-        _norm("__e_query_id") * _norm("__e_neighbor_id")
+        F.col("__n_query_id") * F.col("__n_neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

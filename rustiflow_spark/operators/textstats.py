@@ -272,11 +272,18 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     > 0.20, dup-3-gram char fraction > 0.18); thresholds stay with the
     caller so the stats compose with quality_features' filter chain.
 
-    Plan: three explode -> two-level groupBy pyramids (word / 2-gram /
-    3-gram), each with map-side partial aggregation, joined back per doc.
-    The per-(doc, gram) intermediate is the classic word-count shape —
-    fully streamable, no per-doc state beyond the hash agg. Empty or
-    sub-gram-length docs survive via left joins with zero/0.0 fills.
+    Plan: every statistic here is a function of ONE document's word
+    sequence, so the whole operator is a zero-shuffle projection — per
+    row, each gram family is sorted (array_sort) and its multiplicity
+    profile read off the runs with a single aggregate() fold (max run =
+    top-gram count, run starts = distinct count, runs >= 2 = duplicated
+    positions). No explode, no groupBy, no join: the round-5 pyramid
+    shape shuffled one (doc, gram) pair per gram position — at 100 TB
+    that is the corpus's entire token stream crossing the network three
+    times for values that never leave their row (optimization guide §2.3
+    "shuffle fewer bytes" taken to its fixed point, §2.4 "remove
+    shuffles outright"). Values are bit-identical: same integer counts,
+    same when(den>0)/otherwise(0.0) division.
 
     Reference analog: none (north-rule text-quality component;
     quality_features above holds the non-repetition Gopher signals).
@@ -288,43 +295,60 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.split(F.trim(F.col(text_col)), r" +"), lambda w: w != ""
         ).alias("__ws"),
     )
-    # explode blowup ~n_words per row: spread a compressed narrow scan
+    # per-row sort/fold work dominates a compressed narrow scan: spread
+    # (CLAUDE.md convention; no-op at real scale)
     if base.rdd.getNumPartitions() < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism)
-    # no persist: each gram pyramid re-reads the pruned (id, text) scan —
-    # at 100 TB re-scanning two columns beats caching the word arrays
 
-    def gram_counts(n: int):
+    def grams(n: int) -> str:
+        # same construction as the round-5 pyramids: space-joined slices
         if n == 1:
-            g = F.explode("__ws")
-        else:
-            g = F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(__ws) - {n - 1}),"
-                    f" i -> array_join(slice(__ws, i, {n}), ' '))"
-                )
-            )
+            return "__ws"
         return (
-            base.where(F.size("__ws") >= n)
-            .select("__id", g.alias("__g"))
-            .groupBy("__id", "__g")
-            .agg(F.count("*").alias("__c"))
+            f"IF(size(__ws) >= {n}, transform(sequence(1, size(__ws) - {n - 1}),"
+            f" i -> array_join(slice(__ws, i, {n}), ' ')),"
+            " CAST(array() AS array<string>))"
         )
 
-    uni = gram_counts(1).groupBy("__id").agg(
-        F.sum("__c").alias("n_words"),
-        F.count("*").alias("__n_distinct"),
-        F.max("__c").alias("__top_word"),
+    def top_run(arr: str) -> str:
+        """max multiplicity over the sorted gram array (= max per-gram
+        count); 0 for empty arrays."""
+        return (
+            f"aggregate(array_sort({arr}),"
+            " named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'b', 0L),"
+            " (s, x) -> IF(s.p IS NOT NULL AND x = s.p,"
+            "   named_struct('p', x, 'r', s.r + 1L, 'b', GREATEST(s.b, s.r + 1L)),"
+            "   named_struct('p', x, 'r', 1L, 'b', GREATEST(s.b, 1L))),"
+            " s -> s.b)"
+        )
+
+    # distinct words + top-word count in one fold ('d' counts run starts)
+    uni_fold = (
+        "aggregate(array_sort(__ws),"
+        " named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'b', 0L, 'd', 0L),"
+        " (s, x) -> IF(s.p IS NOT NULL AND x = s.p,"
+        "   named_struct('p', x, 'r', s.r + 1L, 'b', GREATEST(s.b, s.r + 1L), 'd', s.d),"
+        "   named_struct('p', x, 'r', 1L, 'b', GREATEST(s.b, 1L), 'd', s.d + 1L)),"
+        " s -> named_struct('b', s.b, 'd', s.d))"
     )
-    bi = gram_counts(2).groupBy("__id").agg(
-        F.sum("__c").alias("__n_bi"),
-        F.max("__c").alias("__top_bi"),
+    # duplicated 3-gram positions: sum of run lengths >= 2 (flush the
+    # open run in the finish lambda)
+    dup_tri_fold = (
+        f"aggregate(array_sort({grams(3)}),"
+        " named_struct('p', CAST(NULL AS STRING), 'r', 0L, 'a', 0L),"
+        " (s, x) -> IF(s.p IS NOT NULL AND x = s.p,"
+        "   named_struct('p', x, 'r', s.r + 1L, 'a', s.a),"
+        "   named_struct('p', x, 'r', 1L, 'a', s.a + IF(s.r >= 2L, s.r, 0L))),"
+        " s -> s.a + IF(s.r >= 2L, s.r, 0L))"
     )
-    tri = gram_counts(3).groupBy("__id").agg(
-        F.sum("__c").alias("__n_tri"),
-        F.sum(F.when(F.col("__c") >= 2, F.col("__c")).otherwise(0)).alias(
-            "__dup_tri"
-        ),
+    stats = base.select(
+        "__id",
+        F.expr("CAST(size(__ws) AS BIGINT)").alias("n_words"),
+        F.expr(uni_fold).alias("__u"),
+        F.expr(top_run(grams(2))).alias("__top_bi"),
+        F.expr(f"CAST(IF(size(__ws) >= 2, size(__ws) - 1, 0) AS BIGINT)").alias("__n_bi"),
+        F.expr(dup_tri_fold).alias("__dup_tri"),
+        F.expr(f"CAST(IF(size(__ws) >= 3, size(__ws) - 2, 0) AS BIGINT)").alias("__n_tri"),
     )
 
     def frac(num, den):
@@ -333,30 +357,11 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             .otherwise(F.lit(0.0))
         )
 
-    out = (
-        base.select("__id")
-        .join(uni, "__id", "left")
-        .join(bi, "__id", "left")
-        .join(tri, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
-            frac(
-                F.coalesce("__n_distinct", F.lit(0)),
-                F.coalesce("n_words", F.lit(0)),
-            ).alias("distinct_word_frac"),
-            frac(
-                F.coalesce("__top_word", F.lit(0)),
-                F.coalesce("n_words", F.lit(0)),
-            ).alias("top_word_frac"),
-            frac(
-                F.coalesce("__top_bi", F.lit(0)),
-                F.coalesce("__n_bi", F.lit(0)),
-            ).alias("top_bigram_frac"),
-            frac(
-                F.coalesce("__dup_tri", F.lit(0)),
-                F.coalesce("__n_tri", F.lit(0)),
-            ).alias("dup_trigram_frac"),
-        )
+    return stats.select(
+        F.col("__id").alias(id_col),
+        F.col("n_words"),
+        frac(F.col("__u.d"), F.col("n_words")).alias("distinct_word_frac"),
+        frac(F.col("__u.b"), F.col("n_words")).alias("top_word_frac"),
+        frac(F.col("__top_bi"), F.col("__n_bi")).alias("top_bigram_frac"),
+        frac(F.col("__dup_tri"), F.col("__n_tri")).alias("dup_trigram_frac"),
     )
-    return out

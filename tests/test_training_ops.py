@@ -1063,6 +1063,34 @@ def test_ivf_assign_arrow_matches_catalyst_including_ties(spark):
     assert a.values.tolist() == b.values.tolist()
 
 
+def test_ann_lsh_modes_identical(spark):
+    """ann_topk_lsh mode='arrow' (vectorized-across-rows, sequential-
+    over-dims plane dots) must reproduce mode='catalyst' (HOF fold)
+    bit-for-bit: same buckets -> same candidates -> same cosines."""
+    from rustiflow_spark.operators.similarity import ann_topk_lsh
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(200),
+            "embedding": [rng.randn(16).tolist() for _ in range(200)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.where("vec_id < 4")
+    cat = (
+        ann_topk_lsh(df, q, k=5, n_planes=4, n_tables=3, mode="catalyst")
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    arr = (
+        ann_topk_lsh(df, q, k=5, n_planes=4, n_tables=3, mode="arrow")
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert cat.values.tolist() == arr.values.tolist()
+
+
 def test_dsir_upweights_target_like_documents(spark):
     from rustiflow_spark.operators.dsir import dsir_select, dsir_weights
 
