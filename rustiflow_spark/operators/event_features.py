@@ -657,7 +657,20 @@ def sessionize_events_catalyst(
     ws = f"PARTITION BY {kq}, __sid ORDER BY {ob}"
     allf = "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
     prev = "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
-    win_exprs = [f"last(__t) OVER ({ws} {allf}) as __term_last"]
+    # __term_last (per-ROW session-constant terminator flag) is only
+    # consumed per row by the active_idle span kernel; every other use is
+    # the per-SESSION `__term > 0` test, which max(__t) answers in the
+    # aggregate: a positive __t cuts the session immediately after its
+    # row, so only the last row of a session can be positive and
+    # max(__t) > 0 <=> last(__t) > 0. Skipping the window expression
+    # drops a whole Window pass from the pruned plan (guide §1.2 — the
+    # bench shape runs 2 window passes instead of 3; measured ~1.3x at
+    # sf1.0).
+    win_exprs = (
+        [f"last(__t) OVER ({ws} {allf}) as __term_last"]
+        if "active_idle" in want
+        else []
+    )
     post_exprs = []
     if "active_idle" in want:
         win_exprs += [
@@ -709,7 +722,8 @@ def sessionize_events_catalyst(
         "count(*) as event_count",
         f"count({vf}) as fwd_event_count",
         f"count({vb}) as bwd_event_count",
-        "max(__term_last) as __term",
+        "max(__term_last) as __term" if "active_idle" in want
+        else "max(__t) as __term",
     ])
     if "active_idle" in want:
         st(dk, "active")
