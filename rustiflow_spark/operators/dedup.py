@@ -708,7 +708,14 @@ def _gram_spans(
     if base.rdd.getNumPartitions() < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism)
     base = base.withColumn("n_tok", F.size("__t"))
-    gram = f"array_join(slice(__t, s, {window}), ',')"
+    # key by the token-slice ARRAY itself, not a comma-joined string:
+    # identical equivalence classes (the comma join is injective on int
+    # arrays) but no per-span string materialization — at one span per
+    # token position that was the corpus's whole token stream rebuilt as
+    # strings twice per pass (guide §1.2 per-task work). Shuffle rows
+    # stay compact ints; xxhash64 hashes the array directly in the
+    # production mode.
+    gram = f"slice(__t, s, {window})"
     key = f"xxhash64({gram})" if use_hash else gram
     spans = base.where(F.col("n_tok") >= window).select(
         "__id",

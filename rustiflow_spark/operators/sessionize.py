@@ -128,6 +128,17 @@ def sessionize_packets(
     scan_times, flush_ts = compute_timeline(df, "ts_us", cfg, flush_ts=flush_ts)
 
     keyed = with_canonical_key(df)
+    # mapInPandas/applyInPandas are opaque to Catalyst's column pruning:
+    # everything still on the frame is shuffled, sorted AND shipped
+    # through Arrow. The kernel only reads the canonical key + the int
+    # feature columns — the directed src/dst endpoints are dead after
+    # canonicalization, so drop them here (guide §2.3 / §4.1: an
+    # explicit select before an opaque function is the only pruning that
+    # reaches it; 2 strings + 2 ints per packet off the exchange).
+    _kernel_in = list(dict.fromkeys(
+        _KEY_COLS + _INT_COLS + ["icmp_type", "icmp_code", "dir_a"]
+    ))
+    keyed = keyed.select(*_kernel_in)
     if engine == "simple":
         if num_partitions:
             keyed = keyed.repartition(num_partitions, *_KEY_COLS)
