@@ -5838,6 +5838,8 @@ def _tmp_workdir(name: str, sf_dir: str) -> str:
     shutil.rmtree(base, ignore_errors=True)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     prefix = base.rsplit("_", 1)[0]
+    import time as timemod
+
     for stale in globmod.glob(f"{prefix}_*"):
         m = re.match(r".*_(\d+)$", stale)
         if not m or stale == base:
@@ -5846,8 +5848,18 @@ def _tmp_workdir(name: str, sf_dir: str) -> str:
             os.kill(int(m.group(1)), 0)  # raises if the owner is gone
         except ProcessLookupError:
             shutil.rmtree(stale, ignore_errors=True)
+            continue
         except PermissionError:
-            pass  # alive under another uid: leave it
+            pass  # alive under another uid: leave it (unless ancient)
+        # age gate (round-5 ADVICE): a recycled PID owned by any live
+        # process would keep a stale dir forever on busy hosts — a dir
+        # untouched for a day is from a finished run regardless of what
+        # now owns its PID (live runs touch their dirs continuously)
+        try:
+            if timemod.time() - os.path.getmtime(stale) > 86_400:
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass
     return base
 
 

@@ -48,7 +48,12 @@ def merge_upsert(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    keys_touched = latest.select(*key_cols)
+    # the anti-join probe only needs the SET of touched keys — derive it
+    # with a distinct (map-side-combinable hash aggregate) instead of
+    # reusing `latest`: a DataFrame consumed twice is computed twice, so
+    # the round-5 shape ran the changeset rank window once per branch
+    # (guide §1.2; the distinct's key set is identical to latest's)
+    keys_touched = changes.select(*key_cols).distinct()
     if delete_col is not None:
         upserts = latest.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
             delete_col

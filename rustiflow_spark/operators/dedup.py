@@ -700,8 +700,16 @@ def _gram_spans(
     dup_keys(gk)). use_hash picks xxhash64 (production) vs the verbatim
     comma-joined gram string (oracle replay)."""
     sc = df.sparkSession.sparkContext
+    # NULL token arrays: coalesce to empty so n_tok is 0, not the
+    # non-ANSI size(NULL) = -1 the oracle would score as NULL (round-5
+    # ADVICE; matches dsir_score_stream's NULL-text handling). The empty
+    # literal is cast to the column's own element type.
+    tok_type = df.schema[tokens_col].dataType.simpleString()
     base = df.select(
-        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__t")
+        F.col(id_col).alias("__id"),
+        F.coalesce(
+            F.col(tokens_col), F.expr(f"CAST(array() AS {tok_type})")
+        ).alias("__t"),
     )
     # explode blowup ~n_tok per row: spread a compressed narrow scan
     # (scan partitions are sized by COMPRESSED bytes; no-op at real scale)

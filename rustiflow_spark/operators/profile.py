@@ -144,6 +144,14 @@ def histogram_drift(
             (F.col(value_col).cast("double") - lo) * width_den / width_num
         ).cast("int")
         b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+        # NULL values get a DEDICATED bin (-1): a NULL bin key would
+        # never match itself across the full-outer join (null-unsafe
+        # equality), so equal NULL mass on both sides scored as
+        # complete-separation drift — a monitor column that merely
+        # contains NULLs reported false drift (round-5 ADVICE). NULL
+        # `by` GROUP keys are still dropped by the equi-joins; map NULL
+        # groups to a sentinel upstream if they must be monitored.
+        b = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(b)
         return (
             df.select(*keys, b.alias("__bin"))
             .groupBy(*keys, "__bin")

@@ -824,10 +824,16 @@ def pq_adc_topk(
     if codes is None:
         codes = pq_encode(corpus, codebooks, id_col, emb_col, mode=encode_mode)
     if ivf_centroids is not None:
-        lists = ivf_assign(
-            corpus, id_col, emb_col, ivf_centroids, mode=encode_mode
-        ).select("__id", F.col("cluster").alias("list_id"))
-        codes = codes.join(lists, "__id")
+        if "list_id" in codes.columns:
+            # pre-encoded deployment shape: the codes table already
+            # carries its list assignment — re-deriving it would rescan
+            # the raw corpus and collide on the column (round-5 ADVICE)
+            pass
+        else:
+            lists = ivf_assign(
+                corpus, id_col, emb_col, ivf_centroids, mode=encode_mode
+            ).select("__id", F.col("cluster").alias("list_id"))
+            codes = codes.join(lists, "__id")
         qp = (
             queries.select(
                 F.col(id_col).alias("query_id"),

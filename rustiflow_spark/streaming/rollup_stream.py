@@ -366,6 +366,9 @@ def drift_hist_stream(
         (F.col(value_col).cast("double") - lo) * n_bins / (hi - lo)
     ).cast("int")
     b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+    # NULL values -> dedicated bin -1, matching histogram_drift's batch
+    # binning (round-5 ADVICE: a NULL bin key never joins across sides)
+    b = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(b)
     win = F.window(F.col("__ts"), f"{width_s} seconds")
     return (
         stream.withColumn("__ts", F.timestamp_micros(F.col(ts_us_col)))

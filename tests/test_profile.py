@@ -302,3 +302,18 @@ def test_validate_expectations_default_vs_explicit_name_collision(spark):
                 {"kind": "expr", "name": "g", "sql": "x < 9"},
             ],
         )
+
+
+def test_histogram_drift_null_values_match_across_sides(spark):
+    """Equal NULL mass on both sides must NOT score as drift: NULLs bin
+    to a dedicated -1 bucket that joins across sides (round-5 ADVICE —
+    a NULL bin key never matches itself in the full-outer join, so the
+    old binning scored complete separation for identical inputs)."""
+    from rustiflow_spark.operators.profile import histogram_drift
+
+    pdf = pd.DataFrame({"v": [1.0, 2.0, None, None, 50.0]})
+    ref = spark.createDataFrame(pdf)
+    cur = spark.createDataFrame(pdf)
+    out = histogram_drift(ref, cur, "v", lo=0, hi=100, n_bins=4).toPandas()
+    assert out["n_ref"].iloc[0] == 5 and out["n_cur"].iloc[0] == 5
+    assert out["chi2_scaled"].iloc[0] == 0  # identical incl. NULL mass
