@@ -71,31 +71,102 @@ def _gram_buckets(
     return grams.select("__id", F.pmod(h, F.lit(n_buckets)).alias("__b"))
 
 
+# Spark SQL trim() strips ONLY the space character from both ends (not
+# tabs/newlines/Unicode whitespace — Python str.strip() would differ);
+# the Arrow fit must replay Spark's trim exactly
+_SQL_TRIM_CHARS = " "
+
+
+def _bucket_count_map(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int, hash_fn: str
+) -> dict[int, int]:
+    """{bucket: gram count} over one corpus — the fit half's only input.
+
+    md5 (the oracle-replay hash) counts via one mapInPandas pass that
+    np.bincounts each Arrow batch into a B-long partial histogram
+    (guide §4.2: the per-gram work is hashing, which hashlib does in C;
+    the round-5 explode materialized one JVM row per gram position just
+    to count it — the corpus's whole gram stream through a Generate +
+    hash aggregate). Word split replays Spark bit-for-bit: SQL trim
+    (space chars only), literal-space regex, empties dropped; md5 and
+    integer counts are engine-independent, so the map is identical to
+    the explode fit (pytest-asserted). xxhash64 (production) has no
+    Python twin — it keeps the explode + map-side-combined groupBy.
+    """
+    if hash_fn == "md5":
+        import hashlib
+        import re as remod
+
+        pat = remod.compile(" +")
+        B = int(n_buckets)
+
+        def per_batch(it):
+            import numpy as np
+            import pandas as pd
+
+            counts = np.zeros(B, dtype=np.int64)
+            for pdf in it:
+                for s in pdf[text_col]:
+                    if s is None:
+                        continue
+                    ws = [
+                        w
+                        for w in pat.split(s.strip(_SQL_TRIM_CHARS))
+                        if w
+                    ]
+                    for g in ws:
+                        counts[
+                            int(
+                                hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
+                                16,
+                            )
+                            % B
+                        ] += 1
+                    for a, b in zip(ws, ws[1:]):
+                        counts[
+                            int(
+                                hashlib.md5(
+                                    (a + " " + b).encode("utf-8")
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            % B
+                        ] += 1
+            yield pd.DataFrame(
+                {"__b": np.arange(B, dtype=np.int64), "n": counts}
+            )
+
+        from rustiflow_spark.parallelism import ensure_min_parallelism
+
+        partials = ensure_min_parallelism(
+            df.select(F.col(text_col))
+        ).mapInPandas(per_batch, schema="__b long, n long")
+        rows = partials.groupBy("__b").agg(F.sum("n").alias("n")).collect()
+        return {int(r["__b"]): int(r["n"]) for r in rows if int(r["n"])}
+    g = _gram_buckets(df, id_col, text_col, n_buckets, hash_fn)
+    return {
+        int(r["__b"]): int(r["n"])
+        for r in g.groupBy("__b").agg(F.count("*").alias("n")).collect()
+    }
+
+
 def _ratio_table(
-    spark, rg: DataFrame, tg: DataFrame, n_buckets: int, scale: int,
-    arithmetic: str,
+    spark, rcm: dict[int, int], tcm: dict[int, int], n_buckets: int,
+    scale: int, arithmetic: str,
 ) -> DataFrame:
-    """The B-row smoothed (__b, __r) ratio table from raw/target gram
-    streams — the model-fit half shared by dsir_weights (inline) and
+    """The B-row smoothed (__b, __r) ratio table from raw/target bucket
+    count maps — the model-fit half shared by dsir_weights (inline) and
     dsir_ratio_table (standalone, for streaming).
 
-    Each side's bucket counts are pulled to the driver (bounded: <= B
-    rows per side, B is sketch-sized) and the smoothed ratio is
-    evaluated over a B-row LOCAL relation with the totals as literals.
-    The round-5 shape left the counts lazy and derived the totals from
-    the same count CTE, so the totals aggregate and the ratio join each
-    re-ran both corpus-wide gram explodes — FOUR corpus passes per fit
-    where two suffice (measured 7.1 s -> 3.2 s fit at sf1.0; guide §5:
-    collect the sketch, never recompute the corpus). The ratio
-    expression itself is unchanged, so values are bit-identical."""
-    rcm = {
-        int(r["__b"]): int(r["n"])
-        for r in rg.groupBy("__b").agg(F.count("*").alias("n")).collect()
-    }
-    tcm = {
-        int(r["__b"]): int(r["n"])
-        for r in tg.groupBy("__b").agg(F.count("*").alias("n")).collect()
-    }
+    Counts arrive as driver-side maps (bounded: <= B entries per side,
+    B is sketch-sized) and the smoothed ratio is evaluated over a B-row
+    LOCAL relation with the totals as literals. The round-5 shape left
+    the counts lazy and derived the totals from the same count CTE, so
+    the totals aggregate and the ratio join each re-ran both corpus-wide
+    gram explodes — FOUR corpus passes per fit where two suffice
+    (measured 7.1 s -> 3.2 s fit at sf1.0; guide §5: collect the
+    sketch, never recompute the corpus). The ratio expression itself is
+    unchanged, so values are bit-identical."""
     # exact integer totals (Python int == the round-5 Spark SUM bigint)
     nr, nt = sum(rcm.values()), sum(tcm.values())
     ratios = spark.createDataFrame(
@@ -174,10 +245,10 @@ def dsir_weights(
     # sized by COMPRESSED bytes; no-op at real scale)
     if raw.rdd.getNumPartitions() < sc.defaultParallelism:
         raw = raw.repartition(sc.defaultParallelism)
-    rg = _gram_buckets(raw, id_col, text_col, n_buckets, hash_fn)
-    tg = _gram_buckets(target, id_col, text_col, n_buckets, hash_fn)
+    rcm = _bucket_count_map(raw, id_col, text_col, n_buckets, hash_fn)
+    tcm = _bucket_count_map(target, id_col, text_col, n_buckets, hash_fn)
     ratios = _ratio_table(
-        raw.sparkSession, rg, tg, n_buckets, scale, arithmetic
+        raw.sparkSession, rcm, tcm, n_buckets, scale, arithmetic
     )
     # B-row bounded collect (the dsir_stream convention): the fit must
     # finish before any document can be scored, so this is the pipeline
@@ -300,10 +371,10 @@ def dsir_ratio_table(
     (__b, __r)."""
     from rustiflow_spark.parallelism import ensure_min_parallelism
 
-    rg = _gram_buckets(
+    rcm = _bucket_count_map(
         ensure_min_parallelism(raw), id_col, text_col, n_buckets, hash_fn
     )
-    tg = _gram_buckets(target, id_col, text_col, n_buckets, hash_fn)
+    tcm = _bucket_count_map(target, id_col, text_col, n_buckets, hash_fn)
     return _ratio_table(
-        raw.sparkSession, rg, tg, n_buckets, scale, arithmetic
+        raw.sparkSession, rcm, tcm, n_buckets, scale, arithmetic
     )

@@ -1091,6 +1091,42 @@ def test_ann_lsh_modes_identical(spark):
     assert cat.values.tolist() == arr.values.tolist()
 
 
+def test_dsir_arrow_fit_equals_explode_fit(spark):
+    """_bucket_count_map's md5 Arrow fit (per-batch np.bincount over
+    Python-split grams) must produce the exact counts of the explode
+    fit — including trim edge cases (SQL trim strips only spaces, so
+    leading tabs/control chars stay inside words; multi-space runs,
+    NULL/empty text)."""
+    from pyspark.sql import functions as F
+
+    from rustiflow_spark.operators.dsir import (
+        _bucket_count_map,
+        _gram_buckets,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "  a   b  c ",
+                "\t\nx y\x01 z\t",
+                None,
+                "",
+                " nbsp stays word",
+                "solo",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    arrow = _bucket_count_map(df, "doc_id", "text", 64, "md5")
+    g = _gram_buckets(df, "doc_id", "text", 64, "md5")
+    explode = {
+        int(r["__b"]): int(r["n"])
+        for r in g.groupBy("__b").agg(F.count("*").alias("n")).collect()
+    }
+    assert arrow == explode
+
+
 def test_dsir_upweights_target_like_documents(spark):
     from rustiflow_spark.operators.dsir import dsir_select, dsir_weights
 
