@@ -695,19 +695,27 @@ def pq_fit(
     if d % m != 0:
         raise ValueError(f"pq_fit: dim {d} not divisible by m={m}")
     dsub = d // m
-    books = []
-    for j in range(m):
+
+    def fit_sub(j: int) -> np.ndarray:
         sub = corpus.select(
             F.col(id_col).alias("__sid"),
             F.expr(f"slice(`{emb_col}`, {j * dsub + 1}, {dsub})").alias("__sub"),
         )
-        books.append(
-            ivf_fit(
-                sub, "__sid", "__sub", n_lists=k_codes, iters=iters,
-                seed_ids=seed_ids, sample_fraction=sample_fraction,
-                sample_seed=sample_seed, assign_mode=assign_mode,
-            )
+        return ivf_fit(
+            sub, "__sid", "__sub", n_lists=k_codes, iters=iters,
+            seed_ids=seed_ids, sample_fraction=sample_fraction,
+            sample_seed=sample_seed, assign_mode=assign_mode,
         )
+
+    # the m subspace fits are independent Lloyd chains: submit them from
+    # a thread pool so each fit's small sequential jobs (seed collect +
+    # per-iteration stats) back-fill the others' scheduling gaps (guide
+    # §2.6 — overlap independent jobs). Results are deterministic per
+    # subspace, so concurrency cannot change the codebooks.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(m, 4)) as pool:
+        books = list(pool.map(fit_sub, range(m)))
     return np.stack(books)
 
 
