@@ -72,6 +72,34 @@ def _ensure_package_shipped(spark: SparkSession) -> None:
     _SHIPPED_SESSIONS.add(key)
 
 
+def _stride_seed_ids(emb: DataFrame, n_seeds: int) -> list[int]:
+    """Every stride-th vec_id in sorted order (stride = max(1, n // k)) —
+    the positional seeding the ANN/PQ/SemDeDup fit oracles replay. ONE
+    job: the total count rides the same ids-only one-task sort as the
+    row numbers (count() OVER ()), where the round-5 builders ran a
+    separate full-table count() first (guide §1.2 — two scans per
+    build for numbers one pass provides)."""
+    from pyspark.sql import Window
+
+    rows = (
+        emb.select("vec_id")
+        .withColumn(
+            "__rn", F.row_number().over(Window.orderBy("vec_id")) - 1
+        )
+        .withColumn("__n", F.count("*").over(Window.partitionBy()))
+        .withColumn(
+            "__stride", F.expr(f"greatest(1L, __n div {int(n_seeds)})")
+        )
+        .where(
+            (F.col("__rn") % F.col("__stride") == 0)
+            & (F.col("__rn") < n_seeds * F.col("__stride"))
+        )
+        .select("vec_id")
+        .collect()
+    )
+    return [int(r["vec_id"]) for r in rows][:n_seeds]
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     # TIMESTAMP_NTZ -> epoch µs, independent of the session time zone
@@ -1207,22 +1235,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.operators.similarity import ann_topk_ivf
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
     n_lists = 8
-    stride = max(1, n // n_lists)
     # seeds by POSITION in the sorted id sequence, not by id arithmetic —
     # scaled-up tables have gapped vec_ids, where id-stride seeding would
     # find one seed and fail. The ids-only projection keeps the one-task
     # sort tiny (longs only); equals id-stride seeding on contiguous ids.
-    from pyspark.sql import Window
-
-    seed_rows = (
-        emb.select("vec_id")
-        .withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")))
-        .where(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") - 1 < n_lists * stride))
-        .collect()
-    )
-    seed_ids = [int(r["vec_id"]) for r in seed_rows][:n_lists]
+    seed_ids = _stride_seed_ids(emb, n_lists)
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_topk_ivf(
         emb, queries, k=5, n_lists=n_lists, nprobe=2, iters=2, seed_ids=seed_ids
@@ -1362,16 +1380,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.operators.similarity import ivf_fit
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
     n_lists = 8
-    stride = max(1, n // n_lists)
-    seed_rows = (
-        emb.select("vec_id")
-        .withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")))
-        .where(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") - 1 < n_lists * stride))
-        .collect()
-    )
-    seed_ids = [int(r["vec_id"]) for r in seed_rows][:n_lists]
+    seed_ids = _stride_seed_ids(emb, n_lists)
     cents = ivf_fit(emb, n_lists=n_lists, iters=2, seed_ids=seed_ids)
     out = semantic_dedup(
         emb, "vec_id", "embedding", cents, tau_num=4, tau_den=5
@@ -1436,16 +1446,8 @@ def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rustiflow_spark.operators.similarity import pq_adc_topk, pq_fit
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    n = emb.count()
     k_codes = 4
-    stride = max(1, n // k_codes)
-    seed_rows = (
-        emb.select("vec_id")
-        .withColumn("__rn", F.row_number().over(Window.orderBy("vec_id")))
-        .where(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") - 1 < k_codes * stride))
-        .collect()
-    )
-    seed_ids = [int(r["vec_id"]) for r in seed_rows][:k_codes]
+    seed_ids = _stride_seed_ids(emb, k_codes)
     # catalyst modes pinned: at this codebook size (m=2, k_codes=4) the
     # zero-Python expressions beat the Arrow matmul's worker round trip
     # (A/B at sf1.0: 4.0 s vs 4.7 s best-of-3); modes are bit-identical,

@@ -406,17 +406,29 @@ def ivf_fit(
             )
         cents = np.array([r["__qe"] for r in seeds], dtype=np.int64)
         for _ in range(iters):
-            assigned = _assign_qe(q, cents, assign_mode).select(
-                F.col("cluster").alias("__cl"),
-                F.posexplode("__qe").alias("__pos", "__val"),
-            )
-            stats = (
-                assigned.groupBy("__cl", "__pos")
-                .agg(F.sum("__val").alias("s"), F.count("*").alias("n"))
-                .collect()
-            )
+            if assign_mode == "arrow":
+                # fused assign + per-batch partial Lloyd stats: the
+                # posexplode shape materialized one JVM row per (vector,
+                # dimension) just to sum it; here each Arrow batch emits
+                # a K x d partial (cluster, pos, sum, count) table —
+                # integer sums are associative, so the recompute is
+                # bit-identical to the exploded aggregation (the
+                # modes-identical pytest pins it)
+                stats = _lloyd_stats_arrow(q, cents).collect()
+            else:
+                assigned = _assign_qe(q, cents, assign_mode).select(
+                    F.col("cluster").alias("__cl"),
+                    F.posexplode("__qe").alias("__pos", "__val"),
+                )
+                stats = (
+                    assigned.groupBy("__cl", "__pos")
+                    .agg(F.sum("__val").alias("s"), F.count("*").alias("n"))
+                    .collect()
+                )
             new = cents.copy()  # empty cluster keeps its previous centroid
             for r in stats:
+                if int(r["n"]) == 0:
+                    continue
                 # exact integer floor division (n > 0, so // == floor even
                 # for negative sums); no 2^53 double-precision cliff
                 new[r["__cl"], r["__pos"]] = int(r["s"]) // int(r["n"])
@@ -424,6 +436,57 @@ def ivf_fit(
     finally:
         q.unpersist()
     return cents
+
+
+def _lloyd_stats_arrow(q: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(__cl, __pos, s, n) partial-summed per Arrow batch then reduced —
+    one Lloyd recompute job with nothing wider than K x d rows shuffled.
+    Assignment math is _assign_qe's exact float64 score (same guard,
+    same argmin first-min tie-break); sums accumulate the original
+    int64 quantized values, so results are exactly the exploded
+    aggregation's."""
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    K, d = C.shape
+    cmax = float(np.abs(C).max()) if C.size else 0.0
+
+    def per_batch(it):
+        import pandas as pd
+
+        sums = np.zeros((K, d), dtype=np.int64)
+        counts = np.zeros(K, dtype=np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            Qi = np.asarray(pdf["__qe"].tolist(), dtype=np.int64)
+            Q = Qi.astype(np.float64)
+            qmax = float(np.abs(Q).max()) if Q.size else 0.0
+            if d * (cmax * cmax + 2.0 * qmax * cmax) >= 2.0**53:
+                raise ValueError(
+                    "ivf_fit(arrow): quantized magnitudes overflow the"
+                    " exact-float64 bound; lower the quantization scale"
+                )
+            cl = np.argmin(cn - 2.0 * (Q @ C.T), axis=1)
+            for k in range(K):
+                m = cl == k
+                if m.any():
+                    sums[k] += Qi[m].sum(axis=0)
+                    counts[k] += int(m.sum())
+        yield pd.DataFrame(
+            {
+                "__cl": np.repeat(np.arange(K), d),
+                "__pos": np.tile(np.arange(d), K),
+                "s": sums.reshape(-1),
+                "n": np.repeat(counts, d),
+            }
+        )
+
+    partials = q.mapInPandas(
+        per_batch, schema="__cl int, __pos int, s long, n long"
+    )
+    return partials.groupBy("__cl", "__pos").agg(
+        F.sum("s").alias("s"), F.sum("n").alias("n")
+    )
 
 
 def ann_topk_ivf(
