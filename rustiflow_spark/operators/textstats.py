@@ -256,7 +256,84 @@ def tokenize_with_vocab(
     )
 
 
-def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _repetition_stats_arrow(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """repetition_stats mode='arrow' body: per-document Counter passes
+    inside one mapInPandas (zero shuffle beyond the scan spread). Word
+    split replays Spark's `filter(split(trim(text), ' +'), w != '')`
+    exactly: SQL trim strips ONLY spaces, the regex splits on literal
+    space runs, empties drop. Gram identity by word TUPLE equals the
+    Catalyst fold's space-joined-string identity because split output
+    cannot contain a space. All counts are exact ints; each fraction is
+    one IEEE double division of int-exact operands — bit-identical to
+    the JVM's."""
+    from rustiflow_spark.parallelism import ensure_min_parallelism
+
+    import re as remod
+
+    pat = remod.compile(" +")
+
+    def per_batch(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col]
+            n_words, dwf, twf, tbf, dtf = [], [], [], [], []
+            for s in pdf[text_col]:
+                ws = (
+                    [w for w in pat.split(s.strip(" ")) if w]
+                    if s is not None
+                    else []
+                )
+                n = len(ws)
+                n_words.append(n)
+                if n > 0:
+                    cu = Counter(ws)
+                    dwf.append(len(cu) / n)
+                    twf.append(max(cu.values()) / n)
+                else:
+                    dwf.append(0.0)
+                    twf.append(0.0)
+                if n >= 2:
+                    cb = Counter(zip(ws, ws[1:]))
+                    tbf.append(max(cb.values()) / (n - 1))
+                else:
+                    tbf.append(0.0)
+                if n >= 3:
+                    ct = Counter(zip(ws, ws[1:], ws[2:]))
+                    dtf.append(
+                        sum(c for c in ct.values() if c >= 2) / (n - 2)
+                    )
+                else:
+                    dtf.append(0.0)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "distinct_word_frac": pd.Series(dwf, dtype="float64"),
+                    "top_word_frac": pd.Series(twf, dtype="float64"),
+                    "top_bigram_frac": pd.Series(tbf, dtype="float64"),
+                    "dup_trigram_frac": pd.Series(dtf, dtype="float64"),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return ensure_min_parallelism(
+        df.select(id_col, text_col)
+    ).mapInPandas(
+        per_batch,
+        schema=f"`{id_col}` {id_type}, n_words long,"
+        " distinct_word_frac double, top_word_frac double,"
+        " top_bigram_frac double, dup_trigram_frac double",
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, mode: str = "arrow"
+) -> DataFrame:
     """Gopher-style repetition quality filters (Rae et al. 2021, appendix
     A1.1 "repetitious text" rules, word-gram subset): per document —
 
@@ -273,26 +350,44 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     caller so the stats compose with quality_features' filter chain.
 
     Plan: every statistic here is a function of ONE document's word
-    sequence, so the whole operator is a zero-shuffle projection — per
-    row, each gram family is sorted (array_sort) and its multiplicity
-    profile read off the runs with a single aggregate() fold (max run =
+    sequence, so the whole operator is a zero-shuffle projection. The
+    round-5 pyramid shape shuffled one (doc, gram) pair per gram
+    position — at 100 TB that is the corpus's entire token stream
+    crossing the network three times for values that never leave their
+    row (optimization guide §2.3 "shuffle fewer bytes" taken to its
+    fixed point, §2.4 "remove shuffles outright").
+
+    mode='arrow' (default, the scale path; guide §4.2): one mapInPandas
+    pass counts each document's gram multiplicities with C-backed
+    Counters and emits the five statistics directly. Counts are exact
+    integers and the fractions divide the same int-exact doubles, so
+    values are bit-identical to 'catalyst' (pytest-asserted; word split
+    replays SQL trim + ' +' exactly, the dsir convention).
+    mode='catalyst' keeps everything in JVM expressions: per row, each
+    gram family is sorted (array_sort) and its multiplicity profile
+    read off the runs with a single aggregate() fold (max run =
     top-gram count, run starts = distinct count, runs >= 2 = duplicated
-    positions). No explode, no groupBy, no join: the round-5 pyramid
-    shape shuffled one (doc, gram) pair per gram position — at 100 TB
-    that is the corpus's entire token stream crossing the network three
-    times for values that never leave their row (optimization guide §2.3
-    "shuffle fewer bytes" taken to its fixed point, §2.4 "remove
-    shuffles outright"). Values are bit-identical: same integer counts,
-    same when(den>0)/otherwise(0.0) division.
+    positions); no explode, no groupBy, no join. Same-day sf10 A/B:
+    pyramid 51.9 s -> catalyst fold 22.0 s -> arrow (see BENCH.md),
+    identical checksums.
 
     Reference analog: none (north-rule text-quality component;
     quality_features above holds the non-repetition Gopher signals).
     """
+    if mode not in ("arrow", "catalyst"):
+        raise ValueError(f"repetition_stats: unknown mode {mode!r}")
     sc = df.sparkSession.sparkContext
+    if mode == "arrow":
+        return _repetition_stats_arrow(df, id_col, text_col)
     base = df.select(
         F.col(id_col).alias("__id"),
-        F.filter(
-            F.split(F.trim(F.col(text_col)), r" +"), lambda w: w != ""
+        # NULL text -> zero words (matches the pyramid's left-join zero
+        # fill; size(NULL) would be the non-ANSI -1)
+        F.coalesce(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r" +"), lambda w: w != ""
+            ),
+            F.expr("CAST(array() AS array<string>)"),
         ).alias("__ws"),
     )
     # per-row sort/fold work dominates a compressed narrow scan: spread

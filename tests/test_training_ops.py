@@ -1091,6 +1091,34 @@ def test_ann_lsh_modes_identical(spark):
     assert cat.values.tolist() == arr.values.tolist()
 
 
+def test_repetition_stats_modes_identical(spark):
+    """mode='arrow' (Counter pass) must reproduce mode='catalyst'
+    (sorted-run folds) bit-for-bit, including trim/split edge cases and
+    NULL text."""
+    from rustiflow_spark.operators.textstats import repetition_stats
+
+    rng = np.random.RandomState(17)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [
+        " ".join(vocab[j] for j in rng.randint(0, 9, rng.randint(0, 30)))
+        for _ in range(60)
+    ]
+    texts += ["", "   ", None, "solo", "a a a a", "\tx y\t", "  pad  ded  "]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    a = (
+        repetition_stats(df, "doc_id", "text", mode="arrow")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    c = (
+        repetition_stats(df, "doc_id", "text", mode="catalyst")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert a.values.tolist() == c.values.tolist()
+
+
 def test_dsir_arrow_fit_equals_explode_fit(spark):
     """_bucket_count_map's md5 Arrow fit (per-batch np.bincount over
     Python-split grams) must produce the exact counts of the explode
