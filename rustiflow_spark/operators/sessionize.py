@@ -161,54 +161,106 @@ def sessionize_packets(
 
     sort_cols = _KEY_COLS + ["ts_us", "event_seq"]
 
-    def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.reset_index(drop=True)
-        g = {c: pdf[c].to_numpy(dtype=np.int64, na_value=0) for c in _INT_COLS}
-        for c in ("icmp_type", "icmp_code"):
-            g[c] = pdf[c].to_numpy(dtype=np.float64, na_value=-1).astype(np.int64)
-        g["dir_a"] = pdf["dir_a"].to_numpy(dtype=bool)
+    # Arrow-native boundary (guide §4.1/§4.2): the kernel consumes and
+    # produces numpy arrays, so the pandas DataFrame on each side of the
+    # round-5 mapInPandas was pure conversion overhead (identity-pass
+    # A/B at sf1.0: +0.79 s pandas vs +0.35 s Arrow over the same sorted
+    # input). RecordBatch columns decode straight to numpy (fill_null
+    # replays the old na_value semantics) and outputs build straight
+    # into RecordBatches; from_pandas=True keeps NaN->NULL for doubles,
+    # matching the pandas serializer bit-for-bit.
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(out_schema)
+
+    def _batch_cols(b) -> dict[str, np.ndarray]:
+        import pyarrow.compute as pc
+
+        d: dict[str, np.ndarray] = {}
+        for i, name in enumerate(b.schema.names):
+            col = b.column(i)
+            if name in ("icmp_type", "icmp_code"):
+                d[name] = (
+                    pc.fill_null(col, -1)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+            elif name == "dir_a":
+                d[name] = col.to_numpy(zero_copy_only=False).astype(bool)
+            elif name in ("key_ip_a", "key_ip_b"):
+                d[name] = col.to_numpy(zero_copy_only=False)
+            else:
+                d[name] = (
+                    pc.fill_null(col, 0)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+        return d
+
+    def process_block(cols: dict[str, np.ndarray]):
+        import pyarrow as pa
+
+        n = cols["ts_us"].size
+        g = {c: cols[c] for c in _INT_COLS}
+        g["icmp_type"] = cols["icmp_type"]
+        g["icmp_code"] = cols["icmp_code"]
+        g["dir_a"] = cols["dir_a"]
         # rows arrive sorted by the key columns, so key_id is a run index
         # from adjacent-row comparison — ~10x cheaper than hash-factorizing
         # a MultiIndex over the five key columns
-        newk = np.zeros(len(pdf), dtype=bool)
+        newk = np.zeros(n, dtype=bool)
         newk[0] = True
         for c in _KEY_COLS:
-            v = pdf[c].to_numpy()
+            v = cols[c]
             newk[1:] |= v[1:] != v[:-1]
         g["key_id"] = np.cumsum(newk) - 1
         keys = {
-            "key_ip_a": pdf["key_ip_a"].to_numpy(),
-            "key_port_a": pdf["key_port_a"].to_numpy(),
-            "key_ip_b": pdf["key_ip_b"].to_numpy(),
-            "key_port_b": pdf["key_port_b"].to_numpy(),
+            "key_ip_a": cols["key_ip_a"],
+            "key_port_a": cols["key_port_a"],
+            "key_ip_b": cols["key_ip_b"],
+            "key_port_b": cols["key_port_b"],
         }
         res = featurize_packet_block(g, keys, cfg, scan_times, flush_ts, columns=col_set)
         if "__empty" in res:
-            return pd.DataFrame(columns=out_cols)
+            return None
         if col_set is not None:
             missing = [c for c in out_cols if c not in res]
             if missing:  # a gating bug must fail loudly, never emit NaN
                 raise RuntimeError(f"kernel pruning dropped {missing}")
-        return pd.DataFrame(res).reindex(columns=out_cols)
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(res[f.name]), type=f.type, from_pandas=True)
+                for f in arrow_schema
+            ],
+            schema=arrow_schema,
+        )
 
     def run_partition(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        carry: dict[str, np.ndarray] | None = None
+        for b in batches:
+            cols = _batch_cols(b)
+            if carry is not None and carry["ts_us"].size:
+                cols = {
+                    k: np.concatenate([carry[k], cols[k]]) for k in cols
+                }
+            n = cols["ts_us"].size
+            if not n:
                 continue
-            last_key = tuple(pdf[c].iloc[-1] for c in _KEY_COLS)
-            mask = np.ones(len(pdf), dtype=bool)
-            for c, v in zip(_KEY_COLS, last_key):
-                mask &= (pdf[c] == v).to_numpy()
+            # hold back the trailing key — it may continue in the next batch
+            mask = np.ones(n, dtype=bool)
+            for c in _KEY_COLS:
+                v = cols[c]
+                mask &= v == v[n - 1]
             boundary = int(np.flatnonzero(mask)[0])
-            carry = pdf.iloc[boundary:].reset_index(drop=True)
-            head = pdf.iloc[:boundary]
-            if len(head):
-                yield process_block(head)
-        if carry is not None and len(carry):
-            yield process_block(carry)
+            carry = {k: v[boundary:] for k, v in cols.items()}
+            if boundary:
+                out = process_block({k: v[:boundary] for k, v in cols.items()})
+                if out is not None:
+                    yield out
+        if carry is not None and carry["ts_us"].size:
+            out = process_block(carry)
+            if out is not None:
+                yield out
 
     if num_partitions:
         keyed = keyed.repartition(num_partitions, *_KEY_COLS)
@@ -225,4 +277,4 @@ def sessionize_packets(
     # run detection never sees __ks (dropped before mapInPandas).
     keyed = keyed.withColumn("__ks", F.xxhash64(*_KEY_COLS))
     keyed = keyed.sortWithinPartitions("__ks", *sort_cols).drop("__ks")
-    return keyed.mapInPandas(run_partition, schema=out_schema)
+    return keyed.mapInArrow(run_partition, schema=out_schema)
