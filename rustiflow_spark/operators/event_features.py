@@ -374,53 +374,82 @@ def sessionize_events(
         )
     )
 
-    def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = pdf[ts_col].to_numpy(dtype=np.int64)
-        value = pdf[value_col].to_numpy(dtype=np.float64)
+    # Arrow-native boundary (guide §4.1/§4.2, same as sessionize_packets):
+    # the kernel is numpy end-to-end, so pandas frames on both sides of
+    # the round-5 mapInPandas were pure conversion overhead. Dense key
+    # ids come from adjacent-row run detection — rows arrive sorted by
+    # the key columns, where it equals pd.factorize's first-appearance
+    # numbering.
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+
+    def _batch_cols(b) -> dict[str, np.ndarray]:
+        return {
+            name: b.column(i).to_numpy(zero_copy_only=False)
+            for i, name in enumerate(b.schema.names)
+        }
+
+    def process_block(cols: dict[str, np.ndarray]):
+        import pyarrow as pa
+
+        ts = cols[ts_col].astype(np.int64, copy=False)
+        value = cols[value_col].astype(np.float64, copy=False)
         direction = (
-            pdf[direction_col].to_numpy(dtype=np.int64)
+            cols[direction_col].astype(np.int64, copy=False)
             if direction_col
             else np.zeros(ts.size, dtype=np.int64)
         )
         terminator = (
-            pdf[terminator_col].to_numpy(dtype=np.int64)
+            cols[terminator_col].astype(np.int64, copy=False)
             if terminator_col
             else np.zeros(ts.size, dtype=np.int64)
         )
-        # dense key ids from the (already grouped) key columns
-        key_frame = pdf[key_cols]
-        key_ids = pd.factorize(pd.MultiIndex.from_frame(key_frame))[0] if len(key_cols) > 1 else pd.factorize(key_frame[key_cols[0]])[0]
+        newk = np.zeros(ts.size, dtype=bool)
+        newk[0] = True
+        for c in key_cols:
+            v = cols[c]
+            newk[1:] |= v[1:] != v[:-1]
+        key_ids = np.cumsum(newk) - 1
         next_after = (
-            pdf[next_ts_col].to_numpy(dtype=np.int64) if next_ts_col else None
+            cols[next_ts_col].astype(np.int64, copy=False)
+            if next_ts_col
+            else None
         )
         res = featurize_block(
             key_ids.astype(np.int64), ts, value, direction, terminator, cfg,
             scan_times, flush_ts, blocks=blocks, next_after=next_after,
         )
         rows = res.pop("session_row")
-        out = pd.DataFrame(res)
         for col in key_cols:
-            out[col] = pdf[col].to_numpy()[rows]
-        return out.reindex(columns=out_cols)
+            res[col] = cols[col][rows]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(res[f.name]), type=f.type, from_pandas=True)
+                for f in arrow_schema
+            ],
+            schema=arrow_schema,
+        )
 
     def run_partition(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        carry: dict[str, np.ndarray] | None = None
+        for b in batches:
+            cols = _batch_cols(b)
+            if carry is not None and carry[ts_col].size:
+                cols = {k: np.concatenate([carry[k], cols[k]]) for k in cols}
+            n = cols[ts_col].size
+            if not n:
                 continue
             # hold back the trailing key — it may continue in the next batch
-            last_key = tuple(pdf[c].iloc[-1] for c in key_cols)
-            mask = np.ones(len(pdf), dtype=bool)
-            for c, v in zip(key_cols, last_key):
-                mask &= (pdf[c] == v).to_numpy()
+            mask = np.ones(n, dtype=bool)
+            for c in key_cols:
+                v = cols[c]
+                mask &= v == v[n - 1]
             boundary = int(np.flatnonzero(mask)[0])
-            carry = pdf.iloc[boundary:]
-            head = pdf.iloc[:boundary]
-            if len(head):
-                yield process_block(head)
-        if carry is not None and len(carry):
+            carry = {k: v[boundary:] for k, v in cols.items()}
+            if boundary:
+                yield process_block({k: v[:boundary] for k, v in cols.items()})
+        if carry is not None and carry[ts_col].size:
             yield process_block(carry)
 
     keyed = df.select(*needed)
@@ -430,7 +459,7 @@ def sessionize_events(
     else:
         keyed = keyed.repartition(*key_cols)
     keyed = keyed.sortWithinPartitions(*sort_cols)
-    return keyed.mapInPandas(run_partition, schema=schema)
+    return keyed.mapInArrow(run_partition, schema=schema)
 
 
 def assign_sessions(

@@ -123,13 +123,14 @@ def test_plan_quality_pushdown_and_pruning(spark, sf_dir):
 
 def test_packet_plan_single_exchange(spark, sf_dir):
     """The packet path is one shuffle end-to-end: scan -> canonical-key
-    projection -> Exchange on the biflow key -> Sort -> MapInPandas."""
+    projection -> Exchange on the biflow key -> Sort -> the Arrow
+    kernel stage."""
     import __spark_entry__ as em
 
     flows = em.q_flow_cic_udp(spark, sf_dir)
     plan = flows._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
-    assert "MapInPandas" in plan, plan
+    assert "MapInArrow" in plan, plan
     # props is never referenced by the synthesis; the scan must prune it
     assert "props" not in plan, plan
 
@@ -176,7 +177,7 @@ def test_auto_strategy_skew_routing(spark, monkeypatch):
         spark.createDataFrame(pdf), key, cfg, strategy="auto"
     )
     plan = auto._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan and "Union" in plan  # both branches present
+    assert "MapInArrow" in plan and "Union" in plan  # both branches present
     auto_pdf = auto.toPandas()
 
     sort = key + ["session_index"]
