@@ -245,8 +245,20 @@ def dsir_weights(
     # sized by COMPRESSED bytes; no-op at real scale)
     if raw.rdd.getNumPartitions() < sc.defaultParallelism:
         raw = raw.repartition(sc.defaultParallelism)
-    rcm = _bucket_count_map(raw, id_col, text_col, n_buckets, hash_fn)
-    tcm = _bucket_count_map(target, id_col, text_col, n_buckets, hash_fn)
+    # the two fit sides are independent count jobs: submit them from a
+    # 2-thread pool so the smaller side back-fills the larger side's
+    # task tail (guide §2.6); counts are exact integers, so concurrency
+    # cannot change them
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fr = pool.submit(
+            _bucket_count_map, raw, id_col, text_col, n_buckets, hash_fn
+        )
+        ft = pool.submit(
+            _bucket_count_map, target, id_col, text_col, n_buckets, hash_fn
+        )
+        rcm, tcm = fr.result(), ft.result()
     ratios = _ratio_table(
         raw.sparkSession, rcm, tcm, n_buckets, scale, arithmetic
     )

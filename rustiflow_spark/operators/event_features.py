@@ -518,19 +518,37 @@ def assign_sessions(
     in_cols = [f.name for f in df.schema.fields]
     sort_cols = key_cols + [ts_col] + ([order_col] if order_col else [])
 
-    def process_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        ts = pdf[ts_col].to_numpy(dtype=np.int64)
+    # Arrow-native passthrough (guide §4.1): the annotator only READS
+    # (key, ts, terminator) and appends two columns — with mapInArrow
+    # every payload column (including array payloads like `tokens`)
+    # rides through as untouched Arrow buffers, zero pandas coercion;
+    # batch splits at key boundaries are zero-copy slices.
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(schema)
+    name_idx = {f.name: i for i, f in enumerate(schema.fields)}
+
+    def process_block(b, key_np: dict[str, np.ndarray]):
+        import pyarrow as pa
+
+        ts = (
+            b.column(name_idx[ts_col])
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
+        )
         terminator = (
-            pdf[terminator_col].to_numpy(dtype=np.int64)
+            b.column(name_idx[terminator_col])
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64, copy=False)
             if terminator_col
             else np.zeros(ts.size, dtype=np.int64)
         )
-        key_frame = pdf[key_cols]
-        key_ids = (
-            pd.factorize(pd.MultiIndex.from_frame(key_frame))[0]
-            if len(key_cols) > 1
-            else pd.factorize(key_frame[key_cols[0]])[0]
-        ).astype(np.int64)
+        newk = np.zeros(ts.size, dtype=bool)
+        newk[0] = True
+        for c in key_cols:
+            v = key_np[c]
+            newk[1:] |= v[1:] != v[:-1]
+        key_ids = (np.cumsum(newk) - 1).astype(np.int64)
         starts = segment_block(key_ids, ts, terminator, cfg)
         ends = np.append(starts[1:], ts.size)
         cause, _, _ = close_sessions(
@@ -538,32 +556,59 @@ def assign_sessions(
         )
         ordinal = _per_key_ordinal(key_ids[starts])
         lengths = ends - starts
-        pdf = pdf[in_cols].copy()
-        pdf["session_index"] = np.repeat(ordinal, lengths).astype(np.int32)
-        pdf["session_cause"] = np.repeat(_CAUSE_STRINGS[cause], lengths)
-        return pdf
+        si = pa.array(
+            np.repeat(ordinal, lengths).astype(np.int32), type=pa.int32()
+        )
+        sc_ = pa.array(
+            np.repeat(_CAUSE_STRINGS[cause], lengths),
+            type=pa.string(),
+            from_pandas=True,
+        )
+        return pa.RecordBatch.from_arrays(
+            list(b.columns) + [si, sc_], schema=arrow_schema
+        )
+
+    def _concat(a, b):
+        import pyarrow as pa
+
+        t = pa.Table.from_batches([a, b]).combine_chunks()
+        batches = t.to_batches()
+        return batches[0] if len(batches) == 1 else pa.Table.from_batches(
+            batches
+        ).combine_chunks().to_batches()[0]
 
     def run_partition(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
+        carry = None
+        for b in batches:
+            if carry is not None and carry.num_rows:
+                b = _concat(carry, b)
+            n = b.num_rows
+            if not n:
                 continue
-            last_key = tuple(pdf[c].iloc[-1] for c in key_cols)
-            mask = np.ones(len(pdf), dtype=bool)
-            for c, v in zip(key_cols, last_key):
-                mask &= (pdf[c] == v).to_numpy()
+            key_np = {
+                c: b.column(name_idx[c]).to_numpy(zero_copy_only=False)
+                for c in key_cols
+            }
+            mask = np.ones(n, dtype=bool)
+            for c in key_cols:
+                v = key_np[c]
+                mask &= v == v[n - 1]
             boundary = int(np.flatnonzero(mask)[0])
-            carry = pdf.iloc[boundary:].reset_index(drop=True)
-            head = pdf.iloc[:boundary]
-            if len(head):
-                yield process_block(head)
-        if carry is not None and len(carry):
-            yield process_block(carry)
+            carry = b.slice(boundary)
+            if boundary:
+                yield process_block(
+                    b.slice(0, boundary),
+                    {c: v[:boundary] for c, v in key_np.items()},
+                )
+        if carry is not None and carry.num_rows:
+            key_np = {
+                c: carry.column(name_idx[c]).to_numpy(zero_copy_only=False)
+                for c in key_cols
+            }
+            yield process_block(carry, key_np)
 
     keyed = df.repartition(*key_cols).sortWithinPartitions(*sort_cols)
-    return keyed.mapInPandas(run_partition, schema=schema)
+    return keyed.mapInArrow(run_partition, schema=schema)
 
 
 def sessionize_events_catalyst(
